@@ -1,0 +1,521 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator battery — SURVEY.md §2.3 coverage, Spark-first.
+  *
+  * Each query has a DataFrame-API implementation (so Catalyst plans it:
+  * pushdown, pruning, join selection, partial aggregation, AQE) and a
+  * DuckDB-runnable ANSI oracle with IDENTICAL column names and row order.
+  *
+  * Numeric discipline for oracle hash-parity: floating-point aggregation is
+  * order-dependent, so every SUM over a double column goes through a
+  * DECIMAL cast (exact, associative) and every result column is cast to an
+  * explicit DECIMAL type both here and in the oracle SQL. AVG stays DOUBLE
+  * only where rounded via decimal cast.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact associative sum of a double column: cast each value to
+    * DECIMAL(12,2) (inputs are money-like, 2dp) before summing, cast the
+    * total back to a fixed decimal so Spark/DuckDB schemas agree. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(14, scale))).cast(DecimalType(28, scale))
+
+  // ---------------------------------------------------------------- q1: agg
+  // TPC-H Q1 shape: the reference's flagship groupBy-agg (SURVEY §2.3,
+  // examples/02-datagen-batch.flinknb:54). Partial+final HashAggregate;
+  // filter pushed to parquet scan.
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------ q2: filters
+  // WHERE predicate battery: range, IN, LIKE, BETWEEN, IS NOT NULL
+  // (SURVEY §2.3 Filter tier-V). All forms push to the parquet scan.
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") > 1000.0 &&
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_orderpriority").like("%URGENT%") &&
+        col("o_custkey").between(1, 100000) &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(14, 2)).as("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice > 1000.0 AND o_orderstatus IN ('O','F')
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |  AND o_custkey BETWEEN 1 AND 100000 AND o_orderdate IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------- q3: inner join
+  // 3-way equi-join + agg (customer⋈orders⋈nation). nation/region are tiny
+  // dims → broadcast() them explicitly: at 100 TB the fact side never
+  // shuffles for these joins; only the final groupBy shuffles on n_name.
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val nat = t(s, dir, "nation")
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2)))
+          .cast(DecimalType(28, 2)).as("total_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val q3Sql: String =
+    """SELECT n_name, COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------- q4: outer/semi/anti
+  def q4LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q4Sql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 50000.0)
+    cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q4SemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 50000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q4AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val hugeOrders = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    cust.join(hugeOrders, cust("c_custkey") === hugeOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q4AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q4FullJoin(s: SparkSession, dir: String): DataFrame = {
+    // Full outer on the nation/supplier keys — exercises FullOuter path.
+    val nat = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    nat.join(sup, nat("n_nationkey") === sup("s_nationkey"), "full_outer")
+      .select(col("n_name"), coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("n_name").asc_nulls_first)
+  }
+
+  val q4FullSql: String =
+    """SELECT n_name, COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM nation FULL OUTER JOIN
+      |  (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      |  ON n_nationkey = s_nationkey
+      |ORDER BY n_name ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------------- q5: top-N
+  // ORDER BY … LIMIT → Catalyst TakeOrderedAndProject: per-partition top-k
+  // then driver merge of k×partitions rows — no global sort shuffle, scales
+  // to any input size (reference shape: examples/02…flinknb:71).
+  def q5TopN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2)))
+          .cast(DecimalType(28, 2)).as("total_spent"))
+      .orderBy(col("order_count").desc, col("total_spent").desc, col("o_custkey"))
+      .limit(10)
+
+  val q5Sql: String =
+    """SELECT o_custkey, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS total_spent
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY order_count DESC, total_spent DESC, o_custkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------- q6: multi-key sort
+  def q6Sort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("p_retailprice").cast(DecimalType(14, 2)).as("p_retailprice"))
+      .orderBy(col("p_brand").asc, col("p_size").desc, col("p_partkey").asc)
+
+  val q6Sql: String =
+    """SELECT p_partkey, p_brand, p_size,
+      |  CAST(p_retailprice AS DECIMAL(14,2)) AS p_retailprice
+      |FROM part ORDER BY p_brand ASC, p_size DESC, p_partkey ASC""".stripMargin
+
+  // ---------------------------------------------- q7: window ranking
+  // ROW_NUMBER/RANK/DENSE_RANK per partition (SURVEY §2.3 over-windows).
+  // One shuffle on the partition key; rank filter (rn<=3) is the scalable
+  // streaming-top-N shape.
+  def q7WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(14, 2)).as("o_totalprice"),
+        col("rn"), col("rk"), col("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, rn, rk, drk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------- q8: analytic window functions
+  // LAG/LEAD/FIRST_VALUE/LAST_VALUE + running frame (ROWS BETWEEN).
+  def q8WindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .withColumn("first_qty", first(col("l_quantity")).over(wRun))
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(14, 2))).over(wRun)
+          .cast(DecimalType(28, 2)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(14, 2)).as("l_quantity"),
+        col("prev_qty").cast(DecimalType(14, 2)).as("prev_qty"),
+        col("next_qty").cast(DecimalType(14, 2)).as("next_qty"),
+        col("first_qty").cast(DecimalType(14, 2)).as("first_qty"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q8Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS DECIMAL(14,2)) AS l_quantity,
+      |  CAST(prev_qty AS DECIMAL(14,2)) AS prev_qty,
+      |  CAST(next_qty AS DECIMAL(14,2)) AS next_qty,
+      |  CAST(first_qty AS DECIMAL(14,2)) AS first_qty,
+      |  CAST(running_qty AS DECIMAL(28,2)) AS running_qty
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    LAG(l_quantity, 1) OVER w AS prev_qty,
+      |    LEAD(l_quantity, 1) OVER w AS next_qty,
+      |    FIRST_VALUE(l_quantity) OVER wr AS first_qty,
+      |    SUM(CAST(l_quantity AS DECIMAL(14,2))) OVER wr AS running_qty
+      |  FROM lineitem WHERE l_suppkey <= 3
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+      |    wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------ q9: rollup/cube
+  def q9Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q9Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  def q9Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q9CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------- q10: distinct & stat aggregates
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_quantity")).cast(DecimalType(14, 2)).as("min_qty"),
+        max(col("l_quantity")).cast(DecimalType(14, 2)).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q10Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  CAST(MIN(l_quantity) AS DECIMAL(14,2)) AS min_qty,
+      |  CAST(MAX(l_quantity) AS DECIMAL(14,2)) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------- q11: set ops
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ordCust = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val bigCust = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey"))
+    val allCust = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+    // customers with any order, minus big spenders, intersected with customer dim
+    ordCust.distinct()
+      .except(bigCust.distinct())
+      .intersect(allCust)
+      .orderBy(col("custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT * FROM (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+      |) INTERSECT SELECT c_custkey AS custkey FROM customer
+      |ORDER BY custkey""".stripMargin
+
+  def q11Union(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), lit("customer").as("src"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+    c.union(sup).orderBy(col("src"), col("id"))
+  }
+
+  val q11UnionSql: String =
+    """SELECT c_custkey AS id, 'customer' AS src FROM customer
+      |UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+      |ORDER BY src, id""".stripMargin
+
+  // ------------------------------------------------- q12: theta/non-equi join
+  // Range (non-equi) join — small build side broadcast → nested-loop stays
+  // local; never a cartesian shuffle.
+  def q12ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    sup.join(broadcast(nat), sup("s_nationkey") < nat("n_nationkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_higher_nations"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT s_suppkey, COUNT(*) AS n_higher_nations
+      |FROM supplier JOIN nation ON s_nationkey < n_nationkey
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------ q13: correlated subquery
+  // IN-subquery → Catalyst rewrites to semi join (RewritePredicateSubquery).
+  def q13InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ q14: scalar functions
+  // String/date/math/conditional battery (SURVEY §2.3 scalar fns tier-V).
+  def q14ScalarFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast(StringType)).as("seg_key"),
+        when(col("c_acctbal") > 5000.0, lit("high"))
+          .when(col("c_acctbal") > 0.0, lit("mid"))
+          .otherwise(lit("low")).as("bal_band"),
+        abs(col("c_acctbal")).cast(DecimalType(14, 2)).as("abs_bal"),
+        // + 0.0 collapses IEEE negative zero (ROUND(-0.0004,1) = -0.0) so
+        // both engines hash identically
+        (round(col("c_acctbal") / 100.0, 1) + lit(0.0)).as("bal_hundreds"))
+      .orderBy(col("c_custkey"))
+
+  val q14Sql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS name_upper,
+      |  LENGTH(c_name) AS name_len,
+      |  SUBSTRING(c_mktsegment, 1, 3) AS seg3,
+      |  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+      |  CASE WHEN c_acctbal > 5000.0 THEN 'high'
+      |       WHEN c_acctbal > 0.0 THEN 'mid' ELSE 'low' END AS bal_band,
+      |  CAST(ABS(c_acctbal) AS DECIMAL(14,2)) AS abs_bal,
+      |  ROUND(c_acctbal / 100.0, 1) + 0.0 AS bal_hundreds
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------- q15: date/time functions
+  def q15DateFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ q16: grouping sets
+  def q16GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin)
+  }
+
+  val q16Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, cnt""".stripMargin
+
+  // ------------------------------------------------ q17: exact dedup
+  // dropDuplicates == SQL DISTINCT-by-key with deterministic survivor:
+  // implemented as min-per-group to keep an oracle-checkable survivor rule.
+  def q17DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(min(col("o_orderkey")).as("first_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderstatus"))
+
+  val q17Sql: String =
+    """SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_orderkey
+      |FROM orders GROUP BY o_custkey, o_orderstatus
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin
+
+  // ------------------------------------------------ q18: values / no-FROM
+  // SETUP.md:76 smoke: SELECT without FROM.
+  def q18Values(s: SparkSession, dir: String): DataFrame =
+    s.sql("SELECT 1 AS id, 'Hello Spark!' AS message")
+
+  val q18Sql: String = "SELECT 1 AS id, 'Hello Spark!' AS message"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter" -> (q2Filter _),
+    "q3_join" -> (q3Join _),
+    "q4_left_join" -> (q4LeftJoin _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q4_anti_join" -> (q4AntiJoin _),
+    "q4_full_join" -> (q4FullJoin _),
+    "q5_topn" -> (q5TopN _),
+    "q6_sort" -> (q6Sort _),
+    "q7_window_rank" -> (q7WindowRank _),
+    "q8_window_analytic" -> (q8WindowAnalytic _),
+    "q9_rollup" -> (q9Rollup _),
+    "q9_cube" -> (q9Cube _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_setops" -> (q11SetOps _),
+    "q11_union" -> (q11Union _),
+    "q12_theta_join" -> (q12ThetaJoin _),
+    "q13_in_subquery" -> (q13InSubquery _),
+    "q14_scalar_fns" -> (q14ScalarFns _),
+    "q15_date_fns" -> (q15DateFns _),
+    "q16_grouping_sets" -> (q16GroupingSets _),
+    "q17_dedup_exact" -> (q17DedupExact _),
+    "q18_values" -> (q18Values _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter" -> q2Sql,
+    "q3_join" -> q3Sql,
+    "q4_left_join" -> q4Sql,
+    "q4_semi_join" -> q4SemiSql,
+    "q4_anti_join" -> q4AntiSql,
+    "q4_full_join" -> q4FullSql,
+    "q5_topn" -> q5Sql,
+    "q6_sort" -> q6Sql,
+    "q7_window_rank" -> q7Sql,
+    "q8_window_analytic" -> q8Sql,
+    "q9_rollup" -> q9Sql,
+    "q9_cube" -> q9CubeSql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_setops" -> q11Sql,
+    "q11_union" -> q11UnionSql,
+    "q12_theta_join" -> q12Sql,
+    "q13_in_subquery" -> q13Sql,
+    "q14_scalar_fns" -> q14Sql,
+    "q15_date_fns" -> q15Sql,
+    "q16_grouping_sets" -> q16Sql,
+    "q17_dedup_exact" -> q17Sql,
+    "q18_values" -> q18Sql,
+  )
+}
