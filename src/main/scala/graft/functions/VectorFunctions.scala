@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType/DoubleType)` embedding columns,
+  * built entirely from codegen'd higher-order functions (`zip_with`,
+  * `aggregate`) — no UDF serialization, stays inside whole-stage codegen.
+  *
+  * Folds are sequential left-to-right, which keeps results bit-identical
+  * across engines that fold the same way (the DuckDB oracle's
+  * `list_dot_product` included) — important for hash-parity checks.
+  */
+object VectorFunctions {
+
+  /** Cast an embedding column to Array[Double] for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Sign-random-projection bit code (LSH for cosine): `bits` hyperplanes
+    * with ±1 coefficients derived deterministically from xxhash64 of
+    * (plane, dim). Returns an integer bucket code in [0, 2^bits).
+    *
+    * The planes are pseudo-random but seed-stable, so the same code works
+    * across runs/executors with zero broadcast state — at 100 TB the bucket
+    * assignment is a pure map-side expression.
+    */
+  def srpCode(v: Column, bits: Int, seed: Int = 0): Column = {
+    require(bits > 0 && bits <= 30)
+    val bitCols = (0 until bits).map { p =>
+      // coefficient for dim i: +1 if xxhash64(seed, p, i) even else -1
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * when(pmod(xxhash64(lit(seed), lit(p), i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.{SimHash64, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` (and `embeddings` for the
+  * vector-space variant). Five strategies, from exact to approximate:
+  *
+  *  - exact:      hash-groupBy on the normalized fingerprint (one shuffle)
+  *  - n-gram Jaccard: shingle self-join — exact pairwise, oracle-checkable
+  *  - MinHash+LSH: signature bands → candidate pairs → exact re-verify
+  *  - SimHash:    64-bit signature + Hamming banding (native expression)
+  *  - embedding cosine: near-dup pairs in vector space
+  *
+  * Scale notes (the 100 TB story): every strategy is shuffle-bounded by its
+  * blocking key (fingerprint, shingle, band hash), never all-pairs. The
+  * only quadratic step is *within a candidate bucket*, which LSH keeps
+  * small by construction. MinHash signatures use partial aggregation
+  * (32 `min()` aggs), so the map side combines before the shuffle.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------------ exact dedup
+  /** Groups by content fingerprint; keeps min doc_id as survivor. */
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  val ddExactSql: String =
+    """SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // ---------------------------------------------------- n-gram Jaccard pairs
+  /** Exact pairwise Jaccard over word 3-gram shingles, blocked by shingle:
+    * only pairs sharing ≥1 shingle are materialized. The shuffle key is the
+    * shingle, so hot shingles are the skew risk — at scale, drop shingles
+    * with document frequency above a cap (they contribute candidates, not
+    * discrimination). Kept exact here for oracle parity. */
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+      |  ROUND(n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------- MinHash + LSH
+  /** 32-perm MinHash signature, 8 bands × 4 rows. Permutation i is
+    * xxhash64(shingle, i) — seed-stable across executors, no broadcast
+    * state. Candidates from band collisions are re-verified with exact
+    * Jaccard, so the output has no false positives (only LSH's false
+    * negatives vs the exact variant — recall is asserted in the spec).
+    * Not SQL-oracle-expressible (xxhash64 differs across engines);
+    * verified in ScalaTest against ddNgramJaccard instead. */
+  def ddMinHashLsh(s: SparkSession, dir: String,
+      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val rows = numPerms / bands
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+      .distinct()
+
+    // signature: 32 partial-aggregating min() columns
+    val sigCols = (0 until numPerms).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // band key: hash of the band's row values
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        xxhash64(cols: _*).as("bkey"))
+    }.reduce(_ union _)
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    // exact re-verification of candidates only
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(candidates, col("a.doc_id") === col("id_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.s") === col("b.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+  /** Per-doc 64-bit SimHash + near-dup pairs at Hamming distance ≤ maxHam.
+    *
+    * Blocking (HmSearch-style multi-index): split the signature into 8
+    * blocks of 8 bits and join on every *pair* of blocks (28 combos of 16
+    * bits). Pigeonhole: if two signatures differ in ≤ 6 bits, at most 6
+    * blocks differ, so ≥ 2 blocks agree — and that block pair is one of
+    * the 28 keys. Exact candidate generation for maxHam ≤ 6 with 16-bit
+    * keys (single 8-bit blocks would be quadratic in bucket size at
+    * corpus scale; single 16-bit chunks only guarantee distance ≤ 3). */
+  def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
+    require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
+    val sig = docs(s, dir)
+      .select(col("doc_id"), SimHash64(tokens(col("text"))).as("sig"))
+    def block(k: Int) =
+      shiftrightunsigned(col("sig"), 8 * k).bitwiseAND(lit(0xFFL))
+    val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keyed = combos.zipWithIndex.map { case ((i, j), c) =>
+      sig.select(col("doc_id"), col("sig"), lit(c).as("combo"),
+        (block(i) * 256 + block(j)).as("ckey"))
+    }.reduce(_ union _)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-doc SimHash signatures (deterministic; rows-only driver check). */
+  def ddSimHashSigs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), SimHash64(tokens(col("text"))).as("sig"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------- embedding cosine pairs
+  /** Near-duplicate pairs in embedding space: cosine ≥ threshold.
+    * Exact all-pairs here (oracle-checkable); the scale path is
+    * SimilarityOps.annLsh which blocks by SRP bucket first. */
+  def ddEmbeddingCosine(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VF.cosine(col("a.ve"), col("b.ve")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddEmbeddingCosineSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.ve, b.ve)
+      |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.ve, b.ve)
+      |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
+    "dd_simhash" -> (ddSimHashSigs _),
+    "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairs(s, d)),
+    "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embed_cosine" -> ddEmbeddingCosineSql,
+    // dd_minhash_lsh / dd_simhash*: xxhash64-based, not oracle-expressible;
+    // driver records rows-only; recall asserted in DedupSpec.
+  )
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two paths:
+  *  - bruteTopK: exact cosine top-k. The query set broadcasts (it's small
+  *    by definition); the corpus is scanned once, map-side. Top-k is
+  *    two-phase — per-salt partial top-k, then final top-k — so no single
+  *    reducer ever sees the whole corpus (the naive
+  *    `Window.partitionBy(query)` puts one query's *entire* corpus scores
+  *    on one reducer; at 100 TB that's the difference between working and
+  *    OOM).
+  *  - annLsh: sign-random-projection bucketing (VF.srpCode). Bucket
+  *    assignment is a pure map expression (seed-stable hyperplanes, no
+  *    model state); candidates share a bucket, ranked exactly within.
+  *    Multi-probe: the query also probes all 1-bit-flip neighbors of its
+  *    code to recover near-boundary vectors.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+
+  /** Exact top-k neighbors for query vectors (vec_id < nQueries). */
+  def bruteTopK(s: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = emb(s, dir)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("ve", "qv")
+    val scored = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VF.cosine(col("qv"), col("ve")).as("cos_raw"))
+
+    // phase 1: top-k within (query, salt); phase 2: top-k within query
+    val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(64)))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    salted
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bruteTopKSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT query_id, vec_id,
+      |    list_dot_product(qv, ve)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cos_raw
+      |  FROM v CROSS JOIN q WHERE vec_id <> query_id
+      |)
+      |SELECT query_id, vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank,
+      |  ROUND(cos_raw, 6) AS cos
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Approximate NN via SRP-LSH: `tables` independent hash tables (seeded
+    * hyperplane sets), each probed at the query's bucket plus all 1-bit
+    * flips. Candidates are the union across tables, ranked exactly.
+    * Deterministic; recall vs bruteTopK asserted in DedupSimilaritySpec.
+    *
+    * Scale: bucket assignment is a map-side expression per table; the join
+    * shuffles on (table, bucket) — corpus rows land in ~2^bits buckets per
+    * table, so each reducer sees corpusSize/2^bits × probes rows, never
+    * the full corpus. */
+  def annLsh(s: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 10, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val base = emb(s, dir)
+    val corpus = (0 until tables).map(t =>
+      base.select(col("vec_id"), col("ve"), lit(t).as("tab"),
+        VF.srpCode(col("ve"), bits, t).as("bucket"))).reduce(_ union _)
+    val queries = (0 until tables).map { t =>
+      val q = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qv"),
+          lit(t).as("qtab"), VF.srpCode(col("ve"), bits, t).as("qbucket"))
+      val probes = (-1 until bits).map(b =>
+        if (b < 0) col("qbucket") else col("qbucket").bitwiseXOR(lit(1L << b)))
+      q.select(col("query_id"), col("qv"), col("qtab"),
+        explode(array(probes: _*)).as("probe"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    corpus.join(queries,
+        col("tab") === col("qtab") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .join(base.select(col("vec_id"), col("ve")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("query_id"), col("ve").as("qv")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VF.cosine(col("qv"), col("ve")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
+    "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" -> bruteTopKSql,
+    // sim_ann_lsh: LSH bucketing not oracle-expressible; recall asserted in
+    // SimilaritySpec.
+  )
+}
