@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time window operators over `events` (SURVEY.md §2.3 group windows,
+  * §2.4 streaming semantics). These are the BATCH forms of the same
+  * `window()`/`session_window()` operators the streaming path uses —
+  * Spark's unified API means the exact expressions re-run under
+  * `readStream` with a watermark (exercised in StreamingSpec). Oracles
+  * reconstruct window assignment arithmetically in DuckDB.
+  *
+  * Timestamps cross the oracle boundary as epoch integers (`unix_timestamp`
+  * / `epoch`) — parquet µs-vs-ns physical types would otherwise make
+  * value-hash comparison fragile.
+  */
+object WindowQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ------------------------------------------------------- tumbling window
+  // TUMBLE(ts, INTERVAL '1' MINUTE) per event_type
+  // (reference shape: examples/01-datagen-streaming.flinknb:47).
+  def qTumble(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(28, 6)).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val qTumbleSql: String =
+    """SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // ------------------------------------------------------- sliding (HOP)
+  // HOP(ts, slide 1 min, size 2 min): each event belongs to 2 windows.
+  def qHop(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val qHopSql: String =
+    """SELECT win_start, event_type, COUNT(*) AS n_events FROM (
+      |  SELECT event_type,
+      |    unnest([CAST(floor(epoch(ts) / 60) * 60 AS BIGINT),
+      |            CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) - 60]) AS win_start
+      |  FROM events
+      |) GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // ------------------------------------------------------- session window
+  // SESSION(ts, gap 5 min) per user: Spark's native session_window operator;
+  // oracle reconstructs sessions with the classic gaps-and-islands SQL.
+  def qSession(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("sess_start"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val qSessionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 300 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged
+      |)
+      |SELECT epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS sess_start, user_id,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  // --------------------------------------------------------- as-of join
+  /** As-of join (Flink `FOR SYSTEM_TIME AS OF` / temporal-join analogue,
+    * SURVEY.md §2.3 tier-V, §7.3 custom-if-pursued): for each 'purchase'
+    * event, the most recent 'click' by the same user at-or-before its
+    * timestamp.
+    *
+    * Spark-first plan: union the two sides tagged, one shuffle+sort on
+    * (user, time), then `last_value(ignoreNulls)` over the running frame —
+    * O(n log n) per key, no per-row range probe, no broadcast state. This
+    * is the standard scalable as-of on Spark (vs. join+filter+max which
+    * re-scans the build side per probe row). */
+  def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("click_ts"), lit(1).as("is_probe"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        col("ts").as("click_ts"), lit(0).as("is_probe"))
+    // clicks sort before a purchase at the same (µs) timestamp: is_probe 0<1
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("last_click_ts")).as("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsOfJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS last_click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ----------------------------------------------- streaming-dedup analogue
+  // dropDuplicates(keys) batch form; the streaming form
+  // (dropDuplicatesWithinWatermark) runs in StreamingSpec.
+  def qEventDedup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("first_ts_us"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val qEventDedupSql: String =
+    """SELECT user_id, event_type,
+      |  MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us, COUNT(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_tumble" -> (qTumble _),
+    "w_hop" -> (qHop _),
+    "w_session" -> (qSession _),
+    "w_asof_join" -> (qAsOfJoin _),
+    "w_event_dedup" -> (qEventDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w_tumble" -> qTumbleSql,
+    "w_hop" -> qHopSql,
+    "w_session" -> qSessionSql,
+    "w_asof_join" -> qAsOfJoinSql,
+    "w_event_dedup" -> qEventDedupSql,
+  )
+}
