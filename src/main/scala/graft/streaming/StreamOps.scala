@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators (SURVEY.md §2.4): the streaming forms of
+  * the window/dedup operators, plus stateful ops Structured Streaming's SQL
+  * surface lacks (streaming top-N via flatMapGroupsWithState — SURVEY §7.3
+  * "custom if pursued").
+  *
+  * Batch/stream unification: these transforms take any DataFrame — the same
+  * plan runs on `spark.read` and `spark.readStream` inputs. StreamingSpec
+  * drives them from a file stream and asserts equality with the batch
+  * result (which is itself DuckDB-oracle-checked via WindowQueries).
+  */
+object StreamOps {
+
+  /** Open a streaming view of a parquet table directory. `maxFilesPerTrigger`
+    * throttles micro-batches so multi-batch state paths actually exercise. */
+  def readParquetStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling event-time count/sum with watermark (reference flagship:
+    * examples/01-datagen-streaming.flinknb:47 — 10s tumble + 5s watermark). */
+  def tumbleAgg(events: DataFrame, watermark: String = "5 minutes",
+      windowDur: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DecimalType(28, 6)).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows with watermark — state closes `gap` after silence. */
+  def sessionAgg(events: DataFrame, watermark: String = "5 minutes",
+      gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("sess_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming deduplication with bounded state (Spark 3.5+
+    * dropDuplicatesWithinWatermark; SURVEY §2.3 "Dedup" tier-V). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  // ------------------------------------------------------ streaming top-N
+  /** Per-group running top-N — the operator Structured Streaming SQL can't
+    * express (rank-over-update-stream). State per key: value→count map;
+    * each micro-batch folds new rows in and emits the current top-N.
+    *
+    * State is bounded by the domain of `valueOf` per key (here: users per
+    * event type), NOT by stream length — the count map never grows past
+    * distinct values. At 100 TB/day the same pattern holds if the value
+    * domain is bounded (e.g. top pages, top SKUs); unbounded domains need
+    * a sketch (space-saving) drop-in at the same call site.
+    */
+  case class TopNState(counts: Map[Long, Long])
+  case class TopNRow(group: String, value: Long, cnt: Long, rank: Int)
+
+  def streamingTopN(events: Dataset[Row], n: Int = 3)(
+      implicit spark: SparkSession): Dataset[TopNRow] = {
+    import spark.implicits._
+    events
+      .select(col("event_type").as("group"), col("user_id").as("value"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopNState, TopNRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Long)], state: GroupState[TopNState]) =>
+          val prev = state.getOption.getOrElse(TopNState(Map.empty)).counts
+          val updated = rows.foldLeft(prev) { case (m, (_, v)) =>
+            m.updated(v, m.getOrElse(v, 0L) + 1L)
+          }
+          state.update(TopNState(updated))
+          updated.toSeq
+            .sortBy { case (v, c) => (-c, v) }
+            .take(n)
+            .zipWithIndex
+            .map { case ((v, c), i) => TopNRow(group, v, c, i + 1) }
+            .iterator
+      }
+  }
+
+  /** Batch reference for streamingTopN's final answer. */
+  def batchTopN(events: DataFrame, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("cnt").desc, col("value"))
+    events
+      .groupBy(col("event_type").as("group"), col("user_id").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+}

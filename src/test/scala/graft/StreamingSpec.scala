@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ≡ batch equivalence: the same operators produce the same final
+  * answer whether driven by spark.read or a multi-micro-batch file stream.
+  * The batch side of each is DuckDB-oracle-checked (WindowQueries), so
+  * equality here transitively oracle-checks the streaming path.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  implicit lazy val spark: SparkSession = GraftSession.local("4")
+
+  /** Split events into several parquet files so the file stream runs
+    * multiple micro-batches (state actually carries across batches). */
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def eventsSchema =
+    Tables.load(spark, dir, "events").schema
+
+  private def runToCompletion(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  // Equivalence tests use a watermark wider than the data's whole time range:
+  // the file source lists micro-batches in nondeterministic order, and a
+  // tight watermark would (correctly!) drop late files. Late-drop semantics
+  // themselves are pinned by the MemoryStream test below.
+  private val wideWm = "60 days"
+
+  test("streaming tumble agg == batch tumble agg") {
+    val streamed = runToCompletion(
+      StreamOps.tumbleAgg(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema), wideWm),
+      "complete", "tumble_out")
+    val batch = StreamOps.tumbleAgg(Tables.load(spark, dir, "events"), wideWm)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val streamed = runToCompletion(
+      StreamOps.sessionAgg(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema), wideWm),
+      "complete", "session_out")
+    val batch = StreamOps.sessionAgg(Tables.load(spark, dir, "events"), wideWm)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("watermark drops late rows (append-mode tumble)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumbleAgg(df, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("late_out")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: establishes watermark at 12:10 - 1min = 12:09
+    mem.addData((t("2024-01-01 12:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a row at 12:00 — behind the watermark, must be dropped;
+    // a row at 12:20 advances the watermark past both windows, closing them
+    mem.addData((t("2024-01-01 12:00:00"), "click", 1.0),
+      (t("2024-01-01 12:20:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 12:21 so the 12:20 window also emits
+    mem.addData((t("2024-01-01 12:30:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("late_out").select("win_start").collect()
+      .map(_.getLong(0)).toSet
+    val epoch = (s: String) => t(s).getTime / 1000
+    assert(wins.contains(epoch("2024-01-01 12:10:00")), "on-time window missing")
+    assert(!wins.contains(epoch("2024-01-01 12:00:00")), "late row was not dropped")
+  }
+
+  test("dropDuplicatesWithinWatermark yields one row per (user, type)") {
+    val streamed = runToCompletion(
+      StreamOps.dedupWithinWatermark(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema), wideWm),
+      "append", "dedup_out")
+    val expected = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.select("user_id", "event_type").distinct().count() == expected)
+    assert(streamed.count() == expected)
+  }
+
+  test("streaming top-N converges to batch top-N across micro-batches") {
+    import spark.implicits._
+    val streamed = runToCompletion(
+      StreamOps.streamingTopN(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)).toDF(),
+      "update", "topn_out")
+    // update mode re-emits per batch: keep the LAST emission per (group,rank)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"), col("rank"))
+      .orderBy(col("emit_order").desc)
+    val finalRows = streamed
+      .withColumn("emit_order", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("group", "value", "cnt", "rank")
+    val batch = StreamOps.batchTopN(Tables.load(spark, dir, "events"))
+      .select("group", "value", "cnt", "rank")
+    assert(canon(finalRows) == canon(batch))
+  }
+}
