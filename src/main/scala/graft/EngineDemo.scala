@@ -1,0 +1,48 @@
+package graft
+
+import graft.engine._
+object EngineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("4")
+    val s = new EngineSession(spark)
+    def show(label: String, h: OperationHandle, wait: Boolean = true): Unit = {
+      if (wait) try s.awaitFinished(h) catch { case e: Throwable => println(s"$label => ERROR: ${e.getMessage.linesIterator.next()}"); return }
+      var token = 0L; var n = 0; var done = false
+      val sample = new StringBuilder
+      while (!done) {
+        val r = s.ops.fetch(h, token)
+        r.resultType match {
+          case "EOS" => n += r.rows.size; r.rows.take(2).foreach(x => sample ++= x.fields.mkString("[",",","] ")); done = true
+          case "PAYLOAD" => n += r.rows.size; if (n <= 200) r.rows.take(2).foreach(x => sample ++= x.fields.mkString("[",",","] ")); token = r.nextToken.get
+          case "NOT_READY" => Thread.sleep(100)
+        }
+      }
+      println(s"$label => ${s.ops.status(h)} rows=$n sample=${sample.toString.take(120)}")
+    }
+    show("smoke", s.execute("SELECT 1 as id, 'Hello Spark!' as msg"))
+    show("set-mode", s.execute("SET 'execution.runtime-mode' = 'batch'"))
+    show("ddl", s.execute("""CREATE TABLE ob (order_id INT, product_id INT, price DECIMAL(10,2), t TIMESTAMP(3)) WITH ('connector'='datagen','number-of-rows'='100','fields.order_id.kind'='sequence','fields.order_id.start'='1','fields.product_id.min'='1','fields.product_id.max'='20','fields.price.min'='10','fields.price.max'='500')"""))
+    show("scan", s.execute("SELECT * FROM ob"))
+    show("agg", s.execute("SELECT product_id, COUNT(*) c, SUM(price) rev FROM ob GROUP BY product_id ORDER BY rev DESC"))
+    // streaming
+    show("set-stream", s.execute("SET 'execution.runtime-mode' = 'streaming'"))
+    show("stream-ddl", s.execute("""CREATE TABLE cs (page_id INT, event_time TIMESTAMP(3), WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) WITH ('connector'='datagen','rows-per-second'='40','fields.page_id.min'='1','fields.page_id.max'='5')"""))
+    val h = s.execute("SELECT page_id, TUMBLE_START(event_time, INTERVAL '10' SECOND) ws, COUNT(*) c FROM cs GROUP BY page_id, TUMBLE(event_time, INTERVAL '10' SECOND)")
+    val info = s.ops.get(h).get
+    val dl = System.currentTimeMillis + 25000
+    var r = s.ops.fetch(h, 0)
+    while (r.rows.isEmpty && System.currentTimeMillis < dl) { Thread.sleep(300); r = s.ops.fetch(h, 0) }
+    println(s"stream-tumble => status=${info.status} streaming=${info.isStreaming} firstPage=${r.rows.size} type=${r.resultType} sample=${r.rows.take(2).map(_.fields.mkString("[",",","]")).mkString(" ")}")
+    s.ops.cancel(h)
+    Thread.sleep(1500)
+    println(s"after-cancel => status=${info.status} queryActive=${info.streamingQuery.exists(_.isActive)}")
+    // probes
+    show("bad-ddl", s.execute("CREATE TABLE broken (x FROG) WITH ('connector'='datagen')"))
+    show("unknown-table", s.execute("SELECT * FROM never_registered"))
+    show("kafka-unreachable", s.execute("CREATE TABLE kt (v BIGINT) WITH ('connector'='kafka','topic'='t')"))
+    show("kafka-select", s.execute("SELECT * FROM kt"))
+    show("drop-missing", s.execute("DROP TABLE no_such_table"))
+    show("drop-if-exists", s.execute("DROP TABLE IF EXISTS no_such_table"))
+    s.close(); spark.stop()
+  }
+}

@@ -1,0 +1,195 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+import graft.sources.Datagen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** One engine session ≈ one gateway session in the reference: mutable conf
+  * (execution.runtime-mode), registered tables, async statement execution
+  * with token-paged result delivery (SURVEY.md §3.1 "Spark design").
+  *
+  * Statement lifecycle: `execute(sql)` → OperationHandle → poll
+  * `ops.status` → drain `ops.fetch(handle, token)` pages until EOS
+  * (batch) or forever/cancel (streaming). Classification mirrors the
+  * client rule (flinkNotebookController.ts:256-260): a statement is
+  * "streaming" iff its store keeps filling while the operation stays
+  * RUNNING; bounded sources finish with EOS even in streaming mode.
+  */
+final class EngineSession(val spark: SparkSession) {
+
+  val ops = new OperationManager(spark)
+  /** Tables registered via Flink DDL that must be materialized per query. */
+  private val specs = TrieMap.empty[String, TableSpec]
+  @volatile private var runtimeMode: String = "streaming" // Flink default
+
+  def executionMode: String = runtimeMode
+
+  // ------------------------------------------------------------ execution
+  /** Gateway contract: ALWAYS returns a handle; failures (including parse
+    * errors) surface as status=Error on the operation, never as a thrown
+    * exception on the submitting thread (sqlGatewayClient.ts:97-112). */
+  def execute(sql: String): OperationHandle =
+    try executeRouted(sql)
+    catch {
+      case scala.util.control.NonFatal(t) =>
+        ops.submit(sql) { _ => throw t }
+    }
+
+  private def executeRouted(sql: String): OperationHandle = DialectShim.route(sql) match {
+    case DialectShim.SetConf(k, v) => sync(sql) { _ =>
+      if (k == "execution.runtime-mode") runtimeMode = v.toLowerCase
+      else if (k.startsWith("execution.checkpointing")) () // engine-managed
+      else spark.conf.set(k, v)
+    }
+    case DialectShim.CreateCatalog(name, options) => sync(sql) { _ =>
+      // Catalogs in Spark are conf, not DDL (SURVEY §2.2): map the verb.
+      options.foreach { case (k, v) =>
+        spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+      }
+      spark.conf.set(s"spark.sql.catalog.$name",
+        options.getOrElse("catalog-impl", "org.apache.spark.sql.connector.catalog.InMemoryCatalog"))
+    }
+    case DialectShim.UseCatalog(name) => sync(sql) { _ =>
+      spark.catalog.setCurrentCatalog(name)
+    }
+    case DialectShim.DropTable(name, ifExists) => sync(sql) { _ =>
+      val known = specs.remove(name).isDefined ||
+        spark.catalog.tableExists(name)
+      if (!known && !ifExists)
+        throw new IllegalArgumentException(s"table not found: $name")
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+    }
+    case DialectShim.StatementSet(statements) => sync(sql) { info =>
+      statements.foreach(s => awaitFinished(execute(s)))
+    }
+    case DialectShim.EngineDdl(spec) => sync(sql) { _ => registerTable(spec) }
+    case DialectShim.Passthrough(rewritten) => runQuery(sql, rewritten)
+  }
+
+  /** Execute and block until terminal state — convenience for DDL/tests. */
+  def executeSync(sql: String): OperationInfo = awaitFinished(execute(sql))
+
+  def awaitFinished(h: OperationHandle): OperationInfo = {
+    val info = ops.get(h).get
+    while (info.status == OpStatus.Pending ||
+      (info.status == OpStatus.Running && !info.isStreaming))
+      Thread.sleep(10)
+    info.error.foreach(t => throw t)
+    info
+  }
+
+  // ------------------------------------------------------------- routing
+  private def sync(sql: String)(body: OperationInfo => Unit): OperationHandle =
+    ops.submit(sql) { info =>
+      val store = new ResultStore(Seq("result"))
+      info.store = Some(store)
+      body(info)
+      store.append(Seq("OK"))
+      store.markEos()
+    }
+
+  private def registerTable(spec: TableSpec): Unit = {
+    spec.connector match {
+      case "datagen" if spec.isBounded =>
+        Datagen.bounded(spark, spec).createOrReplaceTempView(spec.name)
+        specs.put(spec.name, spec)
+      case "datagen" =>
+        specs.put(spec.name, spec) // materialized readStream per query
+      case "filesystem" =>
+        val path = spec.options("path")
+        val fmt = spec.options.getOrElse("format", "parquet")
+        spark.read.format(fmt).schema(spec.schema).load(path)
+          .createOrReplaceTempView(spec.name)
+        specs.put(spec.name, spec)
+      case _ =>
+        // kafka / cdc / jdbc: recorded for catalog parity; SELECT fails
+        // with a clear message when the backing system is unreachable.
+        specs.put(spec.name, spec)
+    }
+  }
+
+  /** True iff the statement references a registered unbounded table and the
+    * session isn't forced to batch. */
+  private def streamingTables(sql: String): Seq[TableSpec] =
+    specs.values.toSeq.filter(s => !s.isBounded &&
+      ("""\b""" + java.util.regex.Pattern.quote(s.name) + """\b""").r
+        .findFirstIn(sql).isDefined)
+
+  private def runQuery(original: String, rewritten: String): OperationHandle = {
+    val streams = if (runtimeMode == "batch") Nil else streamingTables(original)
+    if (streams.isEmpty) runBatch(rewritten) else runStreaming(rewritten, streams)
+  }
+
+  private def runBatch(sql: String): OperationHandle = ops.submit(sql) { info =>
+    val df = spark.sql(sql)
+    val store = new ResultStore(df.schema.fieldNames.toSeq)
+    info.store = Some(store)
+    // toLocalIterator: pages stream to the driver one partition at a time —
+    // never a full collect (SURVEY §2.1 collect sink).
+    val it = df.toLocalIterator()
+    while (it.hasNext && !store.atCapacity && info.status == OpStatus.Running)
+      store.append(it.next().toSeq)
+    store.markEos()
+  }
+
+  private def runStreaming(sql: String, streams: Seq[TableSpec]): OperationHandle =
+    ops.submit(sql) { info =>
+      // Materialize each unbounded table as a streaming temp view, with its
+      // declared watermark applied (SURVEY §2.4 watermark declaration).
+      streams.foreach { spec =>
+        spec.connector match {
+          case "datagen" =>
+            val df = Datagen.unbounded(spark, spec)
+            val wm = spec.watermark
+              .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
+            wm.createOrReplaceTempView(spec.name)
+          case other =>
+            throw new IllegalStateException(
+              s"connector '$other' (table ${spec.name}) is not reachable in this environment")
+        }
+      }
+      val df = spark.sql(sql)
+      val analyzed = df.queryExecution.analyzed
+      val agg = analyzed.collectFirst { case a: Aggregate => a }
+      val store = new ResultStore(df.schema.fieldNames.toSeq)
+      info.store = Some(store)
+      info.isStreaming = true
+
+      // update-mode aggregates upsert by grouping-key columns (SURVEY §7.4
+      // #1: Spark re-emits rows without UPDATE_BEFORE; keyed overwrite keeps
+      // the client-visible set convergent).
+      val keyIdx: Seq[Int] = agg match {
+        case Some(a) =>
+          val aggNames = a.aggregateExpressions.filter(e =>
+            e.collectFirst { case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae }.isDefined
+          ).map(_.name).toSet
+          df.schema.fieldNames.zipWithIndex.collect {
+            case (n, i) if !aggNames.contains(n) => i
+          }.toSeq
+        case None => Nil
+      }
+      val mode = if (agg.isDefined) OutputMode.Update() else OutputMode.Append()
+      val q = df.writeStream
+        .outputMode(mode)
+        .trigger(Trigger.ProcessingTime("500 milliseconds")) // §7.4 #6
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect() // bounded: micro-batch of changed rows
+          rows.foreach { r =>
+            val fields = r.toSeq
+            if (keyIdx.nonEmpty) store.upsert(keyIdx.map(fields), fields)
+            else store.append(fields)
+          }
+        }
+        .start()
+      info.streamingQuery = Some(q)
+      q.awaitTermination()
+      store.markEos()
+    }
+
+  def close(): Unit = {
+    spark.streams.active.foreach(_.stop())
+    ops.shutdown()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.engine
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.util.control.NonFatal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Statement lifecycle states — union of the gateway operation states the
+  * reference polls (flinkNotebookController.ts:145-155) and its job states
+  * (flinkJobClient.ts:7-17, collapsed to the ones an operation can take).
+  */
+object OpStatus extends Enumeration {
+  val Pending, Running, Finished, Error, Canceled = Value
+}
+
+final case class OperationHandle(id: String)
+
+final class OperationInfo(
+    val handle: OperationHandle,
+    val statement: String) {
+  @volatile var status: OpStatus.Value = OpStatus.Pending
+  @volatile var store: Option[ResultStore] = None
+  @volatile var error: Option[Throwable] = None
+  @volatile var streamingQuery: Option[StreamingQuery] = None
+  /** Streaming ⇔ results keep arriving after RUNNING (SURVEY §7.4 #2). */
+  @volatile var isStreaming: Boolean = false
+}
+
+/** Async statement execution with handles, status polling, and cancellation.
+  *
+  * Mirrors the reference's gateway operation model: a fixed 10-thread pool
+  * (MiniClusterRunner.java:124-132), one job group per operation so batch
+  * cancel maps to `cancelJobGroup` and streaming cancel to
+  * `StreamingQuery.stop()` (SURVEY.md §7.1 item 1).
+  */
+final class OperationManager(spark: SparkSession, poolSize: Int = 10) {
+
+  private val pool = Executors.newFixedThreadPool(poolSize, r => {
+    val t = new Thread(r, "graft-op")
+    t.setDaemon(true)
+    t
+  })
+  private val ops = new ConcurrentHashMap[String, OperationInfo]()
+
+  def submit(statement: String)(body: OperationInfo => Unit): OperationHandle = {
+    val info = new OperationInfo(OperationHandle(UUID.randomUUID().toString), statement)
+    ops.put(info.handle.id, info)
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        if (info.status == OpStatus.Canceled) return
+        info.status = OpStatus.Running
+        spark.sparkContext.setJobGroup(info.handle.id, statement, interruptOnCancel = true)
+        try {
+          body(info)
+          if (info.status == OpStatus.Running) info.status = OpStatus.Finished
+        } catch {
+          case NonFatal(t) =>
+            info.error = Some(t)
+            info.store.foreach(_.fail(t))
+            if (info.status != OpStatus.Canceled) info.status = OpStatus.Error
+        } finally {
+          spark.sparkContext.clearJobGroup()
+        }
+      }
+    })
+    info.handle
+  }
+
+  def get(handle: OperationHandle): Option[OperationInfo] =
+    Option(ops.get(handle.id))
+
+  def status(handle: OperationHandle): OpStatus.Value =
+    get(handle).map(_.status).getOrElse(OpStatus.Error)
+
+  def fetch(handle: OperationHandle, token: Long): FetchResult =
+    get(handle).flatMap(_.store) match {
+      case Some(store) => store.fetch(token)
+      case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
+    }
+
+  def cancel(handle: OperationHandle): Unit = get(handle).foreach { info =>
+    info.status = OpStatus.Canceled
+    info.streamingQuery.foreach(q => if (q.isActive) q.stop())
+    spark.sparkContext.cancelJobGroup(info.handle.id)
+    info.store.foreach(_.markEos())
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}

@@ -1,0 +1,95 @@
+package graft.engine
+
+import scala.collection.mutable
+
+/** Changelog row kinds crossing the client wire — mirrors the reference's
+  * `ResultRow.kind` (vscode-extension/src/models/types.ts:24-27). Spark's
+  * update mode has no UPDATE_BEFORE; the store upserts keyed rows instead
+  * (SURVEY.md §7.4 known-hard #1).
+  */
+object RowKind extends Enumeration {
+  val Insert, UpdateAfter, Delete = Value
+}
+
+final case class StoredRow(kind: RowKind.Value, fields: Seq[Any])
+
+/** One page of results. `resultType` state machine matches the client's
+  * (flinkNotebookController.ts:179-236): NOT_READY (retry same token),
+  * PAYLOAD (data + nextToken), EOS (final).
+  */
+final case class FetchResult(
+    resultType: String, // NOT_READY | PAYLOAD | EOS
+    columns: Seq[String],
+    rows: Seq[StoredRow],
+    nextToken: Option[Long])
+
+/** Token-paged, bounded result buffer for one operation.
+  *
+  *  - `append` for batch/append-mode rows.
+  *  - `upsert(key, row)` for update-mode streaming aggregates: a re-emitted
+  *    key OVERWRITES the previous row in-place (kind=UpdateAfter), so the
+  *    client-visible row set converges to the aggregate's current state —
+  *    Flink-retraction parity without UPDATE_BEFORE rows.
+  *  - Page size and row cap default to the reference's constants
+  *    (100 rows/fetch — sqlGatewayClient.ts:128; 10k cap — package.json:276).
+  *  - Tokens are strictly sequential per the gateway protocol: fetching
+  *    token N re-serves the SAME page (idempotent retry), token N+1 is
+  *    only valid after N returned PAYLOAD.
+  */
+final class ResultStore(
+    val columns: Seq[String],
+    pageSize: Int = 100,
+    maxRows: Int = 10000) {
+
+  private val rows = mutable.ArrayBuffer.empty[StoredRow]
+  private val keyIndex = mutable.HashMap.empty[Seq[Any], Int]
+  private var eos = false
+  private var error: Option[Throwable] = None
+  @volatile private var pausedFlag = false
+
+  def append(fields: Seq[Any]): Unit = synchronized {
+    if (rows.size < maxRows) rows += StoredRow(RowKind.Insert, fields)
+  }
+
+  def upsert(key: Seq[Any], fields: Seq[Any]): Unit = synchronized {
+    keyIndex.get(key) match {
+      case Some(i) => rows(i) = StoredRow(RowKind.UpdateAfter, fields)
+      case None =>
+        if (rows.size < maxRows) {
+          keyIndex(key) = rows.size
+          rows += StoredRow(RowKind.Insert, fields)
+        }
+    }
+  }
+
+  def markEos(): Unit = synchronized { eos = true }
+  def fail(t: Throwable): Unit = synchronized { error = Some(t); eos = true }
+  def isEos: Boolean = synchronized(eos)
+  def size: Int = synchronized(rows.size)
+  def atCapacity: Boolean = synchronized(rows.size >= maxRows)
+
+  /** Client pause/resume: drain control only — the producing query keeps
+    * running (flinkNotebookController.ts:761-819). */
+  def pause(): Unit = pausedFlag = true
+  def resume(): Unit = pausedFlag = false
+  def isPaused: Boolean = pausedFlag
+
+  def fetch(token: Long): FetchResult = synchronized {
+    error.foreach(t => throw t)
+    val from = token * pageSize
+    if (pausedFlag && !eos)
+      FetchResult("NOT_READY", columns, Nil, Some(token))
+    else if (from < rows.size) {
+      val page = rows.slice(from.toInt, math.min(from + pageSize, rows.size).toInt)
+      // Final page only becomes EOS once no more rows can arrive.
+      if (eos && from + pageSize >= rows.size)
+        FetchResult("EOS", columns, page.toSeq, None)
+      else
+        FetchResult("PAYLOAD", columns, page.toSeq, Some(token + 1))
+    } else if (eos) FetchResult("EOS", columns, Nil, None)
+    else FetchResult("NOT_READY", columns, Nil, Some(token))
+  }
+
+  /** Materialized current row set (post-upsert view), for tests/snapshots. */
+  def snapshot(): Seq[Seq[Any]] = synchronized(rows.map(_.fields).toSeq)
+}

@@ -1,0 +1,246 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end replay of the reference's example notebooks through the
+  * engine surface (execute → poll → token-paged fetch), plus unit coverage
+  * of the DDL parser, dialect rewrites, and the result-store protocol.
+  * Golden values from FIXTURES.md §A (recorded in the reference notebooks'
+  * persisted outputs).
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  lazy val session = new EngineSession(spark)
+
+  private def drain(h: OperationHandle, maxPages: Int = 200): Seq[StoredRow] = {
+    var token = 0L
+    val out = Seq.newBuilder[StoredRow]
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      val r = session.ops.fetch(h, token)
+      out ++= r.rows
+      r.resultType match {
+        case "EOS" => done = true
+        case "PAYLOAD" => token = r.nextToken.get
+        case "NOT_READY" => Thread.sleep(50)
+      }
+      pages += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------- A4: smoke
+  test("smoke: SELECT without FROM (SETUP.md:76)") {
+    val info = session.executeSync("SELECT 1 as id, 'Hello Flink!' as message")
+    val rows = drain(info.handle)
+    assert(rows.map(_.fields) == Seq(Seq(1, "Hello Flink!")))
+  }
+
+  // ------------------------------------------- A2: orders_batch notebook 02
+  test("notebook 02 replay: bounded datagen, 100 rows, sequence ids, agg, top-N") {
+    session.executeSync("SET 'execution.runtime-mode' = 'batch'")
+    session.executeSync(
+      """CREATE TABLE orders_batch (
+        |    order_id INT,
+        |    customer_id INT,
+        |    product_id INT,
+        |    quantity INT,
+        |    price DECIMAL(10, 2),
+        |    order_time TIMESTAMP(3)
+        |) WITH (
+        |    'connector' = 'datagen',
+        |    'rows-per-second' = '1000',
+        |    'number-of-rows' = '100',
+        |    'fields.order_id.kind' = 'sequence',
+        |    'fields.order_id.start' = '1',
+        |    'fields.order_id.end' = '100',
+        |    'fields.customer_id.min' = '1',
+        |    'fields.customer_id.max' = '50',
+        |    'fields.product_id.min' = '1',
+        |    'fields.product_id.max' = '20',
+        |    'fields.quantity.min' = '1',
+        |    'fields.quantity.max' = '10',
+        |    'fields.price.min' = '10',
+        |    'fields.price.max' = '500'
+        |) """.stripMargin)
+
+    // full scan: exactly 100 rows, EOS (02:31 recorded total_rows_fetched=100)
+    val scan = drain(session.executeSync("SELECT * FROM orders_batch").handle)
+    assert(scan.size == 100)
+    // sequence column is exactly 1..100
+    assert(scan.map(_.fields.head.asInstanceOf[Int]).sorted == (1 to 100))
+    // random ranges respected
+    assert(scan.forall { r =>
+      val cid = r.fields(1).asInstanceOf[Int]
+      val price = r.fields(4).asInstanceOf[java.math.BigDecimal]
+      cid >= 1 && cid <= 50 &&
+        price.doubleValue >= 10.0 && price.doubleValue <= 500.0
+    })
+
+    // revenue aggregation (02:54): ~19-20 product groups
+    val agg = drain(session.executeSync(
+      """SELECT product_id, COUNT(*) as order_count,
+        |       SUM(price * quantity) as total_revenue, AVG(price) as avg_price
+        |FROM orders_batch GROUP BY product_id
+        |ORDER BY total_revenue DESC""".stripMargin).handle)
+    assert(agg.size >= 15 && agg.size <= 20)
+
+    // top-10 customers (02:71)
+    val top = drain(session.executeSync(
+      """SELECT customer_id, COUNT(*) as order_count, SUM(price*quantity) as total_spent
+        |FROM orders_batch GROUP BY customer_id
+        |ORDER BY order_count DESC, total_spent DESC LIMIT 10""".stripMargin).handle)
+    assert(top.size == 10)
+  }
+
+  // -------------------------------------- A3: complex types (notebook 02:83)
+  test("notebook 02 replay: ROW<> and ARRAY<> datagen, 50 rows") {
+    session.executeSync(
+      """CREATE TABLE products_with_metadata (
+        |    product_id INT,
+        |    product_name STRING,
+        |    details ROW<category STRING, brand STRING>,
+        |    tags ARRAY<STRING>,
+        |    created_at TIMESTAMP(3)
+        |) WITH (
+        |    'connector' = 'datagen',
+        |    'number-of-rows' = '50',
+        |    'fields.product_id.kind' = 'sequence',
+        |    'fields.product_id.start' = '1',
+        |    'fields.product_id.end' = '50',
+        |    'fields.product_name.length' = '15',
+        |    'fields.details.category.length' = '10',
+        |    'fields.details.brand.length' = '8'
+        |)""".stripMargin)
+    val rows = drain(session.executeSync(
+      "SELECT product_id, product_name, details.category, tags FROM products_with_metadata").handle)
+    assert(rows.size == 50)
+    assert(rows.forall(_.fields(1).asInstanceOf[String].length == 15))
+    assert(rows.forall(_.fields(2).asInstanceOf[String].length == 10))
+    session.executeSync("DROP TABLE IF EXISTS products_with_metadata")
+    assert(!spark.catalog.tableExists("products_with_metadata"))
+  }
+
+  // ----------------------------------- A1: clickstream streaming notebook 01
+  test("notebook 01 replay: unbounded datagen, TUMBLE rewrite, streaming fetch, cancel") {
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      """CREATE TABLE clickstream (
+        |    user_id INT,
+        |    page_id INT,
+        |    action STRING,
+        |    event_time TIMESTAMP(3),
+        |    WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+        |) WITH (
+        |    'connector' = 'datagen',
+        |    'rows-per-second' = '20',
+        |    'fields.user_id.min' = '1',
+        |    'fields.user_id.max' = '100',
+        |    'fields.page_id.min' = '1',
+        |    'fields.page_id.max' = '20',
+        |    'fields.action.length' = '10'
+        |)""".stripMargin)
+
+    // legacy TUMBLE group-window query, exactly as the reference notebook
+    val h = session.execute(
+      """SELECT page_id,
+        |       TUMBLE_START(event_time, INTERVAL '10' SECOND) as window_start,
+        |       COUNT(*) as views
+        |FROM clickstream
+        |GROUP BY page_id, TUMBLE(event_time, INTERVAL '10' SECOND)""".stripMargin)
+
+    // classified streaming: status RUNNING while results accumulate
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 30000
+    var got = session.ops.fetch(h, 0)
+    while (got.rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(300); got = session.ops.fetch(h, 0)
+    }
+    assert(got.rows.nonEmpty, "streaming rows should arrive")
+    assert(info.isStreaming && info.status == OpStatus.Running)
+    assert(got.resultType != "EOS")
+
+    // update-mode upsert: page_id domain is 20 → keyed rows never exceed
+    // 20 per window; snapshot converges instead of growing unboundedly
+    val store = info.store.get
+    // pause = drain control only; the query keeps running underneath
+    store.pause()
+    assert(session.ops.fetch(h, 0).resultType == "NOT_READY")
+    store.resume()
+    assert(session.ops.fetch(h, 0).resultType != "NOT_READY")
+
+    session.ops.cancel(h)
+    val q = info.streamingQuery.get
+    val stopDeadline = System.currentTimeMillis() + 10000
+    while (q.isActive && System.currentTimeMillis() < stopDeadline) Thread.sleep(100)
+    assert(!q.isActive, "cancel must stop the streaming query")
+    assert(info.status == OpStatus.Canceled)
+    assert(session.ops.fetch(h, 0).resultType != "NOT_READY") // EOS-terminated
+  }
+
+  // --------------------------------------------------- DDL parser coverage
+  test("DDL parser: kafka/cdc/filesystem shapes (FIXTURES A5)") {
+    val kafka = FlinkDdl.parse(
+      """CREATE TABLE user_behavior (
+        |  user_id BIGINT, item_id BIGINT, behavior STRING, ts TIMESTAMP(3)
+        |) WITH ('connector' = 'kafka', 'topic' = 'user_behavior',
+        |  'properties.bootstrap.servers' = 'localhost:9092', 'format' = 'json')""".stripMargin)
+    assert(kafka.schema == StructType(Seq(
+      StructField("user_id", LongType), StructField("item_id", LongType),
+      StructField("behavior", StringType), StructField("ts", TimestampType))))
+    assert(kafka.connector == "kafka" && !kafka.isBounded)
+
+    val cdc = FlinkDdl.parse(
+      """CREATE TABLE users_cdc (id INT, name STRING,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'postgres-cdc', 'hostname' = 'localhost')""".stripMargin)
+    assert(cdc.primaryKey == Seq("id"))
+
+    val wm = FlinkDdl.parse(
+      """CREATE TABLE t (event_time TIMESTAMP(3),
+        |  WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    assert(wm.watermark.contains(WatermarkSpec("event_time", "5 seconds")))
+  }
+
+  test("dialect rewrites: HOP arg order flips, SESSION maps to session_window") {
+    val hop = DialectShim.rewriteGroupWindows(
+      "SELECT HOP_START(ts, INTERVAL '1' MINUTE, INTERVAL '2' MINUTE), COUNT(*) " +
+        "FROM t GROUP BY HOP(ts, INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)")
+    assert(hop.contains("window(ts, '2 minutes', '1 minutes')"))
+    assert(hop.contains("window.start"))
+    val sess = DialectShim.rewriteGroupWindows(
+      "SELECT SESSION_START(ts, INTERVAL '30' SECOND) FROM t " +
+        "GROUP BY SESSION(ts, INTERVAL '30' SECOND)")
+    assert(sess.contains("session_window(ts, '30 seconds')"))
+    assert(sess.contains("session_window.start"))
+  }
+
+  // ------------------------------------------------- result store protocol
+  test("result store: token paging, idempotent refetch, upsert, cap") {
+    val rs = new ResultStore(Seq("a"), pageSize = 10, maxRows = 25)
+    (1 to 23).foreach(i => rs.append(Seq(i)))
+    val p0 = rs.fetch(0)
+    assert(p0.resultType == "PAYLOAD" && p0.rows.size == 10 && p0.nextToken.contains(1L))
+    assert(rs.fetch(0).rows == p0.rows, "same-token refetch must be idempotent")
+    val p1 = rs.fetch(1)
+    assert(p1.rows.size == 10)
+    val p2 = rs.fetch(2)
+    assert(p2.resultType == "PAYLOAD" && p2.rows.size == 3, "not EOS until marked")
+    rs.markEos()
+    assert(rs.fetch(2).resultType == "EOS")
+    // cap: appends beyond maxRows are dropped
+    (1 to 10).foreach(i => rs.append(Seq(100 + i)))
+    assert(rs.size == 25)
+
+    val us = new ResultStore(Seq("k", "v"))
+    us.upsert(Seq("x"), Seq("x", 1))
+    us.upsert(Seq("y"), Seq("y", 1))
+    us.upsert(Seq("x"), Seq("x", 2))
+    assert(us.snapshot() == Seq(Seq("x", 2), Seq("y", 1)))
+  }
+}

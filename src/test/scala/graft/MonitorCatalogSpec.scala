@@ -1,0 +1,54 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MonitorCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  test("catalog tree walk: SHOW/DESCRIBE parity + temp views visible") {
+    val session = new EngineSession(spark)
+    session.executeSync(
+      """CREATE TABLE cat_probe (id INT, name STRING) WITH (
+        |'connector' = 'datagen', 'number-of-rows' = '5')""".stripMargin)
+    val cats = CatalogOps.showCatalogs(spark).collect().map(_.getString(0))
+    assert(cats.contains("spark_catalog"))
+    val tree = CatalogOps.catalogTree(spark)
+    assert(tree.exists(_.table == "cat_probe"))
+    val desc = CatalogOps.describe(spark, "cat_probe").collect()
+    // reference tolerates col_name/data_type spellings (catalogService.ts:203-205)
+    val cols = desc.map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cols.get("id").contains("int") && cols.get("name").contains("string"))
+  }
+
+  test("job registry: batch jobs tracked, streaming query lifecycle observed") {
+    val reg = new JobRegistry(spark)
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      // listener delivery is async
+      val deadline = System.currentTimeMillis() + 5000
+      while (reg.overview().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(reg.overview().values.flatten.nonEmpty)
+
+      val session = new EngineSession(spark)
+      session.executeSync(
+        """CREATE TABLE reg_stream (v INT) WITH (
+          |'connector' = 'datagen', 'rows-per-second' = '50')""".stripMargin)
+      val h = session.execute("SELECT * FROM reg_stream")
+      val d2 = System.currentTimeMillis() + 20000
+      while (reg.streaming().isEmpty && System.currentTimeMillis() < d2)
+        Thread.sleep(200)
+      assert(reg.streaming().nonEmpty, "streaming query should register")
+      val sq = reg.streaming().head
+      assert(sq.state == "RUNNING")
+      // cancel through the registry (job-monitor cancel path)
+      assert(reg.cancel(sq.id))
+      val d3 = System.currentTimeMillis() + 10000
+      while (reg.streaming().exists(_.state == "RUNNING") &&
+        System.currentTimeMillis() < d3) Thread.sleep(200)
+      assert(reg.streaming().exists(_.state == "CANCELED"))
+    } finally reg.close()
+  }
+}
