@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * as opaque `binary` columns + typed metadata, with decode / feature-extract
+  * / frame-sample as partition-local Dataset transforms.
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio codecs, so
+  * `stubDecode` derives dimensions with a deterministic formula (also
+  * expressible in the oracle SQL, which keeps even the stub oracle-checked).
+  * Everything around it is the real Spark shape a production decode drops
+  * into: binary column + metadata struct schema, `mapPartitions` batching
+  * (one codec init per partition, not per row), explode for frame sampling,
+  * fixed-width Array[Float] feature output. Swap `stubDecode`'s body for a
+  * JNI/codec call and nothing else changes.
+  *
+  * There is no binary testdata table, so `withBinary` manufactures the
+  * binary column from `documents.text` (utf-8 bytes) — the plumbing doesn't
+  * care what the bytes are.
+  */
+object MultimodalOps {
+
+  final case class MediaMeta(mime: String, sizeBytes: Long)
+  final case class DecodedMeta(width: Int, height: Int, channels: Int)
+
+  /** documents → (doc_id, content: binary, meta: struct). */
+  def withBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(lit("application/octet-stream").as("mime"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("size_bytes"))
+        .as("meta"))
+
+  /** STUB decode formula — deterministic from payload size alone so the
+    * DuckDB oracle can replicate it. A real decoder reads the header. */
+  private[operators] def stubDims(sizeBytes: Long): (Int, Int, Int) = {
+    val w = 64 + (sizeBytes % 512).toInt
+    val h = 64 + ((sizeBytes * 7) % 512).toInt
+    (w, h, 3)
+  }
+
+  /** Decode: partition-local batch transform. `mapPartitions` so a real
+    * codec initializes once per partition (the batch shape that matters at
+    * scale), not once per row. */
+  def decode(binaries: DataFrame): DataFrame = {
+    val spark = binaries.sparkSession
+    val outSchema = StructType(binaries.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    binaries.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — once per partition
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val (w, h, c) = stubDims(content.length.toLong)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction: fixed-width Array[Float] per item, deterministic
+    * from content bytes (stand-in for an embedding model forward pass).
+    * Output shape (id, Array[Float](dim)) matches the `embeddings` table so
+    * downstream SimilarityOps compose directly. */
+  def extractFeatures(binaries: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries.select(col("doc_id"), col("content")).map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val feats = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        feats(i % dim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      (id, feats)
+    }.toDF("doc_id", "features")
+  }
+
+  /** Frame sampling: split the payload into `every`-byte chunks ("frames")
+    * and explode with an index — the video-pipeline shape (sample → decode
+    * per frame → feature per frame). */
+  def sampleFrames(binaries: DataFrame, every: Int = 64): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries.select(col("doc_id"), col("content"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes.grouped(every).zipWithIndex.map { case (chunk, idx) =>
+          (id, idx, chunk.length, chunk)
+        }
+      }.toDF("doc_id", "frame_idx", "frame_bytes", "frame")
+  }
+
+  // ------------------------------------------------------- driver queries
+  /** Oracle-checked: binary size + stub-decoded dims per doc. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    decode(withBinary(Tables.load(s, dir, "documents")))
+      .select(col("doc_id"), col("meta.size_bytes").as("size_bytes"),
+        col("width"), col("height"), col("channels"))
+      .orderBy(col("doc_id"))
+
+  val mmDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+      |  3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Oracle-checked: frame counts per doc from the sampler. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(withBinary(Tables.load(s, dir, "documents")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))
+      .orderBy(col("doc_id"))
+
+  val mmFramesSql: String =
+    """SELECT doc_id,
+      |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _),
+    "mm_frames" -> (mmFrames _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode" -> mmDecodeSql,
+    "mm_frames" -> mmFramesSql,
+  )
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def binaries = MultimodalOps.withBinary(Tables.load(spark, dir, "documents"))
+
+  test("binary schema: content is BinaryType with typed metadata struct") {
+    val schema = binaries.schema
+    assert(schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  test("feature extraction is deterministic, fixed-width, composes with SimilarityOps shapes") {
+    val f1 = MultimodalOps.extractFeatures(binaries).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = MultimodalOps.extractFeatures(binaries).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 16))
+    assert(f1.values.exists(_.exists(_ != 0f)))
+  }
+
+  test("frame sampling round-trips: concatenated frames rebuild the payload") {
+    val doc = binaries.filter(col("doc_id") === 0).collect()(0)
+    val original = doc.getAs[Array[Byte]]("content")
+    val frames = MultimodalOps.sampleFrames(binaries)
+      .filter(col("doc_id") === 0).orderBy(col("frame_idx")).collect()
+      .map(_.getAs[Array[Byte]]("frame"))
+    assert(frames.flatten.sameElements(original))
+    assert(frames.init.forall(_.length == 64), "all but the last frame are full")
+  }
+}
