@@ -14,6 +14,7 @@ object DialectShim {
   final case class UseCatalog(name: String) extends Routed
   final case class StatementSet(statements: Seq[String]) extends Routed
   final case class DropTable(name: String, ifExists: Boolean) extends Routed
+  final case class InsertInto(target: String, overwrite: Boolean, query: String) extends Routed
   final case class Passthrough(sql: String) extends Routed
 
   private val SetRe = """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
@@ -25,6 +26,8 @@ object DialectShim {
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*;?\s*""".r
   private val ExecStmtSetRe =
     """(?is)\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\s+END\s*;?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+([`\w.]+)\s+(SELECT.*|VALUES.*)""".r
 
   def route(sql: String): Routed = sql match {
     case _ if FlinkDdl.isCreateTableWith(sql) => EngineDdl(FlinkDdl.parse(sql))
@@ -39,6 +42,12 @@ object DialectShim {
       DropTable(name.stripPrefix("`").stripSuffix("`"), ifExists != null)
     case ExecStmtSetRe(body) =>
       StatementSet(body.split(';').map(_.trim).filter(_.nonEmpty).toSeq)
+    // Flink `SHOW JARS` → Spark `LIST JARS` (ADD JAR is spelled identically)
+    case s if s.trim.toUpperCase.stripSuffix(";").trim == "SHOW JARS" =>
+      Passthrough("LIST JARS")
+    case InsertRe(verb, target, query) =>
+      InsertInto(target.stripPrefix("`").stripSuffix("`"),
+        verb.equalsIgnoreCase("OVERWRITE"), rewriteGroupWindows(query))
     case _ => Passthrough(rewriteGroupWindows(sql))
   }
 

@@ -65,6 +65,20 @@ final class EngineSession(val spark: SparkSession) {
       statements.foreach(s => awaitFinished(execute(s)))
     }
     case DialectShim.EngineDdl(spec) => sync(sql) { _ => registerTable(spec) }
+    case DialectShim.InsertInto(target, overwrite, query) =>
+      specs.get(target) match {
+        case Some(spec) if spec.connector == "filesystem" => sync(sql) { _ =>
+          // INSERT INTO/OVERWRITE a path-backed table (SURVEY §2.1 sinks):
+          // write the query result to the table's path, then refresh the
+          // registered view so subsequent reads see the new files.
+          val df = spark.sql(query)
+          val mode = if (overwrite) "overwrite" else "append"
+          df.write.format(spec.options.getOrElse("format", "parquet"))
+            .mode(mode).save(spec.options("path"))
+          registerTable(spec)
+        }
+        case _ => runQuery(sql, sql) // catalog tables: Spark SQL handles INSERT
+      }
     case DialectShim.Passthrough(rewritten) => runQuery(sql, rewritten)
   }
 

@@ -62,6 +62,15 @@ final class ResultStore(
     }
   }
 
+  /** Changelog delete: tombstones the keyed row (kind=Delete); excluded
+    * from `snapshot()`, still visible to the paging client as a Delete
+    * row-kind (Flink retraction parity for CDC streams). */
+  def delete(key: Seq[Any]): Unit = synchronized {
+    keyIndex.get(key).foreach { i =>
+      rows(i) = StoredRow(RowKind.Delete, rows(i).fields)
+    }
+  }
+
   def markEos(): Unit = synchronized { eos = true }
   def fail(t: Throwable): Unit = synchronized { error = Some(t); eos = true }
   def isEos: Boolean = synchronized(eos)
@@ -90,6 +99,7 @@ final class ResultStore(
     else FetchResult("NOT_READY", columns, Nil, Some(token))
   }
 
-  /** Materialized current row set (post-upsert view), for tests/snapshots. */
-  def snapshot(): Seq[Seq[Any]] = synchronized(rows.map(_.fields).toSeq)
+  /** Materialized current row set (post-upsert view, tombstones excluded). */
+  def snapshot(): Seq[Seq[Any]] = synchronized(
+    rows.filter(_.kind != RowKind.Delete).map(_.fields).toSeq)
 }

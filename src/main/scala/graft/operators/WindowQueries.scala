@@ -130,6 +130,35 @@ object WindowQueries {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------------------------------------------- interval join (batch)
+  /** Time-bounded (interval) join — Flink's stream-stream interval join
+    * (SURVEY §2.3 tier-V): purchase ⋈ clicks by user within (-10 min, 0].
+    * Same expression runs under readStream with watermarks (StreamingSpec);
+    * Spark plans the equi-key part as the join key and the time bounds as
+    * post-filters, so the shuffle is keyed by user, never a cross join. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("clicks_before"))
+      .orderBy(col("p_id"))
+  }
+
+  val qIntervalJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id, COUNT(*) AS clicks_before
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p_id""".stripMargin
+
   // ----------------------------------------------- streaming-dedup analogue
   // dropDuplicates(keys) batch form; the streaming form
   // (dropDuplicatesWithinWatermark) runs in StreamingSpec.
@@ -151,6 +180,7 @@ object WindowQueries {
     "w_hop" -> (qHop _),
     "w_session" -> (qSession _),
     "w_asof_join" -> (qAsOfJoin _),
+    "w_interval_join" -> (qIntervalJoin _),
     "w_event_dedup" -> (qEventDedup _),
   )
 
@@ -159,6 +189,7 @@ object WindowQueries {
     "w_hop" -> qHopSql,
     "w_session" -> qSessionSql,
     "w_asof_join" -> qAsOfJoinSql,
+    "w_interval_join" -> qIntervalJoinSql,
     "w_event_dedup" -> qEventDedupSql,
   )
 }

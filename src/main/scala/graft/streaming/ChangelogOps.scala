@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC / changelog interpretation (SURVEY.md §2.1 CDC row: "no native Spark
+  * CDC source; parity route = Debezium-shaped stream + changelog
+  * interpretation"). Input rows carry `op` ∈ {c,u,d,r} (create/update/
+  * delete/read-snapshot), a key, an event ordering column, and the payload.
+  *
+  *  - `latestSnapshot` (batch): current table state = last non-delete row
+  *    per key. One shuffle on the key; the window is a per-key top-1, so
+  *    at 100 TB this is the standard "compact a changelog" job shape.
+  *  - `upsertStream` (streaming): per-micro-batch reduction to the latest
+  *    row per key via the same expressions under foreachBatch merge, or
+  *    dropDuplicatesWithinWatermark for at-least-once collapse.
+  */
+object ChangelogOps {
+
+  /** Batch/foreachBatch compaction: last-writer-wins per key, deletes drop
+    * the key. `ord` breaks ties (e.g. the CDC LSN or kafka offset). */
+  def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
+      ord: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .drop("__rn", "op")
+  }
+
+  /** Streaming form: collapse each micro-batch to latest-per-key and MERGE
+    * into keyed store state — upserts for c/u/r, tombstones for d (a delete
+    * must remove a key inserted in an EARLIER batch, so deletes can't just
+    * be filtered out batch-locally). Suitable for foreachBatch. */
+  def mergeBatch(store: graft.engine.ResultStore, keyCols: Seq[String],
+      ord: Column)(batch: DataFrame, batchId: Long): Unit = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fieldNames = latest.schema.fieldNames
+    val keyIdx = keyCols.map(fieldNames.indexOf(_))
+    val opIdx = fieldNames.indexOf("op")
+    latest.collect().foreach { r =>
+      val fields = r.toSeq
+      val key = keyIdx.map(fields)
+      if (fields(opIdx) == "d") store.delete(key)
+      else store.upsert(key, fields.patch(opIdx, Nil, 1))
+    }
+  }
+}

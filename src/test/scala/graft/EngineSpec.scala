@@ -182,6 +182,23 @@ class EngineSpec extends AnyFunSuite {
     assert(session.ops.fetch(h, 0).resultType != "NOT_READY") // EOS-terminated
   }
 
+  // ------------------------------------ filesystem sink: INSERT INTO/OVERWRITE
+  test("filesystem connector: INSERT INTO appends, INSERT OVERWRITE replaces") {
+    val path = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    session.executeSync(
+      s"""CREATE TABLE fs_sink (id INT, name STRING) WITH (
+         |'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    // seed the path so the read view has files, then check append semantics
+    session.executeSync("INSERT INTO fs_sink SELECT 1 AS id, 'a' AS name")
+    session.executeSync("INSERT INTO fs_sink SELECT 2 AS id, 'b' AS name")
+    val afterAppend = drain(session.executeSync("SELECT * FROM fs_sink").handle)
+    assert(afterAppend.size == 2)
+    session.executeSync("INSERT OVERWRITE fs_sink SELECT 9 AS id, 'z' AS name")
+    val afterOverwrite = drain(session.executeSync("SELECT * FROM fs_sink").handle)
+    assert(afterOverwrite.map(_.fields) == Seq(Seq(9, "z")))
+    session.executeSync("DROP TABLE fs_sink")
+  }
+
   // --------------------------------------------------- DDL parser coverage
   test("DDL parser: kafka/cdc/filesystem shapes (FIXTURES A5)") {
     val kafka = FlinkDdl.parse(

@@ -102,6 +102,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == expected)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import graft.operators.WindowQueries
+    val ev = StreamOps.readParquetStream(spark, streamDir, eventsSchema)
+    val p = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", wideWm)
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .withWatermark("ts", wideWm)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    val streamed = runToCompletion(joined, "append", "ij_out")
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("clicks_before"))
+    val batch = WindowQueries.qIntervalJoin(spark, dir)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("CDC changelog: latestSnapshot compacts, deletes drop keys, streaming merge matches") {
+    import graft.streaming.ChangelogOps
+    import spark.implicits._
+    val changelog = Seq(
+      ("c", 1L, "alice", 100L), ("u", 1L, "alicia", 101L),
+      ("c", 2L, "bob", 102L), ("d", 2L, "bob", 103L),
+      ("c", 3L, "carol", 104L), ("u", 3L, "carolyn", 105L), ("u", 3L, "caro", 106L)
+    ).toDF("op", "id", "name", "lsn")
+    val snap = ChangelogOps.latestSnapshot(changelog, Seq("id"), col("lsn"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snap.toSeq == Seq((1L, "alicia"), (3L, "caro")))
+
+    // streaming merge: key 2 is created in batch 0 and deleted in batch 1 —
+    // the tombstone must remove a key from an EARLIER batch
+    val store = new graft.engine.ResultStore(Seq("id", "name", "lsn"))
+    ChangelogOps.mergeBatch(store, Seq("id"), col("lsn"))(
+      changelog.filter(col("lsn") <= 102), 0L)
+    assert(store.snapshot().map(_.head).toSet == Set(1L, 2L))
+    ChangelogOps.mergeBatch(store, Seq("id"), col("lsn"))(
+      changelog.filter(col("lsn") > 102), 1L)
+    val state = store.snapshot().map(r => (r(0).asInstanceOf[Long], r(1))).sortBy(_._1)
+    assert(state == Seq((1L, "alicia"), (3L, "caro")))
+  }
+
   test("streaming top-N converges to batch top-N across micro-batches") {
     import spark.implicits._
     val streamed = runToCompletion(
