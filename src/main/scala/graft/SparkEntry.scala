@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MultimodalOps, RelationalQueries, SimilarityOps, TextQueries, WindowQueries}
+import graft.operators.{CumulateWindows, DedupOps, MultimodalOps, RelationalQueries, SimilarityOps, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ DedupOps.all ++
-      SimilarityOps.all ++ WindowQueries.all ++ MultimodalOps.all
+      SimilarityOps.all ++ WindowQueries.all ++ MultimodalOps.all ++
+      CumulateWindows.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ WindowQueries.oracles ++ MultimodalOps.oracles
+      SimilarityOps.oracles ++ WindowQueries.oracles ++ MultimodalOps.oracles ++
+      CumulateWindows.oracles
 }
