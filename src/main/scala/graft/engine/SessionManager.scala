@@ -1,0 +1,30 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.SparkSession
+
+/** One EngineSession per notebook, isolated via `SparkSession.newSession()`
+  * — separate SQLConf, temp views, and current database over a shared
+  * SparkContext. Mirrors the reference's per-notebook gateway session
+  * (flinkNotebookController.ts:932-977, SURVEY §1.1 sessions row).
+  */
+final class SessionManager(root: SparkSession) {
+  private val sessions = TrieMap.empty[String, EngineSession]
+
+  def getOrCreate(notebookId: String,
+      properties: Map[String, String] = Map.empty): EngineSession =
+    sessions.getOrElseUpdate(notebookId, {
+      val child = root.newSession()
+      properties.foreach { case (k, v) => child.conf.set(k, v) }
+      val es = new EngineSession(child)
+      properties.get("execution.runtime-mode")
+        .foreach(m => es.executeSync(s"SET 'execution.runtime-mode' = '$m'"))
+      es
+    })
+
+  def close(notebookId: String): Unit =
+    sessions.remove(notebookId).foreach(_.close())
+
+  def closeAll(): Unit = { sessions.keys.foreach(close); }
+  def active: Seq[String] = sessions.keys.toSeq
+}

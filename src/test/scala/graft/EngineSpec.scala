@@ -2,6 +2,7 @@ package graft
 
 import graft.engine._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -197,6 +198,48 @@ class EngineSpec extends AnyFunSuite {
     val afterOverwrite = drain(session.executeSync("SELECT * FROM fs_sink").handle)
     assert(afterOverwrite.map(_.fields) == Seq(Seq(9, "z")))
     session.executeSync("DROP TABLE fs_sink")
+  }
+
+  // ------------------------------------------- statement sets + sessions
+  test("EXECUTE STATEMENT SET runs contained inserts sequentially") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    session.executeSync(
+      s"""CREATE TABLE ss_sink (id INT) WITH (
+         |'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    session.executeSync(
+      """EXECUTE STATEMENT SET BEGIN
+        |INSERT INTO ss_sink SELECT 1 AS id;
+        |INSERT INTO ss_sink SELECT 2 AS id;
+        |END""".stripMargin)
+    val rows = drain(session.executeSync("SELECT * FROM ss_sink").handle)
+    assert(rows.map(_.fields.head).toSet == Set(1, 2))
+    session.executeSync("DROP TABLE ss_sink")
+  }
+
+  test("SessionManager isolates conf and temp views per notebook") {
+    val mgr = new SessionManager(spark)
+    val a = mgr.getOrCreate("nb-a", Map("execution.runtime-mode" -> "batch"))
+    val b = mgr.getOrCreate("nb-b")
+    assert(a.executionMode == "batch" && b.executionMode == "streaming")
+    a.executeSync(
+      """CREATE TABLE only_in_a (x INT) WITH (
+        |'connector' = 'datagen', 'number-of-rows' = '3')""".stripMargin)
+    assert(a.spark.catalog.tableExists("only_in_a"))
+    assert(!b.spark.catalog.tableExists("only_in_a"))
+    // same underlying SparkContext
+    assert(a.spark.sparkContext eq b.spark.sparkContext)
+    mgr.closeAll()
+  }
+
+  test("skew-salted join equals plain join") {
+    import graft.operators.Salting
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"), col("l_linenumber"))
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    val plain = li.join(dim, Seq("k")).count()
+    val salted = Salting.skewSaltedJoin(li, dim, "k", 8, col("l_linenumber")).count()
+    assert(plain == salted)
   }
 
   // --------------------------------------------------- DDL parser coverage
