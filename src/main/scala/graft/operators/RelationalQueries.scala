@@ -467,6 +467,43 @@ object RelationalQueries {
 
   val q18Sql: String = "SELECT 1 AS id, 'Hello Spark!' AS message"
 
+  // ---------------------------------------------------- q19: JSON functions
+  // JSON scalar functions (SURVEY §2.3 scalar fns: JSON_VALUE →
+  // get_json_object / from_json). events.props is a JSON string {"k": n}.
+  def q19Json(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_struct"))
+      .filter(col("k_value") > 50)
+      .orderBy(col("event_id"))
+
+  val q19Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------- q20: statistical aggregates
+  def q20StatAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q20Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -491,6 +528,8 @@ object RelationalQueries {
     "q16_grouping_sets" -> (q16GroupingSets _),
     "q17_dedup_exact" -> (q17DedupExact _),
     "q18_values" -> (q18Values _),
+    "q19_json" -> (q19Json _),
+    "q20_stat_agg" -> (q20StatAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,5 +556,7 @@ object RelationalQueries {
     "q16_grouping_sets" -> q16Sql,
     "q17_dedup_exact" -> q17Sql,
     "q18_values" -> q18Sql,
+    "q19_json" -> q19Sql,
+    "q20_stat_agg" -> q20Sql,
   )
 }

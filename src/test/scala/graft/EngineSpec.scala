@@ -242,6 +242,32 @@ class EngineSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("kafka JSON shape: serialize -> parse round-trips the declared schema") {
+    import graft.sources.KafkaJson
+    import spark.implicits._
+    val schema = FlinkDdl.parse(
+      """CREATE TABLE user_behavior (
+        |  user_id BIGINT, item_id BIGINT, behavior STRING
+        |) WITH ('connector' = 'kafka', 'format' = 'json')""".stripMargin).schema
+    val rows = Seq((1L, 10L, "click"), (2L, 20L, "buy"))
+      .toDF("user_id", "item_id", "behavior")
+    val frames = KafkaJson.serialize(rows, "user_id")
+    assert(frames.schema.fieldNames.toSeq == Seq("key", "value"))
+    val back = KafkaJson.parse(frames, schema)
+    assert(back.schema == schema)
+    assert(back.collect().map(_.toSeq).toSet == rows.collect().map(_.toSeq).toSet)
+  }
+
+  test("CREATE DATABASE / USE / SHOW DATABASES pass through natively") {
+    session.executeSync("CREATE DATABASE IF NOT EXISTS graft_db")
+    val dbs = drain(session.executeSync("SHOW DATABASES").handle)
+    assert(dbs.exists(_.fields.head == "graft_db"))
+    session.executeSync("USE graft_db")
+    assert(spark.catalog.currentDatabase == "graft_db")
+    session.executeSync("USE default")
+    session.executeSync("DROP DATABASE graft_db")
+  }
+
   // --------------------------------------------------- DDL parser coverage
   test("DDL parser: kafka/cdc/filesystem shapes (FIXTURES A5)") {
     val kafka = FlinkDdl.parse(
