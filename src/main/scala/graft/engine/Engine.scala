@@ -23,8 +23,14 @@ final class EngineSession(val spark: SparkSession) {
   /** Tables registered via Flink DDL that must be materialized per query. */
   private val specs = TrieMap.empty[String, TableSpec]
   @volatile private var runtimeMode: String = "streaming" // Flink default
+  /** SET 'execution.checkpointing.interval' → micro-batch trigger period
+    * (the closest Spark analogue: commit cadence). Default mirrors the
+    * reference's interactive 500 ms (SURVEY §7.4 #6). */
+  @volatile private var triggerInterval: String = "500 milliseconds"
+  @volatile private var checkpointDir: Option[String] = None
 
   def executionMode: String = runtimeMode
+  def trigger: String = triggerInterval
 
   // ------------------------------------------------------------ execution
   /** Gateway contract: ALWAYS returns a handle; failures (including parse
@@ -40,7 +46,12 @@ final class EngineSession(val spark: SparkSession) {
   private def executeRouted(sql: String): OperationHandle = DialectShim.route(sql) match {
     case DialectShim.SetConf(k, v) => sync(sql) { _ =>
       if (k == "execution.runtime-mode") runtimeMode = v.toLowerCase
-      else if (k.startsWith("execution.checkpointing")) () // engine-managed
+      else if (k == "execution.checkpointing.interval")
+        triggerInterval = v.replaceAll("(?i)^(\\d+)\\s*s(ec(onds?)?)?$", "$1 seconds")
+          .replaceAll("(?i)^(\\d+)\\s*m(s|illis(econds)?)$", "$1 milliseconds")
+      else if (k == "execution.checkpointing.dir" || k == "state.checkpoints.dir")
+        checkpointDir = Some(v)
+      else if (k.startsWith("execution.checkpointing")) () // mode/timeout: engine-managed
       else spark.conf.set(k, v)
     }
     case DialectShim.CreateCatalog(name, options) => sync(sql) { _ =>
@@ -185,9 +196,13 @@ final class EngineSession(val spark: SparkSession) {
         case None => Nil
       }
       val mode = if (agg.isDefined) OutputMode.Update() else OutputMode.Append()
-      val q = df.writeStream
+      val writer0 = df.writeStream
         .outputMode(mode)
-        .trigger(Trigger.ProcessingTime("500 milliseconds")) // §7.4 #6
+        .trigger(Trigger.ProcessingTime(triggerInterval))
+      val q = checkpointDir
+        .map(d => writer0.option("checkpointLocation",
+          s"$d/${info.handle.id}"))
+        .getOrElse(writer0)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect() // bounded: micro-batch of changed rows
           rows.foreach { r =>
