@@ -78,16 +78,46 @@ final class EngineSession(val spark: SparkSession) {
     case DialectShim.EngineDdl(spec) => sync(sql) { _ => registerTable(spec) }
     case DialectShim.InsertInto(target, overwrite, query) =>
       specs.get(target) match {
-        case Some(spec) if spec.connector == "filesystem" => sync(sql) { _ =>
-          // INSERT INTO/OVERWRITE a path-backed table (SURVEY §2.1 sinks):
-          // write the query result to the table's path, then refresh the
-          // registered view so subsequent reads see the new files.
-          val df = spark.sql(query)
-          val mode = if (overwrite) "overwrite" else "append"
-          df.write.format(spec.options.getOrElse("format", "parquet"))
-            .mode(mode).save(spec.options("path"))
-          registerTable(spec)
-        }
+        case Some(spec) if spec.connector == "filesystem" =>
+          val streams =
+            if (runtimeMode == "batch") Nil else streamingTables(query)
+          if (streams.nonEmpty) {
+            // streaming INSERT: continuous append job into the table path
+            // (writeStream file sink; the op stays RUNNING until canceled —
+            // the reference's "INSERT INTO spawns a monitored job" shape,
+            // jobMonitorProvider.ts:41-43)
+            if (overwrite) throw new IllegalArgumentException(
+              "INSERT OVERWRITE is not supported from a streaming source")
+            ops.submit(sql) { info =>
+              materializeStreams(streams)
+              val df = spark.sql(query)
+              val store = new ResultStore(Seq("result"))
+              info.store = Some(store)
+              info.isStreaming = true
+              val q = df.writeStream
+                .format(spec.options.getOrElse("format", "parquet"))
+                .option("path", spec.options("path"))
+                .option("checkpointLocation",
+                  checkpointDir.getOrElse(
+                    java.nio.file.Files.createTempDirectory("graft-ck").toString) +
+                    s"/${info.handle.id}")
+                .outputMode(OutputMode.Append())
+                .trigger(Trigger.ProcessingTime(triggerInterval))
+                .start()
+              info.streamingQuery = Some(q)
+              q.awaitTermination()
+              store.append(Seq("OK"))
+              store.markEos()
+            }
+          } else sync(sql) { _ =>
+            // batch INSERT INTO/OVERWRITE a path-backed table (SURVEY §2.1):
+            // write the query result, then refresh the registered view.
+            val df = spark.sql(query)
+            val mode = if (overwrite) "overwrite" else "append"
+            df.write.format(spec.options.getOrElse("format", "parquet"))
+              .mode(mode).save(spec.options("path"))
+            registerTable(spec)
+          }
         case _ => runQuery(sql, sql) // catalog tables: Spark SQL handles INSERT
       }
     case DialectShim.Passthrough(rewritten) => runQuery(sql, rewritten)
@@ -159,22 +189,25 @@ final class EngineSession(val spark: SparkSession) {
     store.markEos()
   }
 
+  /** Materialize each unbounded table as a streaming temp view, with its
+    * declared watermark applied (SURVEY §2.4 watermark declaration). */
+  private def materializeStreams(streams: Seq[TableSpec]): Unit =
+    streams.foreach { spec =>
+      spec.connector match {
+        case "datagen" =>
+          val df = Datagen.unbounded(spark, spec)
+          val wm = spec.watermark
+            .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
+          wm.createOrReplaceTempView(spec.name)
+        case other =>
+          throw new IllegalStateException(
+            s"connector '$other' (table ${spec.name}) is not reachable in this environment")
+      }
+    }
+
   private def runStreaming(sql: String, streams: Seq[TableSpec]): OperationHandle =
     ops.submit(sql) { info =>
-      // Materialize each unbounded table as a streaming temp view, with its
-      // declared watermark applied (SURVEY §2.4 watermark declaration).
-      streams.foreach { spec =>
-        spec.connector match {
-          case "datagen" =>
-            val df = Datagen.unbounded(spark, spec)
-            val wm = spec.watermark
-              .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
-            wm.createOrReplaceTempView(spec.name)
-          case other =>
-            throw new IllegalStateException(
-              s"connector '$other' (table ${spec.name}) is not reachable in this environment")
-        }
-      }
+      materializeStreams(streams)
       val df = spark.sql(sql)
       val analyzed = df.queryExecution.analyzed
       val agg = analyzed.collectFirst { case a: Aggregate => a }

@@ -44,17 +44,6 @@ object VectorFunctions {
     * across runs/executors with zero broadcast state — at 100 TB the bucket
     * assignment is a pure map-side expression.
     */
-  def srpCode(v: Column, bits: Int, seed: Int = 0): Column = {
-    require(bits > 0 && bits <= 30)
-    val bitCols = (0 until bits).map { p =>
-      // coefficient for dim i: +1 if xxhash64(seed, p, i) even else -1
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * when(pmod(xxhash64(lit(seed), lit(p), i), lit(2)) === 0, lit(1.0))
-            .otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def srpCode(v: Column, bits: Int, seed: Int = 0): Column =
+    SrpCode(v, bits, seed)
 }

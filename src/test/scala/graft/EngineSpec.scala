@@ -242,6 +242,33 @@ class EngineSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("streaming INSERT INTO filesystem table writes continuously until canceled") {
+    val path = java.nio.file.Files.createTempDirectory("graft-si").toString
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE si_sink (v BIGINT, ts TIMESTAMP(3)) WITH (
+         |'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    session.executeSync(
+      """CREATE TABLE si_src (v BIGINT, ts TIMESTAMP(3)) WITH (
+        |'connector' = 'datagen', 'rows-per-second' = '100',
+        |'fields.v.min' = '0', 'fields.v.max' = '9')""".stripMargin)
+    val h = session.execute("INSERT INTO si_sink SELECT v, ts FROM si_src")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 30000
+    def written(): Long =
+      try spark.read.parquet(path).count() catch { case _: Throwable => 0L }
+    while (written() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(500)
+    assert(written() > 0, "streaming insert should land files")
+    assert(info.isStreaming && info.status == OpStatus.Running)
+    session.ops.cancel(h)
+    val d2 = System.currentTimeMillis() + 10000
+    while (info.streamingQuery.exists(_.isActive) && System.currentTimeMillis() < d2)
+      Thread.sleep(200)
+    assert(!info.streamingQuery.exists(_.isActive))
+    session.executeSync("DROP TABLE si_sink")
+    session.executeSync("DROP TABLE si_src")
+  }
+
   test("kafka JSON shape: serialize -> parse round-trips the declared schema") {
     import graft.sources.KafkaJson
     import spark.implicits._
