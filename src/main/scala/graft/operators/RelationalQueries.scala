@@ -504,6 +504,21 @@ object RelationalQueries {
       |  ROUND(AVG(l_quantity), 4) AS avg_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------- q21: approximate (sketch) aggregates
+  // HLL++ distinct counts + approx quantiles (SURVEY §2.3: approximate =
+  // approx_count_distinct). Sketch values are engine-specific → no DuckDB
+  // oracle (rows-only driver check); accuracy vs exact is asserted in
+  // RelationalSpec.
+  def q21Approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+        percentile_approx(col("l_quantity"), lit(0.99), lit(1000)).as("p99_qty"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -530,6 +545,7 @@ object RelationalQueries {
     "q18_values" -> (q18Values _),
     "q19_json" -> (q19Json _),
     "q20_stat_agg" -> (q20StatAgg _),
+    "q21_approx" -> (q21Approx _),
   )
 
   val oracles: Map[String, String] = Map(
