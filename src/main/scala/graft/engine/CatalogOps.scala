@@ -23,17 +23,18 @@ object CatalogOps {
   /** Full tree as the reference builds it (catalogService.ts:226-285). */
   def catalogTree(spark: SparkSession): Seq[TableEntry] = {
     val current = spark.catalog.currentCatalog()
-    val cats = showCatalogs(spark).collect().map(_.getString(0)).toSeq
-    val out = for {
-      cat <- cats
-      _ = spark.catalog.setCurrentCatalog(cat)
-      db <- spark.catalog.listDatabases().collect().map(_.name).toSeq
-      t <- spark.catalog.listTables(db).collect().toSeq
-    } yield TableEntry(cat, db, t.name)
-    spark.catalog.setCurrentCatalog(current)
-    // temp views live outside databases; include them under the session db
-    val temps = spark.catalog.listTables().collect()
-      .filter(_.isTemporary).map(t => TableEntry(current, "", t.name)).toSeq
-    (out ++ temps).distinct
+    try {
+      val cats = showCatalogs(spark).collect().map(_.getString(0)).toSeq
+      val out = for {
+        cat <- cats
+        _ = spark.catalog.setCurrentCatalog(cat)
+        db <- spark.catalog.listDatabases().collect().map(_.name).toSeq
+        t <- spark.catalog.listTables(db).collect().toSeq
+      } yield TableEntry(cat, db, t.name)
+      // temp views live outside databases; include them under the session db
+      val temps = spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(t => TableEntry(current, "", t.name)).toSeq
+      (out ++ temps).distinct
+    } finally spark.catalog.setCurrentCatalog(current) // never leave the walk's catalog active
   }
 }

@@ -32,6 +32,27 @@ final class EngineSession(val spark: SparkSession) {
   def executionMode: String = runtimeMode
   def trigger: String = triggerInterval
 
+  /** Flink duration spellings → Spark CalendarInterval strings. Bare
+    * numbers are milliseconds (Flink's convention); unrecognized input
+    * fails HERE (at SET time, one clear error) instead of poisoning every
+    * later streaming statement's trigger. */
+  private[engine] def normalizeDuration(v: String): String = {
+    val Re = """(?i)\s*(\d+)\s*(ms|millis(?:econds?)?|s|sec(?:onds?)?|m|min(?:utes?)?|h|hours?|d|days?)?\s*""".r
+    v.trim match {
+      case Re(n, unit) =>
+        val u = Option(unit).map(_.toLowerCase).getOrElse("ms")
+        val name =
+          if (u.startsWith("ms") || u.startsWith("milli")) "milliseconds"
+          else if (u.startsWith("s")) "seconds"
+          else if (u.startsWith("m")) "minutes"
+          else if (u.startsWith("h")) "hours"
+          else "days"
+        s"$n $name"
+      case other => throw new IllegalArgumentException(
+        s"cannot parse checkpoint interval '$other' (use e.g. '10s', '500ms', '1 min')")
+    }
+  }
+
   // ------------------------------------------------------------ execution
   /** Gateway contract: ALWAYS returns a handle; failures (including parse
     * errors) surface as status=Error on the operation, never as a thrown
@@ -47,8 +68,7 @@ final class EngineSession(val spark: SparkSession) {
     case DialectShim.SetConf(k, v) => sync(sql) { _ =>
       if (k == "execution.runtime-mode") runtimeMode = v.toLowerCase
       else if (k == "execution.checkpointing.interval")
-        triggerInterval = v.replaceAll("(?i)^(\\d+)\\s*s(ec(onds?)?)?$", "$1 seconds")
-          .replaceAll("(?i)^(\\d+)\\s*m(s|illis(econds)?)$", "$1 milliseconds")
+        triggerInterval = normalizeDuration(v)
       else if (k == "execution.checkpointing.dir" || k == "state.checkpoints.dir")
         checkpointDir = Some(v)
       else if (k.startsWith("execution.checkpointing")) () // mode/timeout: engine-managed
@@ -66,11 +86,15 @@ final class EngineSession(val spark: SparkSession) {
       spark.catalog.setCurrentCatalog(name)
     }
     case DialectShim.DropTable(name, ifExists) => sync(sql) { _ =>
-      val known = specs.remove(name).isDefined ||
-        spark.catalog.tableExists(name)
-      if (!known && !ifExists)
+      val wasSpec = specs.remove(name).isDefined
+      val isTemp = spark.catalog.tableExists(name) &&
+        spark.catalog.listTables().collect()
+          .exists(t => t.name.equalsIgnoreCase(name) && t.isTemporary)
+      if (isTemp) spark.catalog.dropTempView(name)
+      else if (spark.catalog.tableExists(name))
+        spark.sql(s"DROP TABLE `$name`") // real catalog table
+      else if (!wasSpec && !ifExists)
         throw new IllegalArgumentException(s"table not found: $name")
-      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
     }
     case DialectShim.StatementSet(statements) => sync(sql) { info =>
       statements.foreach(s => awaitFinished(execute(s)))
@@ -165,12 +189,20 @@ final class EngineSession(val spark: SparkSession) {
     }
   }
 
-  /** True iff the statement references a registered unbounded table and the
-    * session isn't forced to batch. */
-  private def streamingTables(sql: String): Seq[TableSpec] =
-    specs.values.toSeq.filter(s => !s.isBounded &&
-      ("""\b""" + java.util.regex.Pattern.quote(s.name) + """\b""").r
-        .findFirstIn(sql).isDefined)
+  /** Unbounded registered tables the statement actually references —
+    * resolved from the PARSED plan's relation identifiers, not a text
+    * match (a regex misfires on string literals and is case-sensitive
+    * where SQL identifiers aren't). */
+  private def streamingTables(sql: String): Seq[TableSpec] = {
+    val refs: Set[String] =
+      try spark.sessionState.sqlParser.parsePlan(sql).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    specs.values.toSeq.filter(s =>
+      !s.isBounded && refs.contains(s.name.toLowerCase))
+  }
 
   private def runQuery(original: String, rewritten: String): OperationHandle = {
     val streams = if (runtimeMode == "batch") Nil else streamingTables(original)
@@ -209,8 +241,20 @@ final class EngineSession(val spark: SparkSession) {
     ops.submit(sql) { info =>
       materializeStreams(streams)
       val df = spark.sql(sql)
-      val analyzed = df.queryExecution.analyzed
-      val agg = analyzed.collectFirst { case a: Aggregate => a }
+      // Update-mode semantics are driven by the TOP-LEVEL aggregate only —
+      // an aggregate buried in a subquery (e.g. an aggregated static join
+      // side) must not switch the whole query to keyed upserts.
+      def topAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Aggregate] = p match {
+        case a: Aggregate => Some(a)
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => topAgg(p.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => topAgg(f.child)
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => topAgg(s.child)
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => topAgg(s.child)
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => topAgg(l.child)
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => topAgg(l.child)
+        case _ => None
+      }
+      val agg = topAgg(df.queryExecution.analyzed)
       val store = new ResultStore(df.schema.fieldNames.toSeq)
       info.store = Some(store)
       info.isStreaming = true

@@ -47,7 +47,14 @@ object FlinkDdl {
             pk = cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
             None
           case colDef =>
-            val (col, tpe) = colDef.splitAt(colDef.indexOf(' '))
+            val (col, rest) = colDef.splitAt(colDef.indexOf(' '))
+            // strip column constraints/comments the type parser doesn't
+            // model: NOT NULL / NULL / COMMENT '…' (nullability lives on
+            // StructField and defaults true; Flink treats it as a hint too)
+            val tpe = rest.trim
+              .replaceAll("(?is)\\s+COMMENT\\s+'[^']*'\\s*$", "")
+              .replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
+              .replaceAll("(?is)\\s+NULL\\s*$", "")
             Some(StructField(col.trim.stripPrefix("`").stripSuffix("`"),
               parseType(tpe.trim)))
         }

@@ -23,23 +23,30 @@ final class JobRegistry(spark: SparkSession) {
   private val batchJobs = TrieMap.empty[Int, JobInfo]
   private val streamJobs = TrieMap.empty[java.util.UUID, JobInfo]
   private val jobGroups = TrieMap.empty[Int, String]
+  // stage ids and job ids are independent counters — metrics arrive keyed
+  // by stage, so record each job's stages at start
+  private val stageToJob = TrieMap.empty[Int, Int]
+  private val canceledStreams = TrieMap.empty[String, Boolean]
 
   private val sparkListener = new SparkListener {
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val group = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
       jobGroups.put(e.jobId, group)
+      e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       batchJobs.put(e.jobId,
         JobInfo(e.jobId.toString, group, "RUNNING", 0, 0, 0))
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) batchJobs.updateWith(e.stageId) { // approximate stage→job
-        case Some(j) => Some(j.copy(
-          numRecordsIn = j.numRecordsIn + m.inputMetrics.recordsRead,
-          numBytesIn = j.numBytesIn + m.inputMetrics.bytesRead,
-          numRecordsOut = j.numRecordsOut + m.outputMetrics.recordsWritten))
-        case None => None
+      if (m != null) stageToJob.get(e.stageId).foreach { jobId =>
+        batchJobs.updateWith(jobId) {
+          case Some(j) => Some(j.copy(
+            numRecordsIn = j.numRecordsIn + m.inputMetrics.recordsRead,
+            numBytesIn = j.numBytesIn + m.inputMetrics.bytesRead,
+            numRecordsOut = j.numRecordsOut + m.outputMetrics.recordsWritten))
+          case None => None
+        }
       }
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit =
@@ -65,7 +72,9 @@ final class JobRegistry(spark: SparkSession) {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       streamJobs.updateWith(e.id) {
         case Some(j) => Some(j.copy(state =
-          if (e.exception.isDefined) "FAILED" else "CANCELED"))
+          if (e.exception.isDefined) "FAILED"
+          else if (canceledStreams.contains(e.id.toString)) "CANCELED"
+          else "FINISHED"))
         case None => None
       }
   }
@@ -83,7 +92,7 @@ final class JobRegistry(spark: SparkSession) {
     * (flinkJobClient.ts:164-175 analogue). */
   def cancel(id: String): Boolean = {
     spark.streams.active.find(_.id.toString == id) match {
-      case Some(q) => q.stop(); true
+      case Some(q) => canceledStreams.put(id, true); q.stop(); true
       case None =>
         jobGroups.collectFirst { case (jid, g) if jid.toString == id && g.nonEmpty => g }
           .exists { g => spark.sparkContext.cancelJobGroup(g); true }

@@ -29,14 +29,19 @@ final class OperationInfo(
 
 /** Async statement execution with handles, status polling, and cancellation.
   *
-  * Mirrors the reference's gateway operation model: a fixed 10-thread pool
-  * (MiniClusterRunner.java:124-132), one job group per operation so batch
-  * cancel maps to `cancelJobGroup` and streaming cancel to
-  * `StreamingQuery.stop()` (SURVEY.md §7.1 item 1).
+  * Mirrors the reference's gateway operation model (one job group per
+  * operation so batch cancel maps to `cancelJobGroup` and streaming cancel
+  * to `StreamingQuery.stop()`, SURVEY.md §7.1 item 1) with one deliberate
+  * departure: the pool is CACHED, not the reference's fixed 10 threads
+  * (MiniClusterRunner.java:124-132). Streaming operations and statement
+  * sets park their thread for the operation's lifetime, so a fixed pool
+  * deadlocks once poolSize long-lived statements exist (the 11th
+  * statement — even `SELECT 1` — would pend forever, and a nested
+  * statement-set await could deadlock outright).
   */
-final class OperationManager(spark: SparkSession, poolSize: Int = 10) {
+final class OperationManager(spark: SparkSession) {
 
-  private val pool = Executors.newFixedThreadPool(poolSize, r => {
+  private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-op")
     t.setDaemon(true)
     t

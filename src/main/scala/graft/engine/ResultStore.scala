@@ -83,18 +83,34 @@ final class ResultStore(
   def resume(): Unit = pausedFlag = false
   def isPaused: Boolean = pausedFlag
 
+  /** Served-batch ranges: token N re-serves exactly batch N (idempotent
+    * retry); token servedBatches.size opens the next batch from wherever
+    * the previous one ended. Batches are DYNAMIC size (≤ pageSize) — the
+    * gateway model, where nextResultUri continues from the last served
+    * row. Fixed token×pageSize windows would silently skip the unfilled
+    * tail of any partially-served window. */
+  private val servedBatches = mutable.ArrayBuffer.empty[(Int, Int)]
+
   def fetch(token: Long): FetchResult = synchronized {
     error.foreach(t => throw t)
-    val from = token * pageSize
     if (pausedFlag && !eos)
-      FetchResult("NOT_READY", columns, Nil, Some(token))
-    else if (from < rows.size) {
-      val page = rows.slice(from.toInt, math.min(from + pageSize, rows.size).toInt)
-      // Final page only becomes EOS once no more rows can arrive.
-      if (eos && from + pageSize >= rows.size)
-        FetchResult("EOS", columns, page.toSeq, None)
-      else
-        FetchResult("PAYLOAD", columns, page.toSeq, Some(token + 1))
+      return FetchResult("NOT_READY", columns, Nil, Some(token))
+    if (token < servedBatches.size) { // retry: re-serve the same batch
+      val (s, e) = servedBatches(token.toInt)
+      val next = if (token + 1 < servedBatches.size || !eos || e < rows.size)
+        Some(token + 1) else None
+      return FetchResult(if (next.isEmpty) "EOS" else "PAYLOAD",
+        columns, rows.slice(s, e).toSeq, next)
+    }
+    if (token > servedBatches.size) // client skipped ahead: protocol error
+      return FetchResult("NOT_READY", columns, Nil, Some(servedBatches.size.toLong))
+    val start = servedBatches.lastOption.map(_._2).getOrElse(0)
+    val end = math.min(start + pageSize, rows.size)
+    if (end > start) {
+      servedBatches += ((start, end))
+      val fin = eos && end == rows.size
+      FetchResult(if (fin) "EOS" else "PAYLOAD", columns,
+        rows.slice(start, end).toSeq, if (fin) None else Some(token + 1))
     } else if (eos) FetchResult("EOS", columns, Nil, None)
     else FetchResult("NOT_READY", columns, Nil, Some(token))
   }

@@ -15,10 +15,15 @@ final class SessionManager(root: SparkSession) {
       properties: Map[String, String] = Map.empty): EngineSession =
     sessions.getOrElseUpdate(notebookId, {
       val child = root.newSession()
-      properties.foreach { case (k, v) => child.conf.set(k, v) }
+      val (engineProps, sparkProps) =
+        properties.partition(_._1.startsWith("execution."))
+      sparkProps.foreach { case (k, v) => child.conf.set(k, v) }
       val es = new EngineSession(child)
-      properties.get("execution.runtime-mode")
-        .foreach(m => es.executeSync(s"SET 'execution.runtime-mode' = '$m'"))
+      // engine-routed keys (runtime-mode, checkpointing.*) go through SET
+      // so they get the same handling as in-session statements
+      engineProps.foreach { case (k, v) =>
+        es.executeSync(s"SET '$k' = '$v'")
+      }
       es
     })
 

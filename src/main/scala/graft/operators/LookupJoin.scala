@@ -36,19 +36,15 @@ object LookupJoin {
     val width = connector.valueSchema.fields.length
     df.mapPartitions { rows =>
       connector.open()
-      val out = rows.map { r =>
+      // close on task completion, not iterator exhaustion: a downstream
+      // limit()/failure stops consuming mid-partition and would leak the
+      // connection (and repeated hasNext after drain would double-close)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => connector.close()))
+      rows.map { r =>
         val vals = connector.lookup(r.get(keyIdx))
           .getOrElse(Seq.fill[Any](width)(null))
         Row.fromSeq(r.toSeq ++ vals)
-      }
-      // close after the iterator drains (mapPartitions is lazy)
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) connector.close()
-          h
-        }
-        def next(): Row = out.next()
       }
     }(enc)
   }

@@ -118,16 +118,20 @@ object MultimodalOps {
 
   /** Oracle-checked: frame counts per doc from the sampler. */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(withBinary(Tables.load(s, dir, "documents")))
+    sampleFrames(withBinary(
+        Tables.load(s, dir, "documents").filter(length(col("text")) > 0))
+      )
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))
       .orderBy(col("doc_id"))
 
   val mmFramesSql: String =
+    // empty payloads excluded on BOTH sides: the sampler emits zero frames
+    // for them while ceil(0/64)=0 would still emit an oracle row
     """SELECT doc_id,
       |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
