@@ -53,7 +53,19 @@ final class ResultStore(
 
   def upsert(key: Seq[Any], fields: Seq[Any]): Unit = synchronized {
     keyIndex.get(key) match {
-      case Some(i) => rows(i) = StoredRow(RowKind.UpdateAfter, fields)
+      case Some(i) if i >= servedWatermark =>
+        // not yet delivered: overwrite in place
+        rows(i) = StoredRow(RowKind.UpdateAfter, fields)
+      case Some(i) =>
+        // already served to the client: forward-only paging would never
+        // re-deliver a mutation, so RE-EMIT as an UpdateAfter row (Flink
+        // changelog parity — the client applies it by key). The old row is
+        // tombstone-marked so snapshot() stays keyed-unique.
+        if (rows.size < maxRows) {
+          rows(i) = StoredRow(RowKind.Delete, rows(i).fields)
+          keyIndex(key) = rows.size
+          rows += StoredRow(RowKind.UpdateAfter, fields)
+        } else rows(i) = StoredRow(RowKind.UpdateAfter, fields)
       case None =>
         if (rows.size < maxRows) {
           keyIndex(key) = rows.size
@@ -90,6 +102,7 @@ final class ResultStore(
     * row. Fixed token×pageSize windows would silently skip the unfilled
     * tail of any partially-served window. */
   private val servedBatches = mutable.ArrayBuffer.empty[(Int, Int)]
+  private def servedWatermark: Int = servedBatches.lastOption.map(_._2).getOrElse(0)
 
   def fetch(token: Long): FetchResult = synchronized {
     error.foreach(t => throw t)

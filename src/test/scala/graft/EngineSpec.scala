@@ -355,5 +355,19 @@ class EngineSpec extends AnyFunSuite {
     us.upsert(Seq("y"), Seq("y", 1))
     us.upsert(Seq("x"), Seq("x", 2))
     assert(us.snapshot() == Seq(Seq("x", 2), Seq("y", 1)))
+
+    // updates to ALREADY-SERVED keys re-emit forward as UpdateAfter rows —
+    // a forward-paging client must see the change (Flink changelog parity)
+    val fs = new ResultStore(Seq("k", "v"), pageSize = 2)
+    fs.upsert(Seq("a"), Seq("a", 1))
+    fs.upsert(Seq("b"), Seq("b", 1))
+    val first = fs.fetch(0) // serves rows 0-1
+    assert(first.rows.map(_.fields) == Seq(Seq("a", 1), Seq("b", 1)))
+    fs.upsert(Seq("a"), Seq("a", 99)) // key 'a' was already delivered
+    fs.markEos()
+    val second = fs.fetch(1)
+    assert(second.rows.map(r => (r.kind, r.fields)) ==
+      Seq((RowKind.UpdateAfter, Seq("a", 99))))
+    assert(fs.snapshot() == Seq(Seq("b", 1), Seq("a", 99))) // keyed-unique
   }
 }
