@@ -229,16 +229,52 @@ object DedupOps {
   /** Near-duplicate pairs in embedding space: cosine ≥ threshold.
     * Exact all-pairs here (oracle-checkable); the scale path is
     * SimilarityOps.annLsh which blocks by SRP bucket first. */
+  /** Exact all-pairs cosine near-dup detection.
+    *
+    * Implementation is broadcast + mapPartitions (the (d) escape hatch,
+    * used deliberately): a DataFrame self-join materializes both 64-float
+    * arrays into every joined row — ~2M × 1 KB of copying dwarfs the
+    * 128M-flop dot-product work. Here the vector block broadcasts once
+    * (n·dim·8 bytes; 100k×64 ≈ 51 MB — fine), each task takes a
+    * round-robin stripe of row indices and scans j>i in a primitive loop.
+    * Beyond broadcastable n, exact all-pairs is the wrong tool at any
+    * engine — that's what SimilarityOps.annLsh is for.
+    *
+    * Numeric order matches the oracle: sequential dot fold, norm from a
+    * left-to-right sum, `round(…, 6)` at the end. */
   def ddEmbeddingCosine(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
-    // norms precomputed in the O(n) scan, not the O(n²) pair loop
-    val v = Tables.load(s, dir, "embeddings")
+    import s.implicits._
+    val vecs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
-      .withColumn("nrm", VF.norm(col("ve")))
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VF.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val data = vecs.map(_._2)
+    val norms = data.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((ids, data, norms))
+    val n = ids.length
+    val pairs = s.range(0, n).repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (bIds, bData, bNorms) = bc.value
+        it.flatMap { iL =>
+          val i = iL.toInt
+          val vi = bData(i)
+          val ni = bNorms(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            val vj = bData(j)
+            var acc = 0.0; var k = 0
+            while (k < vi.length) { acc += vi(k) * vj(k); k += 1 }
+            val c = acc / (ni * bNorms(j))
+            if (c >= threshold - 1e-9) Some((bIds(i), bIds(j), c)) else None
+          }
+        }
+      }.toDF("id_a", "id_b", "cos_raw")
+    pairs
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
