@@ -38,6 +38,17 @@ object DedupOps {
       .select(col("doc_id"), xxhash64(col("s")).as("hs"))
       .distinct()
 
+  /** shingleSet restricted to document frequency ≤ dfCap, computed with a
+    * window count over the distinct set — one shuffle keyed by shingle
+    * instead of a groupBy + join back. */
+  private def discriminativeShingles(d: DataFrame, dfCap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hs"))
+    shingleSet(d)
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+  }
+
   // ------------------------------------------------------------ exact dedup
   /** Groups by content fingerprint; keeps min doc_id as survivor. */
   def ddExact(s: SparkSession, dir: String): DataFrame =
@@ -70,10 +81,7 @@ object DedupOps {
     * detected pair on this corpus.) */
   def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
     // discriminative-universe shingle set feeds 3 branches; cache once
-    val all0 = shingleSet(docs(s, dir))
-    val rare = all0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("hs"))
-    val sh = all0.join(rare, "hs")
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -133,10 +141,7 @@ object DedupOps {
     val rows = numPerms / bands
     // same discriminative universe as ddNgramJaccard so re-verified jaccard
     // values agree with the exact operator
-    val all0 = shingleSet(docs(s, dir))
-    val rare = all0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("hs"))
-    val sh = all0.join(rare, "hs")
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature: 32 partial-aggregating min() columns. Per-perm value is
