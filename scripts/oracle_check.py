@@ -17,10 +17,14 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm_cell(v):
+    # STRICT: full-precision repr, no rounding. A decimal.Decimal renders
+    # scale-preserving ('1.40') vs float '1.4' — so a DECIMAL column on one
+    # side and DOUBLE on the other FAILS here, mirroring the driver's
+    # hasher (round-1 lesson: %.6g masked exactly these mismatches).
     if v is None: return "NULL"
     if isinstance(v, float):
         if v != v: return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, bytes): return v.hex()
     if isinstance(v, list): return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -14,9 +14,16 @@ import org.apache.spark.sql.types._
   *
   * Numeric discipline for oracle hash-parity: floating-point aggregation is
   * order-dependent, so every SUM over a double column goes through a
-  * DECIMAL cast (exact, associative) and every result column is cast to an
-  * explicit DECIMAL type both here and in the oracle SQL. AVG stays DOUBLE
-  * only where rounded via decimal cast.
+  * DECIMAL cast (exact, associative) INTERNALLY — but no result column is
+  * ever DECIMAL-typed. Output columns are DOUBLE: the exact decimal total
+  * casts to its nearest double identically in Spark and DuckDB, and a
+  * double renders identically however the driver's hasher loads the two
+  * sides (pyarrow keeps parquet DECIMAL as scale-preserving
+  * `decimal.Decimal('1.40')` objects while duckdb's pandas conversion
+  * yields float64 `1.4` — same value, different canonical string — which
+  * is exactly the round-1 hash-mismatch pattern). Values that pass through
+  * untouched (projection/min/max/lag) stay raw doubles: bit-identical by
+  * construction.
   */
 object RelationalQueries {
 
@@ -24,10 +31,12 @@ object RelationalQueries {
     Tables.load(s, dir, n)
 
   /** Exact associative sum of a double column: cast each value to
-    * DECIMAL(12,2) (inputs are money-like, 2dp) before summing, cast the
-    * total back to a fixed decimal so Spark/DuckDB schemas agree. */
+    * DECIMAL(14,2) (inputs are money-like, exactly 2dp in the testdata, so
+    * the per-value cast is far from any rounding boundary and agrees across
+    * engines), sum exactly in decimal, then cast the total to DOUBLE —
+    * correctly rounded, hence bit-identical in Spark and DuckDB. */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(14, scale))).cast(DecimalType(28, scale))
+    sum(c.cast(DecimalType(14, scale))).cast(DoubleType)
 
   // ---------------------------------------------------------------- q1: agg
   // TPC-H Q1 shape: the reference's flagship groupBy-agg (SURVEY §2.3,
@@ -40,16 +49,21 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("sum_disc_price"),
+        // cast each FACTOR to decimal (exact at 2dp), multiply and sum in
+        // decimal (exact), cast the total to double — not the double
+        // product to decimal, whose rounding at scale 4 sits on engine-
+        // dependent boundaries.
+        sum(col("l_extendedprice").cast(DecimalType(14, 2)) *
+            (lit(1).cast(DecimalType(14, 2)) - col("l_discount").cast(DecimalType(14, 2))))
+          .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -67,13 +81,12 @@ object RelationalQueries {
         col("o_custkey").between(1, 100000) &&
         col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast(DecimalType(14, 2)).as("o_totalprice"),
-        col("o_orderpriority"))
+        col("o_totalprice"), col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
 
   val q2Sql: String =
     """SELECT o_orderkey, o_custkey,
-      |  CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, o_orderpriority
+      |  o_totalprice, o_orderpriority
       |FROM orders
       |WHERE o_totalprice > 1000.0 AND o_orderstatus IN ('O','F')
       |  AND o_orderpriority LIKE '%URGENT%'
@@ -93,14 +106,13 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        sum(col("o_totalprice").cast(DecimalType(14, 2)))
-          .cast(DecimalType(28, 2)).as("total_price"))
+        dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("n_name"))
   }
 
   val q3Sql: String =
     """SELECT n_name, COUNT(*) AS order_cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS total_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -173,14 +185,13 @@ object RelationalQueries {
     t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("order_count"),
-        sum(col("o_totalprice").cast(DecimalType(14, 2)))
-          .cast(DecimalType(28, 2)).as("total_spent"))
+        dsum(col("o_totalprice")).as("total_spent"))
       .orderBy(col("order_count").desc, col("total_spent").desc, col("o_custkey"))
       .limit(10)
 
   val q5Sql: String =
     """SELECT o_custkey, COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS total_spent
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
       |FROM orders GROUP BY o_custkey
       |ORDER BY order_count DESC, total_spent DESC, o_custkey LIMIT 10""".stripMargin
 
@@ -188,12 +199,11 @@ object RelationalQueries {
   def q6Sort(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_size"),
-        col("p_retailprice").cast(DecimalType(14, 2)).as("p_retailprice"))
+        col("p_retailprice"))
       .orderBy(col("p_brand").asc, col("p_size").desc, col("p_partkey").asc)
 
   val q6Sql: String =
-    """SELECT p_partkey, p_brand, p_size,
-      |  CAST(p_retailprice AS DECIMAL(14,2)) AS p_retailprice
+    """SELECT p_partkey, p_brand, p_size, p_retailprice
       |FROM part ORDER BY p_brand ASC, p_size DESC, p_partkey ASC""".stripMargin
 
   // ---------------------------------------------- q7: window ranking
@@ -209,14 +219,12 @@ object RelationalQueries {
       .withColumn("drk", dense_rank().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(14, 2)).as("o_totalprice"),
-        col("rn"), col("rk"), col("drk"))
+        col("o_totalprice"), col("rn"), col("rk"), col("drk"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   val q7Sql: String =
-    """SELECT o_custkey, o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, rn, rk, drk
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
@@ -237,23 +245,17 @@ object RelationalQueries {
       .withColumn("first_qty", first(col("l_quantity")).over(wRun))
       .withColumn("running_qty",
         sum(col("l_quantity").cast(DecimalType(14, 2))).over(wRun)
-          .cast(DecimalType(28, 2)))
+          .cast(DoubleType))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(14, 2)).as("l_quantity"),
-        col("prev_qty").cast(DecimalType(14, 2)).as("prev_qty"),
-        col("next_qty").cast(DecimalType(14, 2)).as("next_qty"),
-        col("first_qty").cast(DecimalType(14, 2)).as("first_qty"),
-        col("running_qty"))
+        col("l_quantity"), col("prev_qty"), col("next_qty"),
+        col("first_qty"), col("running_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   val q8Sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  CAST(l_quantity AS DECIMAL(14,2)) AS l_quantity,
-      |  CAST(prev_qty AS DECIMAL(14,2)) AS prev_qty,
-      |  CAST(next_qty AS DECIMAL(14,2)) AS next_qty,
-      |  CAST(first_qty AS DECIMAL(14,2)) AS first_qty,
-      |  CAST(running_qty AS DECIMAL(28,2)) AS running_qty
+      |  l_quantity, prev_qty, next_qty, first_qty,
+      |  CAST(running_qty AS DOUBLE) AS running_qty
       |FROM (
       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
       |    LAG(l_quantity, 1) OVER w AS prev_qty,
@@ -277,7 +279,7 @@ object RelationalQueries {
 
   val q9Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -300,16 +302,16 @@ object RelationalQueries {
       .agg(
         countDistinct(col("l_suppkey")).as("n_suppliers"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        min(col("l_quantity")).cast(DecimalType(14, 2)).as("min_qty"),
-        max(col("l_quantity")).cast(DecimalType(14, 2)).as("max_qty"))
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag"))
 
   val q10Sql: String =
     """SELECT l_returnflag,
       |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
       |  COUNT(DISTINCT l_partkey) AS n_parts,
-      |  CAST(MIN(l_quantity) AS DECIMAL(14,2)) AS min_qty,
-      |  CAST(MAX(l_quantity) AS DECIMAL(14,2)) AS max_qty
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------- q11: set ops
@@ -393,10 +395,15 @@ object RelationalQueries {
         when(col("c_acctbal") > 5000.0, lit("high"))
           .when(col("c_acctbal") > 0.0, lit("mid"))
           .otherwise(lit("low")).as("bal_band"),
-        abs(col("c_acctbal")).cast(DecimalType(14, 2)).as("abs_bal"),
-        // + 0.0 collapses IEEE negative zero (ROUND(-0.0004,1) = -0.0) so
-        // both engines hash identically
-        (round(col("c_acctbal") / 100.0, 1) + lit(0.0)).as("bal_hundreds"))
+        abs(col("c_acctbal")).as("abs_bal"),
+        // HALF_UP-to-1-decimal spelled as floor(x*10+0.5)/10: every step is
+        // a single IEEE op evaluated identically in Spark and DuckDB, so
+        // the result is bit-identical — whereas round(double, 1) takes the
+        // exact-BigDecimal path in Spark but the multiply-then-rint path in
+        // DuckDB, which disagree when x sits on a .x5 boundary (2dp inputs
+        // divided by 100 produce them). + 0.0 collapses IEEE negative zero.
+        ((floor(col("c_acctbal") / 100.0 * 10.0 + 0.5) / 10.0) + lit(0.0))
+          .as("bal_hundreds"))
       .orderBy(col("c_custkey"))
 
   val q14Sql: String =
@@ -407,8 +414,8 @@ object RelationalQueries {
       |  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
       |  CASE WHEN c_acctbal > 5000.0 THEN 'high'
       |       WHEN c_acctbal > 0.0 THEN 'mid' ELSE 'low' END AS bal_band,
-      |  CAST(ABS(c_acctbal) AS DECIMAL(14,2)) AS abs_bal,
-      |  ROUND(c_acctbal / 100.0, 1) + 0.0 AS bal_hundreds
+      |  ABS(c_acctbal) AS abs_bal,
+      |  FLOOR(c_acctbal / 100.0 * 10.0 + 0.5) / 10.0 + 0.0 AS bal_hundreds
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------- q15: date/time functions

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Event-time window operators over `events` (SURVEY.md §2.3 group windows,
   * §2.4 streaming semantics). These are the BATCH forms of the same
@@ -29,8 +29,11 @@ object WindowQueries {
     events(s, dir)
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6)))
-          .cast(DecimalType(28, 6)).as("sum_value"))
+        // exact decimal sum internally; DOUBLE on the wire — a DECIMAL
+        // output column renders scale-preserving via pyarrow but float64
+        // via duckdb-pandas, breaking driver-side value hashing (r1).
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
@@ -38,7 +41,7 @@ object WindowQueries {
   val qTumbleSql: String =
     """SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS win_start,
       |  event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
