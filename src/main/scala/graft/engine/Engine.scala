@@ -194,12 +194,14 @@ final class EngineSession(val spark: SparkSession) {
     * match (a regex misfires on string literals and is case-sensitive
     * where SQL identifiers aren't). */
   private def streamingTables(sql: String): Seq[TableSpec] = {
+    // A parse failure propagates: the operation surfaces status=Error with
+    // the parser's message. Swallowing it here would silently run a
+    // streaming statement through the batch path instead.
     val refs: Set[String] =
-      try spark.sessionState.sqlParser.parsePlan(sql).collect {
+      spark.sessionState.sqlParser.parsePlan(sql).collect {
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
           r.multipartIdentifier.last.toLowerCase
       }.toSet
-      catch { case scala.util.control.NonFatal(_) => Set.empty }
     specs.values.toSeq.filter(s =>
       !s.isBounded && refs.contains(s.name.toLowerCase))
   }
@@ -281,7 +283,16 @@ final class EngineSession(val spark: SparkSession) {
           s"$d/${info.handle.id}"))
         .getOrElse(writer0)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val rows = batch.collect() // bounded: micro-batch of changed rows
+          // Append mode: cap the pull at the store's remaining capacity —
+          // a fast source's first micro-batch can exceed the 10k client cap
+          // by orders of magnitude, and collecting it before the cap
+          // applies is a driver OOM. (Update mode stays uncapped: its batch
+          // is bounded by grouping-key cardinality and every changed key
+          // must reach the store for convergence.)
+          val bounded =
+            if (keyIdx.nonEmpty) batch
+            else batch.limit(store.remainingCapacity)
+          val rows = bounded.collect()
           rows.foreach { r =>
             val fields = r.toSeq
             if (keyIdx.nonEmpty) store.upsert(keyIdx.map(fields), fields)

@@ -88,6 +88,10 @@ final class ResultStore(
   def isEos: Boolean = synchronized(eos)
   def size: Int = synchronized(rows.size)
   def atCapacity: Boolean = synchronized(rows.size >= maxRows)
+  /** Rows the store will still accept — producers cap what they pull
+    * driver-side to this, so a fast source can't land an arbitrarily large
+    * micro-batch on the driver just to have it dropped here. */
+  def remainingCapacity: Int = synchronized(math.max(0, maxRows - rows.size))
 
   /** Client pause/resume: drain control only — the producing query keeps
     * running (flinkNotebookController.ts:761-819). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -17,16 +17,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * distance (Charikar's SimHash, STOC'02).
   *
   * A native `Expression` (not a Scala UDF): operates on `ArrayData`/
-  * `UTF8String` directly, no serialization at the row boundary. The single
-  * per-row eval loops over tokens in-JVM; `CodegenFallback` costs one
-  * virtual call per row, negligible against the token loop itself.
+  * `UTF8String` directly, no serialization at the row boundary. `doGenCode`
+  * emits a call into `hashArray` via a codegen reference object — one
+  * virtual call per row (negligible against the token loop) while KEEPING
+  * the expression inside the surrounding WholeStageCodegen span, which a
+  * `CodegenFallback` would split.
   *
   * Reference capability: robalaban/flink-notebooks has no dedup operator
   * (the Flink SQL envelope stops at exact `ROW_NUMBER`-dedup); this is part
   * of the training-data-pipeline extension surface (SURVEY.md §7.1 item 8).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -36,8 +38,8 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared by interpreted eval and generated code. */
+  def hashArray(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -59,6 +61,14 @@ case class SimHash64(child: Expression)
       b += 1
     }
     sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hashArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.hashArray($arr);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Column space (see DedupOps history) is fine here.
   */
 case class SrpCode(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(bits > 0 && bits <= 30)
 
@@ -37,8 +37,10 @@ case class SrpCode(child: Expression, bits: Int, seed: Int)
     z ^ (z >>> 31)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Shared by interpreted eval and generated code (kept inside the
+    * surrounding WholeStageCodegen span via a reference-object call —
+    * a CodegenFallback would split the span). */
+  def codeOf(v: ArrayData): Long = {
     val n = v.numElements()
     val proj = new Array[Double](bits)
     var i = 0
@@ -59,6 +61,14 @@ case class SrpCode(child: Expression, bits: Int, seed: Int)
       p += 1
     }
     code
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    codeOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpCode].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.codeOf($arr);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpCode =

@@ -231,53 +231,88 @@ object DedupOps {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------- embedding cosine pairs
-  /** Near-duplicate pairs in embedding space: cosine ≥ threshold.
-    * Exact all-pairs here (oracle-checkable); the scale path is
-    * SimilarityOps.annLsh which blocks by SRP bucket first. */
-  /** Exact all-pairs cosine near-dup detection.
+  /** Exact all-pairs cosine near-dup detection, fully distributed.
     *
-    * Implementation is broadcast + mapPartitions (the (d) escape hatch,
-    * used deliberately): a DataFrame self-join materializes both 64-float
-    * arrays into every joined row — ~2M × 1 KB of copying dwarfs the
-    * 128M-flop dot-product work. Here the vector block broadcasts once
-    * (n·dim·8 bytes; 100k×64 ≈ 51 MB — fine), each task takes a
-    * round-robin stripe of row indices and scans j>i in a primitive loop.
-    * Beyond broadcastable n, exact all-pairs is the wrong tool at any
-    * engine — that's what SimilarityOps.annLsh is for.
+    * Block-pair join (no driver-side collect, no broadcast of the corpus):
+    * each vector lands in block b = hash(id) mod B, is replicated to the B
+    * group keys {(min(b,t), max(b,t)) : t < B}, and every unordered vector
+    * pair meets in EXACTLY one group — (b,b) for same-block pairs, (bi,bj)
+    * for mixed — where a primitive loop computes the dot products. One
+    * shuffle of n·B rows; per-group state is 2n/B vectors; total pairwise
+    * work is the same n²/2 flops wherever it runs. B scales the memory/
+    * replication trade: at 100k×64f and B=16, a group holds ~12k vectors
+    * (≈6 MB) — nothing ever sits on the driver, so the operator survives
+    * any corpus that its O(n²) math does. Beyond that, exact all-pairs is
+    * the wrong tool at any engine — that's SimilarityOps.annLsh.
+    *
+    * A naive DataFrame self-join is ~50× worse than this shape: it
+    * materializes both 64-float arrays into every candidate row (~n²/2 ×
+    * 1 KB of copying), dwarfing the dot-product flops.
     *
     * Numeric order matches the oracle: sequential dot fold, norm from a
-    * left-to-right sum, `round(…, 6)` at the end. */
+    * left-to-right sum of squares, `round(…, 6)` at the end. */
   def ddEmbeddingCosine(s: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, blocks: Int = 16): DataFrame = {
     import s.implicits._
-    val vecs = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val ids = vecs.map(_._1)
-    val data = vecs.map(_._2)
-    val norms = data.map { v =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((ids, data, norms))
-    val n = ids.length
-    val pairs = s.range(0, n).repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val (bIds, bData, bNorms) = bc.value
-        it.flatMap { iL =>
-          val i = iL.toInt
-          val vi = bData(i)
-          val ni = bNorms(i)
-          (i + 1 until n).iterator.flatMap { j =>
-            val vj = bData(j)
-            var acc = 0.0; var k = 0
-            while (k < vi.length) { acc += vi(k) * vj(k); k += 1 }
-            val c = acc / (ni * bNorms(j))
-            if (c >= threshold - 1e-9) Some((bIds(i), bIds(j), c)) else None
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val replicated = base
+      .select(col("vec_id"), col("ve"), col("blk"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("t"))
+      .select(least(col("blk"), col("t")).as("lo"),
+        greatest(col("blk"), col("t")).as("hi"),
+        col("blk"), col("vec_id"), col("ve"))
+      .as[(Int, Int, Int, Long, Array[Double])]
+    val pairs = replicated
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double])]) =>
+        val (lo, hi) = key
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        def norm(v: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
+          math.sqrt(acc)
+        }
+        it.foreach { case (_, _, blk, id, ve) =>
+          if (blk == lo) left += ((id, ve, norm(ve)))
+          else right += ((id, ve, norm(ve)))
+        }
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var k = 0
+          while (k < a.length) { acc += a(k) * b(k); k += 1 }
+          acc
+        }
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+          // dot(lower-id, higher-id) so the fold order is pair-canonical,
+          // independent of which block each vector hashed into
+          val (x, y) = if (a._1 < b._1) (a, b) else (b, a)
+          val c = dot(x._2, y._2) / (x._3 * y._3)
+          if (c >= threshold - 1e-9) out += ((x._1, y._1, c))
+        }
+        if (lo == hi) {
+          // same-block pairs: computed here and ONLY here
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) { emit(left(i), left(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          // mixed groups: cross-side pairs only (same-block co-occurrences
+          // here would duplicate every (b,·) group's work)
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) { emit(left(i), right(j)); j += 1 }
+            i += 1
           }
         }
-      }.toDF("id_a", "id_b", "cos_raw")
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cos_raw")
     pairs
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .filter(col("cos") >= threshold)

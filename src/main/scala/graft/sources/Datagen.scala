@@ -76,9 +76,12 @@ object Datagen {
         (lit(min) + unit(id, name) * (max - min)).cast(d)
       case StringType =>
         val len = opt("length").map(_.toInt).getOrElse(10)
-        // deterministic alphanumeric of exactly `len` chars
-        substring(repeat(base64(unhex(md5(concat(id.cast(StringType), lit(name))))),
-          len / 20 + 1), 1, len)
+        // deterministic alphanumeric of exactly `len` chars — base64's
+        // '+','/','=' are mapped into the alphanumeric set (Flink's datagen
+        // emits [a-zA-Z0-9] only)
+        substring(repeat(translate(
+          base64(unhex(md5(concat(id.cast(StringType), lit(name))))),
+          "+/=", "Xq7"), len / 20 + 1), 1, len)
       case BooleanType => (pmod(xxhash64(id, lit(name)), lit(2)) === 0)
       case TimestampType | TimestampNTZType =>
         rateTs.map(_.cast(dt)).getOrElse(now().cast(dt))

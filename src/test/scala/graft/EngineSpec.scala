@@ -183,6 +183,27 @@ class EngineSpec extends AnyFunSuite {
     assert(session.ops.fetch(h, 0).resultType != "NOT_READY") // EOS-terminated
   }
 
+  // --------------------------- append-mode delivery is capacity-bounded
+  test("append-mode streaming pull is bounded by store capacity (no unbounded collect)") {
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      """CREATE TABLE firehose (v INT) WITH (
+        |'connector' = 'datagen', 'rows-per-second' = '200000',
+        |'fields.v.min' = '1', 'fields.v.max' = '10')""".stripMargin)
+    // no aggregate → append mode: each micro-batch pull must be capped at
+    // the store's remaining capacity BEFORE collect — a 200k rows/s source
+    // lands ~100k rows in the first 500ms trigger otherwise.
+    val h = session.execute("SELECT v FROM firehose")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 30000
+    while (info.store.forall(_.size < 10000) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(info.store.get.size == 10000, "store fills exactly to the client cap")
+    assert(info.status == OpStatus.Running, s"query healthy, got ${info.status}")
+    session.ops.cancel(h)
+  }
+
   // ------------------------------------ filesystem sink: INSERT INTO/OVERWRITE
   test("filesystem connector: INSERT INTO appends, INSERT OVERWRITE replaces") {
     val path = java.nio.file.Files.createTempDirectory("graft-fs").toString
