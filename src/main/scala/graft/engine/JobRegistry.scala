@@ -1,12 +1,14 @@
 package graft.engine
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.execution.SparkPlanInfo
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+import org.apache.spark.sql.streaming.{StreamingQueryListener, StreamingQueryProgress}
 
 /** Job monitoring parity (SURVEY.md §3.3): overview / per-job metrics /
-  * cancel, fed by SparkListener (batch) + StreamingQueryListener
+  * details / cancel, fed by SparkListener (batch) + StreamingQueryListener
   * (streaming), replacing the reference's JobManager REST polling
   * (flinkJobClient.ts:107-146, metrics numRecordsIn/Out ≈ numInputRows).
   */
@@ -18,6 +20,35 @@ final case class JobInfo(
     numRecordsOut: Long,
     numBytesIn: Long)
 
+/** One operator node — the reference renders `vertex.name (parallelism)` +
+  * status per job expand (flinkJobClient.ts:120-128 → jobMonitorProvider
+  * .ts:341-347). Batch vertices come from the executed SparkPlan tree;
+  * streaming vertices from `StreamingQueryProgress.stateOperators`. */
+final case class VertexInfo(
+    name: String,
+    parallelism: Int,
+    status: String,
+    numRowsTotal: Long = 0L,
+    numRowsUpdated: Long = 0L)
+
+/** Checkpoint stats the reference surfaces (flinkJobClient.ts:180-188 →
+  * jobMonitorProvider.ts:383-391): counts + latest + commit duration. On
+  * Spark a "completed checkpoint" is a committed micro-batch. */
+final case class CheckpointStats(
+    total: Long,
+    completed: Long,
+    failed: Long,
+    latestCompleted: Boolean,
+    lastCommitDurationMs: Long,
+    stateRows: Long,
+    stateBytes: Long)
+
+final case class JobDetails(
+    job: JobInfo,
+    vertices: Seq[VertexInfo],
+    durations: Map[String, Long],
+    checkpoints: Option[CheckpointStats])
+
 final class JobRegistry(spark: SparkSession) {
 
   private val batchJobs = TrieMap.empty[Int, JobInfo]
@@ -27,11 +58,21 @@ final class JobRegistry(spark: SparkSession) {
   // by stage, so record each job's stages at start
   private val stageToJob = TrieMap.empty[Int, Int]
   private val canceledStreams = TrieMap.empty[String, Boolean]
+  // batch job → SQL execution (spark.sql.execution.id property at start);
+  // execution → physical plan tree (SQLExecutionStart listener event)
+  private val jobToExecution = TrieMap.empty[Int, Long]
+  private val executionPlans = TrieMap.empty[Long, SparkPlanInfo]
+  // streaming: last progress + committed-batch counter per query
+  private val streamProgress = TrieMap.empty[java.util.UUID, StreamingQueryProgress]
+  private val streamCommits = TrieMap.empty[java.util.UUID, Long]
+  private val streamFailures = TrieMap.empty[java.util.UUID, Long]
 
   private val sparkListener = new SparkListener {
     override def onJobStart(e: SparkListenerJobStart): Unit = {
-      val group = Option(e.properties)
-        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      val props = Option(e.properties)
+      val group = props.flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      props.flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        .foreach(eid => jobToExecution.put(e.jobId, eid.toLong))
       jobGroups.put(e.jobId, group)
       e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       batchJobs.put(e.jobId,
@@ -55,13 +96,20 @@ final class JobRegistry(spark: SparkSession) {
           if (e.jobResult.toString.contains("Succeeded")) "FINISHED" else "FAILED"))
         case None => None
       }
+    override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+      case s: SparkListenerSQLExecutionStart =>
+        executionPlans.put(s.executionId, s.sparkPlanInfo)
+      case _ => ()
+    }
   }
 
   private val streamListener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
       streamJobs.put(e.id, JobInfo(e.id.toString,
         Option(e.name).getOrElse(""), "RUNNING", 0, 0, 0))
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      streamProgress.put(e.progress.id, e.progress)
+      streamCommits.updateWith(e.progress.id)(c => Some(c.getOrElse(0L) + 1L))
       streamJobs.updateWith(e.progress.id) {
         case Some(j) => Some(j.copy(
           numRecordsIn = j.numRecordsIn + e.progress.numInputRows,
@@ -69,7 +117,10 @@ final class JobRegistry(spark: SparkSession) {
             Option(e.progress.sink).map(_.numOutputRows).filter(_ > 0).getOrElse(0L)))
         case None => None
       }
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      if (e.exception.isDefined)
+        streamFailures.updateWith(e.id)(c => Some(c.getOrElse(0L) + 1L))
       streamJobs.updateWith(e.id) {
         case Some(j) => Some(j.copy(state =
           if (e.exception.isDefined) "FAILED"
@@ -77,6 +128,7 @@ final class JobRegistry(spark: SparkSession) {
           else "FINISHED"))
         case None => None
       }
+    }
   }
 
   spark.sparkContext.addSparkListener(sparkListener)
@@ -87,6 +139,62 @@ final class JobRegistry(spark: SparkSession) {
     (batchJobs.values ++ streamJobs.values).toSeq.groupBy(_.state)
 
   def streaming(): Seq[JobInfo] = streamJobs.values.toSeq
+
+  /** Per-job drill-down: operator vertices + durations + checkpoint stats —
+    * the reference fetches `/jobs/:id` vertices and `/jobs/:id/checkpoints`
+    * on every monitor expand (flinkJobClient.ts:120-128,180-188).
+    *
+    * Batch: the executed SparkPlan node tree (pre-order), parallelism =
+    * `defaultParallelism`. Streaming: one vertex per stateful operator from
+    * the last `StreamingQueryProgress` (parallelism = its shuffle-partition
+    * count), `durations` = the progress's phase durations, checkpoints =
+    * committed-batch counts + commit duration + state size. */
+  def details(id: String): Option[JobDetails] = {
+    val batch = batchJobs.collectFirst { case (jid, j) if jid.toString == id => (jid, j) }
+    batch match {
+      case Some((jid, j)) =>
+        val vertices = jobToExecution.get(jid).flatMap(executionPlans.get) match {
+          case Some(plan) => flatten(plan).map(n =>
+            VertexInfo(n.nodeName, spark.sparkContext.defaultParallelism, j.state))
+          case None => Nil
+        }
+        Some(JobDetails(j, vertices, Map.empty, None))
+      case None =>
+        streamJobs.collectFirst { case (uid, j) if uid.toString == id => (uid, j) }
+          .map { case (uid, j) =>
+            val prog = streamProgress.get(uid)
+            val vertices = prog.toSeq.flatMap(_.stateOperators.toSeq).map { so =>
+              VertexInfo(so.operatorName, so.numShufflePartitions.toInt, j.state,
+                so.numRowsTotal, so.numRowsUpdated)
+            }
+            val durations: Map[String, Long] = prog match {
+              case Some(p) =>
+                import scala.jdk.CollectionConverters._
+                p.durationMs.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+              case None => Map.empty
+            }
+            val ckpt = prog.map { p =>
+              val commits = streamCommits.getOrElse(uid, 0L)
+              val failed = streamFailures.getOrElse(uid, 0L)
+              CheckpointStats(
+                total = commits + failed,
+                completed = commits,
+                failed = failed,
+                latestCompleted = commits > 0,
+                lastCommitDurationMs =
+                  durations.getOrElse("walCommit", 0L) +
+                    durations.getOrElse("commitOffsets", 0L) +
+                    durations.getOrElse("commitBatch", 0L),
+                stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+                stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum)
+            }
+            JobDetails(j, vertices, durations, ckpt)
+          }
+    }
+  }
+
+  private def flatten(p: SparkPlanInfo): Seq[SparkPlanInfo] =
+    p +: p.children.flatMap(flatten)
 
   /** Cancel by id: streaming query stop or batch job-group cancel
     * (flinkJobClient.ts:164-175 analogue). */

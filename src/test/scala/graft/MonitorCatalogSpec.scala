@@ -51,4 +51,45 @@ class MonitorCatalogSpec extends AnyFunSuite {
       assert(reg.streaming().exists(_.state == "CANCELED"))
     } finally reg.close()
   }
+
+  test("job details: batch plan vertices + streaming stateOperators/checkpoints") {
+    val reg = new JobRegistry(spark)
+    try {
+      // batch: executed-plan node tree becomes the vertex list
+      spark.range(50000).selectExpr("sum(id)").collect()
+      val deadline = System.currentTimeMillis() + 5000
+      def batchDetails: Option[JobDetails] = reg.overview().values.flatten
+        .flatMap(j => reg.details(j.id)).find(_.vertices.nonEmpty)
+      while (batchDetails.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val bd = batchDetails.get
+      assert(bd.vertices.exists(v => v.name.toLowerCase.contains("aggregate")),
+        s"plan vertices should include the aggregate, got ${bd.vertices.map(_.name)}")
+      assert(bd.vertices.forall(_.parallelism > 0))
+
+      // streaming agg: stateOperators become vertices; checkpoint stats
+      // count committed micro-batches (flinkJobClient.ts:120-128,180-188)
+      val session = new EngineSession(spark)
+      session.executeSync(
+        """CREATE TABLE det_stream (v INT) WITH (
+          |'connector' = 'datagen', 'rows-per-second' = '200',
+          |'fields.v.min' = '1', 'fields.v.max' = '5')""".stripMargin)
+      val h = session.execute("SELECT v, COUNT(*) AS c FROM det_stream GROUP BY v")
+      val d2 = System.currentTimeMillis() + 30000
+      def streamDetails: Option[JobDetails] = reg.streaming().headOption
+        .flatMap(j => reg.details(j.id))
+        .filter(d => d.checkpoints.exists(_.completed > 0) &&
+          d.vertices.exists(v => v.name == "stateStoreSave" && v.numRowsTotal > 0))
+      while (streamDetails.isEmpty && System.currentTimeMillis() < d2)
+        Thread.sleep(300)
+      assert(streamDetails.nonEmpty,
+        "stateStoreSave vertex with keyed state rows should appear")
+      val sd = streamDetails.get
+      assert(sd.vertices.exists(_.parallelism > 0))
+      val ck = sd.checkpoints.get
+      assert(ck.completed > 0 && ck.latestCompleted && ck.failed == 0)
+      assert(sd.durations.contains("triggerExecution"))
+      session.ops.cancel(h)
+    } finally reg.close()
+  }
 }
