@@ -208,8 +208,66 @@ final class EngineSession(val spark: SparkSession) {
 
   private def runQuery(original: String, rewritten: String): OperationHandle = {
     val streams = if (runtimeMode == "batch") Nil else streamingTables(original)
-    if (streams.isEmpty) runBatch(rewritten) else runStreaming(rewritten, streams)
+    val cdc = streams.filter(_.connector.endsWith("-cdc"))
+    if (streams.isEmpty) runBatch(rewritten)
+    else if (cdc.nonEmpty) runCdcScan(original, cdc)
+    else runStreaming(rewritten, streams)
   }
+
+  /** `SELECT * FROM <table>` and nothing else — the changelog-scan shape. */
+  private def isDirectScan(sql: String, table: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case Project(Seq(_: UnresolvedStar), r: UnresolvedRelation) =>
+        r.multipartIdentifier.last.equalsIgnoreCase(table)
+      case r: UnresolvedRelation =>
+        r.multipartIdentifier.last.equalsIgnoreCase(table)
+      case _ => false
+    }
+  }
+
+  /** CDC table scan: the Debezium changelog streams through
+    * `ChangelogOps.mergeBatch` into the keyed store — upserts for c/u/r,
+    * tombstoned Delete kinds for d (the reference's cdc tables render as a
+    * converging changelog view, CONNECTORS.md:126-140). A real
+    * postgres-cdc/mysql-cdc endpoint is unreachable here; a file-backed
+    * Debezium-JSON directory ('debezium.json.path') drives the identical
+    * pipeline. */
+  private def runCdcScan(sql: String, cdc: Seq[TableSpec]): OperationHandle =
+    ops.submit(sql) { info =>
+      val spec = cdc match {
+        case Seq(one) if isDirectScan(sql, one.name) => one
+        case _ => throw new IllegalArgumentException(
+          "CDC tables support direct changelog scans (SELECT * FROM <cdc_table>); " +
+            "materialize the compacted snapshot first for transformations")
+      }
+      if (spec.primaryKey.isEmpty) throw new IllegalArgumentException(
+        s"cdc table ${spec.name} needs PRIMARY KEY (...) NOT ENFORCED for changelog merge")
+      val path = spec.options.getOrElse("debezium.json.path",
+        throw new IllegalStateException(
+          s"connector '${spec.connector}' (table ${spec.name}) endpoint is unreachable " +
+            "in this environment; set 'debezium.json.path' for a file-backed changelog"))
+      val changelog = graft.sources.DebeziumJson.fileStream(spark, path, spec.schema)
+      val store = new ResultStore(spec.schema.fieldNames.toSeq)
+      info.store = Some(store)
+      info.isStreaming = true
+      val merge = graft.streaming.ChangelogOps.mergeBatch(
+        store, spec.primaryKey,
+        org.apache.spark.sql.functions.col("__ord")) _
+      val q = changelog.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(triggerInterval))
+        .option("checkpointLocation",
+          checkpointDir.getOrElse(
+            java.nio.file.Files.createTempDirectory("graft-ck").toString) +
+            s"/${info.handle.id}")
+        .foreachBatch(merge)
+        .start()
+      info.streamingQuery = Some(q)
+      q.awaitTermination()
+      store.markEos()
+    }
 
   private def runBatch(sql: String): OperationHandle = ops.submit(sql) { info =>
     val df = spark.sql(sql)
@@ -230,6 +288,14 @@ final class EngineSession(val spark: SparkSession) {
       spec.connector match {
         case "datagen" =>
           val df = Datagen.unbounded(spark, spec)
+          val wm = spec.watermark
+            .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
+          wm.createOrReplaceTempView(spec.name)
+        case "kafka" =>
+          // full reader plan built here (option mapping + value parse);
+          // without the connector jar, .load() throws data-source-not-found
+          // — an async Error on the SELECT's operation, never at DDL time
+          val df = graft.sources.KafkaJson.reader(spark, spec)
           val wm = spec.watermark
             .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
           wm.createOrReplaceTempView(spec.name)
@@ -257,7 +323,11 @@ final class EngineSession(val spark: SparkSession) {
         case _ => None
       }
       val agg = topAgg(df.queryExecution.analyzed)
-      val store = new ResultStore(df.schema.fieldNames.toSeq)
+      // SET 'graft.protocol.emit-update-before' = 'true' → Flink-changelog
+      // retraction pairs for keyed updates (models/types.ts:24-27 parity)
+      val store = new ResultStore(df.schema.fieldNames.toSeq,
+        emitUpdateBefore = spark.conf
+          .getOption("graft.protocol.emit-update-before").exists(_.toBoolean))
       info.store = Some(store)
       info.isStreaming = true
 

@@ -3,12 +3,14 @@ package graft.engine
 import scala.collection.mutable
 
 /** Changelog row kinds crossing the client wire — mirrors the reference's
-  * `ResultRow.kind` (vscode-extension/src/models/types.ts:24-27). Spark's
-  * update mode has no UPDATE_BEFORE; the store upserts keyed rows instead
-  * (SURVEY.md §7.4 known-hard #1).
+  * `ResultRow.kind` (vscode-extension/src/models/types.ts:24-27) including
+  * UPDATE_BEFORE. Spark's update mode emits no retractions itself; the
+  * store synthesizes the UpdateBefore/UpdateAfter pair from its keyed state
+  * when the protocol flag asks for Flink-changelog parity, and falls back
+  * to upsert-only delivery otherwise (SURVEY.md §7.4 known-hard #1).
   */
 object RowKind extends Enumeration {
-  val Insert, UpdateAfter, Delete = Value
+  val Insert, UpdateBefore, UpdateAfter, Delete = Value
 }
 
 final case class StoredRow(kind: RowKind.Value, fields: Seq[Any])
@@ -39,7 +41,12 @@ final case class FetchResult(
 final class ResultStore(
     val columns: Seq[String],
     pageSize: Int = 100,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    /** Flink-changelog parity: a keyed update to an already-served key is
+      * delivered as an UpdateBefore(old)/UpdateAfter(new) PAIR (the
+      * reference protocol's retraction shape, models/types.ts:24-27)
+      * instead of a lone re-emitted UpdateAfter. */
+    emitUpdateBefore: Boolean = false) {
 
   private val rows = mutable.ArrayBuffer.empty[StoredRow]
   private val keyIndex = mutable.HashMap.empty[Seq[Any], Int]
@@ -58,11 +65,15 @@ final class ResultStore(
         rows(i) = StoredRow(RowKind.UpdateAfter, fields)
       case Some(i) =>
         // already served to the client: forward-only paging would never
-        // re-deliver a mutation, so RE-EMIT as an UpdateAfter row (Flink
-        // changelog parity — the client applies it by key). The old row is
-        // tombstone-marked so snapshot() stays keyed-unique.
-        if (rows.size < maxRows) {
-          rows(i) = StoredRow(RowKind.Delete, rows(i).fields)
+        // re-deliver a mutation, so RE-EMIT — with the protocol flag on, as
+        // the UpdateBefore/UpdateAfter retraction pair; otherwise as a lone
+        // UpdateAfter the client applies by key. The old row is tombstone-
+        // marked either way so snapshot() stays keyed-unique.
+        val extra = if (emitUpdateBefore) 2 else 1
+        if (rows.size + extra <= maxRows) {
+          val old = rows(i).fields
+          rows(i) = StoredRow(RowKind.Delete, old)
+          if (emitUpdateBefore) rows += StoredRow(RowKind.UpdateBefore, old)
           keyIndex(key) = rows.size
           rows += StoredRow(RowKind.UpdateAfter, fields)
         } else rows(i) = StoredRow(RowKind.UpdateAfter, fields)
@@ -132,7 +143,9 @@ final class ResultStore(
     else FetchResult("NOT_READY", columns, Nil, Some(token))
   }
 
-  /** Materialized current row set (post-upsert view, tombstones excluded). */
+  /** Materialized current row set (post-upsert view; tombstones and
+    * retraction markers excluded). */
   def snapshot(): Seq[Seq[Any]] = synchronized(
-    rows.filter(_.kind != RowKind.Delete).map(_.fields).toSeq)
+    rows.filter(r => r.kind != RowKind.Delete && r.kind != RowKind.UpdateBefore)
+      .map(_.fields).toSeq)
 }

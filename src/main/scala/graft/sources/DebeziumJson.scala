@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Debezium-JSON changelog shape (SURVEY §2.1 CDC row; reference
+  * CONNECTORS.md:126-140 declares postgres-cdc/mysql-cdc tables whose wire
+  * format is the Debezium envelope). A CDC row is
+  * `{"before": {...}|null, "after": {...}|null, "op": "c|u|d|r",
+  * "ts_ms": <long>}`; `after` is null exactly for deletes.
+  *
+  * The envelope parsing is pure DataFrame transforms, so the same code runs
+  * over any stream of envelopes — a kafka value column in production, a
+  * file-backed JSON-lines directory in tests/benchmarks (no CDC endpoint is
+  * reachable in this environment).
+  */
+object DebeziumJson {
+
+  /** Envelope schema for a declared payload row type. */
+  def envelope(payload: StructType): StructType = new StructType()
+    .add("before", payload)
+    .add("after", payload)
+    .add("op", StringType)
+    .add("ts_ms", LongType)
+
+  /** Envelope rows → flat changelog: payload columns + `op` + `__ord`
+    * (event order = ts_ms; deletes take their payload from `before`). The
+    * shape `ChangelogOps.latestSnapshot`/`mergeBatch` consume. */
+  def flatten(env: DataFrame): DataFrame =
+    env
+      .select(coalesce(col("after"), col("before")).as("__p"),
+        col("op"), col("ts_ms").as("__ord"))
+      .select(col("__p.*"), col("op"), col("__ord"))
+
+  /** File-backed Debezium changelog stream: JSON-lines files under `path`,
+    * one envelope per line. One file per trigger, oldest first — a
+    * changelog replay must apply files in write order, and batch-local
+    * compaction across files would otherwise reorder a key's history. */
+  def fileStream(spark: SparkSession, path: String, payload: StructType): DataFrame =
+    flatten(spark.readStream.schema(envelope(payload))
+      .option("maxFilesPerTrigger", "1").json(path))
+
+  /** Batch twin (compaction jobs, tests). */
+  def fileBatch(spark: SparkSession, path: String, payload: StructType): DataFrame =
+    flatten(spark.read.schema(envelope(payload)).json(path))
+}

@@ -43,11 +43,17 @@ object ChangelogOps {
     val fieldNames = latest.schema.fieldNames
     val keyIdx = keyCols.map(fieldNames.indexOf(_))
     val opIdx = fieldNames.indexOf("op")
+    // metadata columns never reach the store: `op` always; `__ord` when the
+    // event-order column is the engine-internal one (a payload ordering
+    // column like a user-declared lsn stays)
+    val dropIdx = fieldNames.zipWithIndex
+      .collect { case (n, i) if n == "op" || n == "__ord" => i }
+      .sorted.reverse
     latest.collect().foreach { r =>
       val fields = r.toSeq
       val key = keyIdx.map(fields)
       if (fields(opIdx) == "d") store.delete(key)
-      else store.upsert(key, fields.patch(opIdx, Nil, 1))
+      else store.upsert(key, dropIdx.foldLeft(fields)((f, i) => f.patch(i, Nil, 1)))
     }
   }
 }

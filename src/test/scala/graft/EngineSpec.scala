@@ -204,6 +204,83 @@ class EngineSpec extends AnyFunSuite {
     session.ops.cancel(h)
   }
 
+  // --------------------------------------- kafka builder path (no jar here)
+  test("kafka table: DDL registers, SELECT builds the reader and errors at load") {
+    // option mapping is the jar-independent contract (CONNECTORS.md:98-109)
+    val opts = graft.sources.KafkaJson.sparkOptions(Map(
+      "connector" -> "kafka",
+      "topic" -> "clicks",
+      "properties.bootstrap.servers" -> "broker:9092",
+      "properties.group.id" -> "g1",
+      "scan.startup.mode" -> "earliest-offset",
+      "format" -> "json"))
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "clicks",
+      "startingOffsets" -> "earliest",
+      "kafka.group.id" -> "g1"))
+
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      """CREATE TABLE k_clicks (user_id INT, url STRING, ts TIMESTAMP(3)) WITH (
+        |'connector' = 'kafka', 'topic' = 'clicks',
+        |'properties.bootstrap.servers' = 'broker:9092',
+        |'format' = 'json', 'scan.startup.mode' = 'earliest-offset')""".stripMargin)
+    // DDL succeeded; the SELECT must reach the kafka reader builder and
+    // fail asynchronously (no connector jar in this image), not at DDL time
+    val h = session.execute("SELECT * FROM k_clicks")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 20000
+    while (info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(info.status == OpStatus.Error)
+    assert(info.error.exists(e =>
+      Option(e.getMessage).exists(_.toLowerCase.contains("kafka"))),
+      s"error should name the kafka source, got ${info.error.map(_.getMessage)}")
+  }
+
+  // ----------------------------- CDC end-to-end via file-backed Debezium JSON
+  test("cdc table: Debezium changelog merges into the store with upsert/delete kinds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
+    // two files = two micro-batches (fileStream replays one file per
+    // trigger, oldest-first): the delete in file b must tombstone a key
+    // INSERTED by file a — batch-local compaction would swallow it
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"before":null,"after":{"id":1,"name":"ada"},"op":"c","ts_ms":100}
+        |{"before":null,"after":{"id":2,"name":"bob"},"op":"c","ts_ms":101}
+        |""".stripMargin)
+    Thread.sleep(1100) // distinct mtime second → deterministic replay order
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"before":{"id":1,"name":"ada"},"after":{"id":1,"name":"ada2"},"op":"u","ts_ms":102}
+        |{"before":{"id":2,"name":"bob"},"after":null,"op":"d","ts_ms":103}
+        |{"before":null,"after":{"id":3,"name":"eve"},"op":"r","ts_ms":104}
+        |""".stripMargin)
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE cdc_users (id INT, name STRING,
+         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+         |'connector' = 'postgres-cdc', 'hostname' = 'unreachable',
+         |'debezium.json.path' = '$dir')""".stripMargin)
+    val h = session.execute("SELECT * FROM cdc_users")
+    val info = session.ops.get(h).get
+    val expected = Set(Seq(1, "ada2"), Seq(3, "eve"))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    val store = info.store.get
+    // converged view: id=1 updated, id=2 deleted, id=3 snapshot-read
+    assert(store.snapshot().toSet == expected, s"got ${store.snapshot()}")
+    // changelog kinds visible to the paging client: the cross-batch update
+    // arrives as UpdateAfter, the delete survives as a Delete-kind row
+    // (Flink retraction parity)
+    val kinds = drain(h, maxPages = 3).map(_.kind).toSet
+    assert(kinds.contains(RowKind.Delete), s"kinds: $kinds")
+    assert(kinds.contains(RowKind.UpdateAfter), s"kinds: $kinds")
+    session.ops.cancel(h)
+  }
+
   // ------------------------------------ filesystem sink: INSERT INTO/OVERWRITE
   test("filesystem connector: INSERT INTO appends, INSERT OVERWRITE replaces") {
     val path = java.nio.file.Files.createTempDirectory("graft-fs").toString
@@ -390,5 +467,30 @@ class EngineSpec extends AnyFunSuite {
     assert(second.rows.map(r => (r.kind, r.fields)) ==
       Seq((RowKind.UpdateAfter, Seq("a", 99))))
     assert(fs.snapshot() == Seq(Seq("b", 1), Seq("a", 99))) // keyed-unique
+  }
+
+  test("result store: UPDATE_BEFORE protocol flag emits retraction pairs") {
+    val ub = new ResultStore(Seq("k", "v"), pageSize = 2, emitUpdateBefore = true)
+    ub.upsert(Seq("a"), Seq("a", 1))
+    ub.upsert(Seq("b"), Seq("b", 1))
+    // pre-serve update: overwritten in place, no retraction needed
+    ub.upsert(Seq("b"), Seq("b", 2))
+    val first = ub.fetch(0)
+    assert(first.rows.map(r => (r.kind, r.fields)) ==
+      Seq((RowKind.Insert, Seq("a", 1)), (RowKind.UpdateAfter, Seq("b", 2))))
+    // post-serve update: the reference protocol's -U/+U pair, in order
+    // (models/types.ts:24-27)
+    ub.upsert(Seq("a"), Seq("a", 99))
+    ub.markEos()
+    val second = ub.fetch(1)
+    assert(second.rows.map(r => (r.kind, r.fields)) ==
+      Seq((RowKind.UpdateBefore, Seq("a", 1)), (RowKind.UpdateAfter, Seq("a", 99))))
+    // retraction markers never appear in the materialized view
+    assert(ub.snapshot() == Seq(Seq("b", 2), Seq("a", 99)))
+    // a second update retracts the CURRENT value, not the original
+    ub.upsert(Seq("a"), Seq("a", 100))
+    val third = ub.fetch(2)
+    assert(third.rows.map(r => (r.kind, r.fields)) ==
+      Seq((RowKind.UpdateBefore, Seq("a", 99)), (RowKind.UpdateAfter, Seq("a", 100))))
   }
 }
