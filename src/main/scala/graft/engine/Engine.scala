@@ -269,7 +269,24 @@ final class EngineSession(val spark: SparkSession) {
       store.markEos()
     }
 
+  /** Bounded spec-backed tables that must materialize per query (jdbc: the
+    * driver/connection is only touched at load(), inside the operation). */
+  private def materializeBounded(sql: String): Unit = {
+    val refs: Set[String] =
+      try spark.sessionState.sqlParser.parsePlan(sql).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    specs.values.filter(s =>
+      s.connector == "jdbc" && refs.contains(s.name.toLowerCase))
+      .foreach { spec =>
+        graft.sources.Jdbc.reader(spark, spec).createOrReplaceTempView(spec.name)
+      }
+  }
+
   private def runBatch(sql: String): OperationHandle = ops.submit(sql) { info =>
+    materializeBounded(sql)
     val df = spark.sql(sql)
     val store = new ResultStore(df.schema.fieldNames.toSeq)
     info.store = Some(store)

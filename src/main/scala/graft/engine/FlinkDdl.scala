@@ -21,7 +21,7 @@ final case class TableSpec(
     options: Map[String, String]) {
   def connector: String = options.getOrElse("connector", "")
   def isBounded: Boolean = options.contains("number-of-rows") ||
-    connector == "filesystem"
+    connector == "filesystem" || connector == "jdbc" // jdbc = bounded scan
 }
 
 object FlinkDdl {

@@ -239,6 +239,52 @@ class EngineSpec extends AnyFunSuite {
       s"error should name the kafka source, got ${info.error.map(_.getMessage)}")
   }
 
+  // ------------------------------------------- jdbc builder path (no driver)
+  test("jdbc table: option mapping + SELECT reaches the reader, errors at load") {
+    assert(graft.sources.Jdbc.sparkOptions(Map(
+      "connector" -> "jdbc",
+      "url" -> "jdbc:postgresql://db:5432/app",
+      "table-name" -> "users",
+      "username" -> "u", "password" -> "p",
+      "driver" -> "org.postgresql.Driver",
+      "scan.partition.column" -> "id", "scan.partition.num" -> "8",
+      "scan.partition.lower-bound" -> "0", "scan.partition.upper-bound" -> "1000000"
+    )) == Map(
+      "url" -> "jdbc:postgresql://db:5432/app", "dbtable" -> "users",
+      "user" -> "u", "password" -> "p", "driver" -> "org.postgresql.Driver",
+      "partitionColumn" -> "id", "numPartitions" -> "8",
+      "lowerBound" -> "0", "upperBound" -> "1000000"))
+
+    session.executeSync(
+      """CREATE TABLE j_users (id INT, name STRING) WITH (
+        |'connector' = 'jdbc', 'url' = 'jdbc:postgresql://unreachable:5432/app',
+        |'table-name' = 'users', 'driver' = 'org.postgresql.Driver')""".stripMargin)
+    val h = session.execute("SELECT * FROM j_users")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 20000
+    while (info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(info.status == OpStatus.Error)
+    // the postgres driver jar is absent here: the driver-lookup failure is
+    // the expected async error, raised inside the operation not at DDL time
+    assert(info.error.isDefined)
+  }
+
+  // ---------------------------------------- iceberg catalog conf shim smoke
+  test("iceberg CREATE CATALOG maps to spark.sql.catalog.* conf") {
+    session.executeSync(
+      """CREATE CATALOG ice WITH (
+        |'type' = 'iceberg',
+        |'catalog-impl' = 'org.apache.iceberg.spark.SparkCatalog',
+        |'warehouse' = 's3://bucket/wh',
+        |'io-impl' = 'org.apache.iceberg.aws.s3.S3FileIO')""".stripMargin)
+    assert(spark.conf.get("spark.sql.catalog.ice") ==
+      "org.apache.iceberg.spark.SparkCatalog")
+    assert(spark.conf.get("spark.sql.catalog.ice.warehouse") == "s3://bucket/wh")
+    assert(spark.conf.get("spark.sql.catalog.ice.io-impl") ==
+      "org.apache.iceberg.aws.s3.S3FileIO")
+  }
+
   // ----------------------------- CDC end-to-end via file-backed Debezium JSON
   test("cdc table: Debezium changelog merges into the store with upsert/delete kinds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
