@@ -22,6 +22,8 @@ object GraftSession {
       // testdata's events.ts is parquet TIMESTAMP(NANOS); read as Long nanos
       // (Tables.load converts to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native expressions as SQL functions (simhash64/srp_code/vec_dot)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()

@@ -63,4 +63,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents").count()
     assert(total == docs)
   }
+
+  test("native expressions are SQL-callable via GraftExtensions") {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("ext_docs")
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("ve"))
+      .createOrReplaceTempView("ext_emb")
+    // SQL results must match the Column-API expressions exactly
+    val sqlSig = spark.sql(
+      "SELECT doc_id, simhash64(split(lower(trim(text)), '\\\\s+')) AS sig " +
+        "FROM ext_docs ORDER BY doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val apiSig = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash64(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("sig"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sqlSig.sameElements(apiSig))
+    val sqlVec = spark.sql(
+      "SELECT vec_id, srp_code(ve, 6, 1) AS code, vec_dot(ve, ve) AS sq " +
+        "FROM ext_emb ORDER BY vec_id LIMIT 5").collect()
+    val apiVec = spark.sql("SELECT vec_id, ve FROM ext_emb ORDER BY vec_id LIMIT 5")
+      .select(col("vec_id"),
+        graft.functions.SrpCode(col("ve"), 6, 1).as("code"),
+        graft.functions.VecDot(col("ve"), col("ve")).as("sq"))
+      .collect()
+    assert(sqlVec.map(_.toSeq).toSeq == apiVec.map(_.toSeq).toSeq)
+  }
 }
