@@ -26,6 +26,40 @@ object LookupJoin {
     def valueSchema: StructType
   }
 
+  /** Deterministic "dimension service" stub standing in for an external
+    * JDBC/HTTP endpoint (none exists in this environment): computes its
+    * answer from the key, declines keys ≥ missFrom. Because it's a pure
+    * function, the q22 driver query's DuckDB oracle can reproduce it in
+    * SQL — certifying the per-partition open/lookup/close machinery and
+    * the null-padded miss path end-to-end. A real connector replaces
+    * `lookup` with a client call; nothing else changes. */
+  final class StubDimService(missFrom: Long) extends Connector {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    override def valueSchema: StructType = StructType(Seq(
+      StructField("svc_region", LongType), StructField("svc_tag", StringType)))
+    override def lookup(key: Any): Option[Seq[Any]] = {
+      val k = key.asInstanceOf[Number].longValue()
+      if (k >= missFrom) None else Some(Seq(k % 5, s"svc-$k"))
+    }
+  }
+
+  /** Driver query: supplier lookup-joined against the stub service. */
+  def q22(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sup = graft.Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    withLookup(sup, "s_nationkey", new StubDimService(missFrom = 20L))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q22Sql: String =
+    """SELECT s_suppkey, s_nationkey,
+      |  CASE WHEN s_nationkey >= 20 THEN NULL
+      |       ELSE CAST(s_nationkey % 5 AS BIGINT) END AS svc_region,
+      |  CASE WHEN s_nationkey >= 20 THEN NULL
+      |       ELSE 'svc-' || s_nationkey END AS svc_tag
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Left-join `df` against the connector on `keyCol`; misses yield nulls. */
   def withLookup(df: DataFrame, keyCol: String, connector: Connector): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ connector.valueSchema.fields

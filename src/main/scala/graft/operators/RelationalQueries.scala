@@ -566,6 +566,36 @@ object RelationalQueries {
       |  CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS exact
       |WHERE FALSE""".stripMargin
 
+  // --------------------------------- q23: scalar-function breadth battery 2
+  // Second scalar battery (SURVEY §2.3 scalar fns): regexp extraction,
+  // format/pad/replace/split-part string surgery, NULLIF/COALESCE,
+  // GREATEST, position — each with an exact DuckDB twin.
+  def q23StringFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        regexp_extract(col("o_orderpriority"), "[0-9]+", 0).as("prio_digit"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("prio_code"),
+        replace(col("o_orderpriority"), lit("-"), lit("_")).as("prio_snake"),
+        lpad(col("o_orderkey").cast(StringType), 10, "0").as("key_padded"),
+        instr(col("o_orderpriority"), "URGENT").cast(LongType).as("urgent_pos"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("X")).as("status_or_x"),
+        greatest(pmod(col("o_custkey"), lit(7L)), lit(3L)).as("g7"))
+      .orderBy(col("o_orderkey"))
+
+  val q23Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  regexp_extract(o_orderpriority, '[0-9]+') AS prio_digit,
+      |  split_part(o_orderpriority, '-', 1) AS prio_code,
+      |  replace(o_orderpriority, '-', '_') AS prio_snake,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+      |  CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS urgent_pos,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'X') AS status_or_x,
+      |  GREATEST(o_custkey % 7, 3) AS g7
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -593,6 +623,8 @@ object RelationalQueries {
     "q19_json" -> (q19Json _),
     "q20_stat_agg" -> (q20StatAgg _),
     "q21_approx" -> (q21Approx _),
+    "q22_lookup_join" -> (LookupJoin.q22 _),
+    "q23_string_fns" -> (q23StringFns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,5 +654,7 @@ object RelationalQueries {
     "q19_json" -> q19Sql,
     "q20_stat_agg" -> q20Sql,
     "q21_approx" -> q21Sql,
+    "q22_lookup_join" -> LookupJoin.q22Sql,
+    "q23_string_fns" -> q23Sql,
   )
 }
