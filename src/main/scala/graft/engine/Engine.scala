@@ -104,7 +104,8 @@ final class EngineSession(val spark: SparkSession) {
       specs.get(target) match {
         case Some(spec) if spec.connector == "filesystem" =>
           val streams =
-            if (runtimeMode == "batch") Nil else streamingTables(query)
+            if (runtimeMode == "batch") Nil
+            else streamingTables(referencedTables(query))
           if (streams.nonEmpty) {
             // streaming INSERT: continuous append job into the table path
             // (writeStream file sink; the op stays RUNNING until canceled —
@@ -146,6 +147,13 @@ final class EngineSession(val spark: SparkSession) {
       }
     case DialectShim.Passthrough(rewritten) => runQuery(sql, rewritten)
   }
+
+  /** SET 'graft.protocol.emit-update-before' = 'true' → Flink-changelog
+    * retraction pairs for keyed updates (models/types.ts:24-27 parity),
+    * honored by every keyed delivery path (update-mode aggregates AND cdc
+    * changelog scans). */
+  private def protocolUpdateBefore: Boolean =
+    spark.conf.getOption("graft.protocol.emit-update-before").exists(_.toBoolean)
 
   /** Execute and block until terminal state — convenience for DDL/tests. */
   def executeSync(sql: String): OperationInfo = awaitFinished(execute(sql))
@@ -189,29 +197,28 @@ final class EngineSession(val spark: SparkSession) {
     }
   }
 
-  /** Unbounded registered tables the statement actually references —
-    * resolved from the PARSED plan's relation identifiers, not a text
-    * match (a regex misfires on string literals and is case-sensitive
-    * where SQL identifiers aren't). */
-  private def streamingTables(sql: String): Seq[TableSpec] = {
-    // A parse failure propagates: the operation surfaces status=Error with
-    // the parser's message. Swallowing it here would silently run a
-    // streaming statement through the batch path instead.
-    val refs: Set[String] =
-      spark.sessionState.sqlParser.parsePlan(sql).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.last.toLowerCase
-      }.toSet
+  /** Relation identifiers the statement references — from the PARSED plan,
+    * not a text match (a regex misfires on string literals and is
+    * case-sensitive where SQL identifiers aren't). A parse failure
+    * propagates: the operation surfaces status=Error with the parser's
+    * message — swallowing it here would silently misroute the statement. */
+  private def referencedTables(sql: String): Set[String] =
+    spark.sessionState.sqlParser.parsePlan(sql).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase
+    }.toSet
+
+  private def streamingTables(refs: Set[String]): Seq[TableSpec] =
     specs.values.toSeq.filter(s =>
       !s.isBounded && refs.contains(s.name.toLowerCase))
-  }
 
   private def runQuery(original: String, rewritten: String): OperationHandle = {
-    val streams = if (runtimeMode == "batch") Nil else streamingTables(original)
+    val refs = referencedTables(original)
+    val streams = if (runtimeMode == "batch") Nil else streamingTables(refs)
     val cdc = streams.filter(_.connector.endsWith("-cdc"))
-    if (streams.isEmpty) runBatch(rewritten)
+    if (streams.isEmpty) runBatch(rewritten, refs)
     else if (cdc.nonEmpty) runCdcScan(original, cdc)
-    else runStreaming(rewritten, streams)
+    else runStreaming(rewritten, streams, refs)
   }
 
   /** `SELECT * FROM <table>` and nothing else — the changelog-scan shape. */
@@ -249,12 +256,13 @@ final class EngineSession(val spark: SparkSession) {
           s"connector '${spec.connector}' (table ${spec.name}) endpoint is unreachable " +
             "in this environment; set 'debezium.json.path' for a file-backed changelog"))
       val changelog = graft.sources.DebeziumJson.fileStream(spark, path, spec.schema)
-      val store = new ResultStore(spec.schema.fieldNames.toSeq)
+      val store = new ResultStore(spec.schema.fieldNames.toSeq,
+        emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
       info.isStreaming = true
       val merge = graft.streaming.ChangelogOps.mergeBatch(
         store, spec.primaryKey,
-        org.apache.spark.sql.functions.col("__ord")) _
+        org.apache.spark.sql.functions.col("__ord"), opCol = "__op") _
       val q = changelog.writeStream
         .outputMode(OutputMode.Append())
         .trigger(Trigger.ProcessingTime(triggerInterval))
@@ -270,23 +278,19 @@ final class EngineSession(val spark: SparkSession) {
     }
 
   /** Bounded spec-backed tables that must materialize per query (jdbc: the
-    * driver/connection is only touched at load(), inside the operation). */
-  private def materializeBounded(sql: String): Unit = {
-    val refs: Set[String] =
-      try spark.sessionState.sqlParser.parsePlan(sql).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.last.toLowerCase
-      }.toSet
-      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    * driver/connection is only touched at load(), inside the operation).
+    * Called from BOTH the batch and the streaming path — a streaming query
+    * joining a stream against a jdbc dimension is the lookup-shaped case
+    * jdbc tables exist for. */
+  private def materializeBounded(refs: Set[String]): Unit =
     specs.values.filter(s =>
       s.connector == "jdbc" && refs.contains(s.name.toLowerCase))
       .foreach { spec =>
         graft.sources.Jdbc.reader(spark, spec).createOrReplaceTempView(spec.name)
       }
-  }
 
-  private def runBatch(sql: String): OperationHandle = ops.submit(sql) { info =>
-    materializeBounded(sql)
+  private def runBatch(sql: String, refs: Set[String]): OperationHandle = ops.submit(sql) { info =>
+    materializeBounded(refs)
     val df = spark.sql(sql)
     val store = new ResultStore(df.schema.fieldNames.toSeq)
     info.store = Some(store)
@@ -322,9 +326,11 @@ final class EngineSession(val spark: SparkSession) {
       }
     }
 
-  private def runStreaming(sql: String, streams: Seq[TableSpec]): OperationHandle =
+  private def runStreaming(sql: String, streams: Seq[TableSpec],
+      refs: Set[String]): OperationHandle =
     ops.submit(sql) { info =>
       materializeStreams(streams)
+      materializeBounded(refs) // jdbc dims joinable from streaming queries
       val df = spark.sql(sql)
       // Update-mode semantics are driven by the TOP-LEVEL aggregate only —
       // an aggregate buried in a subquery (e.g. an aggregated static join
@@ -340,11 +346,8 @@ final class EngineSession(val spark: SparkSession) {
         case _ => None
       }
       val agg = topAgg(df.queryExecution.analyzed)
-      // SET 'graft.protocol.emit-update-before' = 'true' → Flink-changelog
-      // retraction pairs for keyed updates (models/types.ts:24-27 parity)
       val store = new ResultStore(df.schema.fieldNames.toSeq,
-        emitUpdateBefore = spark.conf
-          .getOption("graft.protocol.emit-update-before").exists(_.toBoolean))
+        emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
       info.isStreaming = true
 
@@ -370,18 +373,20 @@ final class EngineSession(val spark: SparkSession) {
           s"$d/${info.handle.id}"))
         .getOrElse(writer0)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // Append mode: cap the pull at the store's remaining capacity —
-          // a fast source's first micro-batch can exceed the 10k client cap
-          // by orders of magnitude, and collecting it before the cap
-          // applies is a driver OOM. (Update mode stays uncapped: its batch
-          // is bounded by grouping-key cardinality and every changed key
-          // must reach the store for convergence.)
+          // Driver memory stays bounded for ANY micro-batch size: rows pull
+          // one partition at a time (toLocalIterator), never a full
+          // collect — a fast source's first batch, or an aggregate over an
+          // unbounded key domain, can exceed the 10k client cap by orders
+          // of magnitude. Append mode additionally stops pulling at the
+          // store's capacity; update mode must see every changed key (an
+          // update to an already-stored key applies even at capacity), but
+          // holds at most one partition of them at a time.
           val bounded =
             if (keyIdx.nonEmpty) batch
             else batch.limit(store.remainingCapacity)
-          val rows = bounded.collect()
-          rows.foreach { r =>
-            val fields = r.toSeq
+          val it = bounded.toLocalIterator()
+          while (it.hasNext && !(keyIdx.isEmpty && store.atCapacity)) {
+            val fields = it.next().toSeq
             if (keyIdx.nonEmpty) store.upsert(keyIdx.map(fields), fields)
             else store.append(fields)
           }

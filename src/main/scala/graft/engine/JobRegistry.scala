@@ -67,6 +67,19 @@ final class JobRegistry(spark: SparkSession) {
   private val streamCommits = TrieMap.empty[java.util.UUID, Long]
   private val streamFailures = TrieMap.empty[java.util.UUID, Long]
 
+  /** History caps: a long-lived gateway session executes unbounded numbers
+    * of statements, and retaining every SparkPlanInfo tree / job row would
+    * grow driver memory monotonically. Ids are monotonic, so pruning the
+    * smallest keys evicts the oldest history; details() on an evicted job
+    * degrades to overview-only, matching the reference UI (its monitor
+    * shows recent jobs). */
+  private val MaxHistory = 1000
+  private val MaxPlans = 256
+  private def prune[V](m: TrieMap[Int, V], cap: Int): Unit =
+    while (m.size > cap) m.keys.minOption.foreach(m.remove)
+  private def pruneL[V](m: TrieMap[Long, V], cap: Int): Unit =
+    while (m.size > cap) m.keys.minOption.foreach(m.remove)
+
   private val sparkListener = new SparkListener {
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val props = Option(e.properties)
@@ -77,6 +90,8 @@ final class JobRegistry(spark: SparkSession) {
       e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       batchJobs.put(e.jobId,
         JobInfo(e.jobId.toString, group, "RUNNING", 0, 0, 0))
+      prune(batchJobs, MaxHistory); prune(jobGroups, MaxHistory)
+      prune(stageToJob, 4 * MaxHistory); prune(jobToExecution, MaxHistory)
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -99,6 +114,7 @@ final class JobRegistry(spark: SparkSession) {
     override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
       case s: SparkListenerSQLExecutionStart =>
         executionPlans.put(s.executionId, s.sparkPlanInfo)
+        pruneL(executionPlans, MaxPlans)
       case _ => ()
     }
   }
@@ -127,6 +143,14 @@ final class JobRegistry(spark: SparkSession) {
           else if (canceledStreams.contains(e.id.toString)) "CANCELED"
           else "FINISHED"))
         case None => None
+      }
+      // cap terminated-stream history: drop the heavy per-query state
+      // (last progress) for the oldest terminated queries beyond the cap
+      if (streamProgress.size > MaxPlans) {
+        val active = spark.streams.active.map(_.id).toSet
+        streamProgress.keys.filterNot(active.contains)
+          .take(streamProgress.size - MaxPlans)
+          .foreach { id => streamProgress.remove(id) }
       }
     }
   }

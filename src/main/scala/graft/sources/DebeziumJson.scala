@@ -24,14 +24,23 @@ object DebeziumJson {
     .add("op", StringType)
     .add("ts_ms", LongType)
 
-  /** Envelope rows → flat changelog: payload columns + `op` + `__ord`
+  /** Envelope rows → flat changelog: payload columns + `__op` + `__ord`
     * (event order = ts_ms; deletes take their payload from `before`). The
-    * shape `ChangelogOps.latestSnapshot`/`mergeBatch` consume. */
-  def flatten(env: DataFrame): DataFrame =
+    * metadata columns use reserved names so a payload column literally
+    * named `op` can't shadow the Debezium op code in downstream
+    * index-by-name resolution; a payload that itself declares a reserved
+    * name is rejected up front. */
+  def flatten(env: DataFrame): DataFrame = {
+    val payloadCols = env.schema("after").dataType
+      .asInstanceOf[StructType].fieldNames
+    val clash = payloadCols.toSet.intersect(Set("__op", "__ord"))
+    require(clash.isEmpty,
+      s"cdc payload columns ${clash.mkString(",")} collide with reserved changelog metadata names")
     env
       .select(coalesce(col("after"), col("before")).as("__p"),
-        col("op"), col("ts_ms").as("__ord"))
-      .select(col("__p.*"), col("op"), col("__ord"))
+        col("op").as("__op"), col("ts_ms").as("__ord"))
+      .select(col("__p.*"), col("__op"), col("__ord"))
+  }
 
   /** File-backed Debezium changelog stream: JSON-lines files under `path`,
     * one envelope per line. One file per trigger, oldest first — a

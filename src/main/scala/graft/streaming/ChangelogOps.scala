@@ -32,9 +32,14 @@ object ChangelogOps {
   /** Streaming form: collapse each micro-batch to latest-per-key and MERGE
     * into keyed store state — upserts for c/u/r, tombstones for d (a delete
     * must remove a key inserted in an EARLIER batch, so deletes can't just
-    * be filtered out batch-locally). Suitable for foreachBatch. */
+    * be filtered out batch-locally). Suitable for foreachBatch.
+    *
+    * `opCol` names the changelog-op column (DebeziumJson.flatten emits the
+    * reserved `__op`, immune to payload-name collisions; ad-hoc changelogs
+    * default to `op`). That column — and the engine-internal `__ord` order
+    * column when present — never reach the store. */
   def mergeBatch(store: graft.engine.ResultStore, keyCols: Seq[String],
-      ord: Column)(batch: DataFrame, batchId: Long): Unit = {
+      ord: Column, opCol: String = "op")(batch: DataFrame, batchId: Long): Unit = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
     val latest = batch
       .withColumn("__rn", row_number().over(w))
@@ -42,14 +47,12 @@ object ChangelogOps {
       .drop("__rn")
     val fieldNames = latest.schema.fieldNames
     val keyIdx = keyCols.map(fieldNames.indexOf(_))
-    val opIdx = fieldNames.indexOf("op")
-    // metadata columns never reach the store: `op` always; `__ord` when the
-    // event-order column is the engine-internal one (a payload ordering
-    // column like a user-declared lsn stays)
+    val opIdx = fieldNames.indexOf(opCol)
+    require(opIdx >= 0, s"changelog op column '$opCol' missing from ${fieldNames.mkString(",")}")
     val dropIdx = fieldNames.zipWithIndex
-      .collect { case (n, i) if n == "op" || n == "__ord" => i }
+      .collect { case (n, i) if n == opCol || n == "__ord" => i }
       .sorted.reverse
-    latest.collect().foreach { r =>
+    latest.toLocalIterator().forEachRemaining { r =>
       val fields = r.toSeq
       val key = keyIdx.map(fields)
       if (fields(opIdx) == "d") store.delete(key)
