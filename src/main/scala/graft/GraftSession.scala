@@ -25,7 +25,8 @@ object GraftSession {
       // native expressions as SQL functions (simhash64/srp_code/vec_dot)
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
