@@ -62,6 +62,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming cumulate windows == batch cumulate windows") {
+    import graft.operators.CumulateWindows
+    def agg(df: DataFrame): DataFrame =
+      CumulateWindows.cumulate(df, col("ts"), stepSec = 60, sizeSec = 120)
+        .groupBy(col("win_start"), col("win_end"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    val streamed = runToCompletion(
+      agg(StreamOps.readParquetStream(spark, streamDir, eventsSchema)),
+      "complete", "cumulate_out")
+    val batch = agg(Tables.load(spark, dir, "events"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("watermark drops late rows (append-mode tumble)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
