@@ -596,6 +596,55 @@ object RelationalQueries {
       |  GREATEST(o_custkey % 7, 3) AS g7
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------ q24: collection (array) functions
+  // Array surface (SURVEY §2.3 scalar fns: CARDINALITY/ELEMENT/array ops):
+  // size, indexing, membership, slicing, sorting — on the tokenized text
+  // column, where both engines agree on binary string ordering.
+  def q24CollectionFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_toks"),
+        element_at(col("t"), 1).as("first_tok"),
+        array_contains(col("t"), "the").as("has_the"),
+        concat_ws(" ", slice(col("t"), 1, 3)).as("first3"),
+        concat_ws(" ", slice(sort_array(col("t")), 1, 2)).as("sorted2"))
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String =
+    """SELECT doc_id, CAST(len(t) AS INT) AS n_toks, t[1] AS first_tok,
+      |  list_contains(t, 'the') AS has_the,
+      |  array_to_string(t[1:3], ' ') AS first3,
+      |  array_to_string(list_sort(t)[1:2], ' ') AS sorted2
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- q25: advanced aggregate surface
+  // MAX_BY/arg-max (deterministic via a composite bigint ordering key —
+  // struct arg-max isn't portable to the oracle), LISTAGG-style distinct
+  // string aggregation (ordered, so collect_set's nondeterministic order
+  // is canonicalized), and CORR.
+  def q25AggMore(s: SparkSession, dir: String): DataFrame = {
+    val ordKey = round(col("o_totalprice") * 100, 0).cast(LongType) *
+      lit(1000000000L) + col("o_orderkey")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), ordKey).as("top_order"),
+        concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities"),
+        (round(corr(col("o_totalprice"), col("o_custkey")), 4) + lit(0.0))
+          .as("price_cust_corr"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q25Sql: String =
+    """SELECT o_orderstatus,
+      |  arg_max(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT)*1000000000 + o_orderkey) AS top_order,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+      |  ROUND(corr(o_totalprice, o_custkey), 4) + 0.0 AS price_cust_corr
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -625,6 +674,8 @@ object RelationalQueries {
     "q21_approx" -> (q21Approx _),
     "q22_lookup_join" -> (LookupJoin.q22 _),
     "q23_string_fns" -> (q23StringFns _),
+    "q24_collection_fns" -> (q24CollectionFns _),
+    "q25_agg_more" -> (q25AggMore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -656,5 +707,7 @@ object RelationalQueries {
     "q21_approx" -> q21Sql,
     "q22_lookup_join" -> LookupJoin.q22Sql,
     "q23_string_fns" -> q23Sql,
+    "q24_collection_fns" -> q24Sql,
+    "q25_agg_more" -> q25Sql,
   )
 }
