@@ -327,6 +327,20 @@ class EngineSpec extends AnyFunSuite {
     session.ops.cancel(h)
   }
 
+  test("cdc table: non-direct-scan queries surface a clear error") {
+    session.executeSync(
+      """CREATE TABLE cdc_limits (id INT, v STRING,
+        |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+        |'connector' = 'mysql-cdc', 'debezium.json.path' = '/tmp/none')""".stripMargin)
+    val h = session.execute("SELECT COUNT(*) FROM cdc_limits")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 20000
+    while (info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(info.status == OpStatus.Error)
+    assert(info.error.exists(_.getMessage.contains("direct changelog scans")))
+  }
+
   // ------------------------------------ filesystem sink: INSERT INTO/OVERWRITE
   test("filesystem connector: INSERT INTO appends, INSERT OVERWRITE replaces") {
     val path = java.nio.file.Files.createTempDirectory("graft-fs").toString
