@@ -86,6 +86,8 @@ object FlinkDdl {
     val VarcharRe = """(?:VARCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?""".r
     val TsRe = """TIMESTAMP(?:\s*\(\s*\d\s*\))?""".r
     val TsLtzRe = """TIMESTAMP_LTZ(?:\s*\(\s*\d\s*\))?""".r
+    val TimeRe = """TIME(?:\s*\(\s*\d\s*\))?""".r
+    val BinRe = """(?:BYTES|BINARY|VARBINARY)(?:\s*\(\s*\d+\s*\))?""".r
     up match {
       case "INT" | "INTEGER" => IntegerType
       case "BIGINT" => LongType
@@ -97,16 +99,17 @@ object FlinkDdl {
       case "FLOAT" | "REAL" => FloatType
       case "BOOLEAN" => BooleanType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case "DECIMAL" | "NUMERIC" => DecimalType(10, 0) // Flink's default p/s
       case "DATE" => DateType
       // Flink TIME has no Spark equivalent: millis-of-day (SURVEY §7.3)
-      case "TIME" => IntegerType
+      case TimeRe() => IntegerType
       case TsLtzRe() => TimestampType
       // Flink TIMESTAMP(n) is local-date-time (⇒ NTZ), but Spark event-time
       // watermarks require TimestampType; with the session pinned to UTC the
       // two are indistinguishable, so map to TimestampType for watermark
       // compatibility (SURVEY §1.2 note).
       case TsRe() => TimestampType
-      case "BYTES" | "BINARY" | "VARBINARY" => BinaryType
+      case BinRe() => BinaryType
       case _ if up.startsWith("ROW<") =>
         val inner = t.trim.substring(4, t.trim.length - 1)
         StructType(splitTopLevel(inner).map { f =>

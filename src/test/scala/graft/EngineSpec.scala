@@ -478,6 +478,27 @@ class EngineSpec extends AnyFunSuite {
     assert(wm.watermark.contains(WatermarkSpec("event_time", "5 seconds")))
   }
 
+  test("DDL parser covers the reference renderer's full type envelope") {
+    // tableRendererScript.ts:62-81 — every type the reference UI renders
+    val spec = FlinkDdl.parse(
+      """CREATE TABLE all_types (
+        | a VARCHAR(10), b CHAR(2), c INTEGER, d BIGINT, e DOUBLE, f FLOAT,
+        | g DECIMAL(5,2), h DECIMAL, i BOOLEAN, j TIMESTAMP(3),
+        | k TIMESTAMP_LTZ(3), l DATE, m TIME(0), n BINARY(4), o VARBINARY(8),
+        | p BYTES, q SMALLINT, r TINYINT
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    val m = spec.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(m("a") == StringType && m("b") == StringType)
+    assert(m("c") == IntegerType && m("d") == LongType)
+    assert(m("e") == DoubleType && m("f") == FloatType)
+    assert(m("g") == DecimalType(5, 2) && m("h") == DecimalType(10, 0))
+    assert(m("i") == BooleanType)
+    assert(m("j") == TimestampType && m("k") == TimestampType)
+    assert(m("l") == DateType && m("m") == IntegerType) // TIME → millis-of-day
+    assert(m("n") == BinaryType && m("o") == BinaryType && m("p") == BinaryType)
+    assert(m("q") == ShortType && m("r") == ByteType)
+  }
+
   test("dialect rewrites: HOP arg order flips, SESSION maps to session_window") {
     val hop = DialectShim.rewriteGroupWindows(
       "SELECT HOP_START(ts, INTERVAL '1' MINUTE, INTERVAL '2' MINUTE), COUNT(*) " +
