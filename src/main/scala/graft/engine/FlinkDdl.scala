@@ -82,7 +82,8 @@ object FlinkDdl {
   /** Flink SQL type → Spark type (SURVEY.md §1.2 mapping table). */
   private[engine] def parseType(t: String): DataType = {
     val up = t.trim.toUpperCase
-    val DecimalRe = """(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    // scale is optional (Flink: DECIMAL(p) ⇒ scale 0)
+    val DecimalRe = """(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
     val VarcharRe = """(?:VARCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?""".r
     val TsRe = """TIMESTAMP(?:\s*\(\s*\d\s*\))?""".r
     val TsLtzRe = """TIMESTAMP_LTZ(?:\s*\(\s*\d\s*\))?""".r
@@ -98,7 +99,8 @@ object FlinkDdl {
       case "DOUBLE" => DoubleType
       case "FLOAT" | "REAL" => FloatType
       case "BOOLEAN" => BooleanType
-      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case DecimalRe(p, s) =>
+        DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
       case "DECIMAL" | "NUMERIC" => DecimalType(10, 0) // Flink's default p/s
       case "DATE" => DateType
       // Flink TIME has no Spark equivalent: millis-of-day (SURVEY §7.3)

@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer (the oracle-parity baseline). */
+  /** Whitespace tokenizer (the oracle-parity baseline).
+    *
+    * Note on `\s`: Java regex `\s` includes vertical tab (\x0B) while the
+    * oracle engine's RE2 `\s` does not — a latent tokenization divergence
+    * on text containing VT. The generated corpora contain none (verified
+    * per round); revisit with an explicit char class if the corpus ever
+    * carries exotic whitespace. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-ish subword split: lowercase word pieces, digits, and punctuation

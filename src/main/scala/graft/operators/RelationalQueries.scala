@@ -625,8 +625,11 @@ object RelationalQueries {
   // string aggregation (ordered, so collect_set's nondeterministic order
   // is canonicalized), and CORR.
   def q25AggMore(s: SparkSession, dir: String): DataFrame = {
+    // injective while o_orderkey < 1e10 (TPC-H sf ~1600; cents ≤ 5e7 keeps
+    // the product below 2^63) — ties then break on orderkey identically in
+    // both engines
     val ordKey = round(col("o_totalprice") * 100, 0).cast(LongType) *
-      lit(1000000000L) + col("o_orderkey")
+      lit(10000000000L) + col("o_orderkey")
     t(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -640,7 +643,7 @@ object RelationalQueries {
 
   val q25Sql: String =
     """SELECT o_orderstatus,
-      |  arg_max(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT)*1000000000 + o_orderkey) AS top_order,
+      |  arg_max(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS top_order,
       |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
       |  ROUND(corr(o_totalprice, o_custkey), 4) + 0.0 AS price_cust_corr
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

@@ -328,6 +328,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("cdc table: non-direct-scan queries surface a clear error") {
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
     session.executeSync(
       """CREATE TABLE cdc_limits (id INT, v STRING,
         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
