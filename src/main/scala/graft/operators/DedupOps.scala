@@ -382,6 +382,92 @@ object DedupOps {
       |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------- near-dup clustering
+  /** Connected components over the verified near-dup pair graph, electing
+    * the min doc_id of each component as the canonical survivor — the step
+    * a real dedup pipeline runs AFTER pair detection (drop every
+    * non-canonical doc).
+    *
+    * Min-label propagation to fixpoint: each doc starts as its own label;
+    * every iteration takes the min over neighbors' labels; converges in
+    * ≤ diameter rounds. Near-dup components are tiny and shallow (they're
+    * clusters of copies, not arbitrary graphs), so this is 2–4 rounds of
+    * one keyed shuffle each at any corpus size; lineage is truncated per
+    * round (localCheckpoint) so plans don't grow with iterations. For
+    * adversarially deep graphs the same loop takes the large-star/
+    * small-star rewrite — the driver loop only counts changes, all data
+    * stays distributed. */
+  def ddDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    // persist the pair set BEFORE mirroring it: the union's two branches
+    // would otherwise each evaluate the whole jaccard pipeline
+    val pairs = ddNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only docs that appear in a pair participate in propagation — the
+    // overwhelming singleton majority never enters the loop (at 100 TB the
+    // label table is O(|pairs|), not O(corpus))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("next_label") =!= col("label")).count()
+      labels = updated.select(col("doc_id"), col("next_label").as("label"))
+      iter += 1
+    }
+    val singletons = docs(s, dir).select(col("doc_id"))
+      .join(edges.select(col("src").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .withColumn("label", col("doc_id"))
+    edges.unpersist()
+    pairs.unpersist()
+    labels.union(singletons)
+      .select(col("doc_id"), col("label").as("group_rep"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDedupGroupsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS node, doc_id AS root FROM documents
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT node AS doc_id, MIN(root) AS group_rep, (node = MIN(root)) AS is_canonical
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** LSH's banding can't be expressed in the oracle's SQL — but its OUTPUT
     * contract can: candidates are exact-re-verified, so the result is the
     * exact Jaccard pair set minus LSH false negatives, and on this corpus
@@ -422,6 +508,7 @@ object DedupOps {
     "dd_simhash" -> (ddSimHashDupCheck _),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
+    "dd_dedup_groups" -> (ddDedupGroups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +518,6 @@ object DedupOps {
     "dd_simhash" -> ddSimHashDupCheckSql,
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
+    "dd_dedup_groups" -> ddDedupGroupsSql,
   )
 }

@@ -64,6 +64,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(total == docs)
   }
 
+  test("dedup groups: transitive closure of near-dup pairs, min-id canonical") {
+    import org.apache.spark.sql.functions.col
+    val groups = graft.operators.DedupOps.ddDedupGroups(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val prs = pairs(graft.operators.DedupOps.ddNgramJaccard(spark, dir))
+    // every detected pair lands in one component
+    prs.foreach { case (a, b) =>
+      assert(groups(a)._1 == groups(b)._1, s"pair ($a,$b) split across groups")
+    }
+    // the representative is a member and the component minimum
+    groups.foreach { case (id, (rep, canon)) =>
+      assert(rep <= id)
+      assert(canon == (rep == id))
+      assert(groups(rep)._1 == rep, s"rep $rep of $id is not its own rep")
+    }
+    // docs outside any pair are their own singleton component
+    val paired = prs.flatMap(p => Seq(p._1, p._2))
+    groups.collect { case (id, (rep, _)) if !paired.contains(id) =>
+      assert(rep == id, s"unpaired doc $id must be a singleton")
+    }
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "documents").createOrReplaceTempView("ext_docs")
