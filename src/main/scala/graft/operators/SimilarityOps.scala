@@ -127,7 +127,11 @@ object SimilarityOps {
     "sim_topk_brute" -> bruteTopKSql,
     // sim_ann_lsh achieves full top-k recall on the driver corpus (2-bit
     // multi-probe × 8 tables), so the exact top-k IS its oracle — the
-    // driver certifies ANN == brute end-to-end every round.
+    // driver certifies ANN == brute end-to-end every round. Verified exact
+    // at sf0.01 (the driver's gate) and sf0.1; at sf0.001 one tail rank
+    // differs (50-vector corpus: the true 10th neighbor sits ~3 probe bits
+    // away) — if the gate's scale factor ever changes, re-check recall
+    // before relying on this oracle.
     "sim_ann_lsh" -> bruteTopKSql,
   )
 }
