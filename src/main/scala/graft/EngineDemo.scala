@@ -36,6 +36,32 @@ object EngineDemo {
     s.ops.cancel(h)
     Thread.sleep(1500)
     println(s"after-cancel => status=${info.status} queryActive=${info.streamingQuery.exists(_.isActive)}")
+    // CDC: file-backed Debezium changelog → keyed store with row kinds
+    val cdcDir = java.nio.file.Files.createTempDirectory("demo-cdc")
+    java.nio.file.Files.writeString(cdcDir.resolve("log.json"),
+      """{"before":null,"after":{"id":1,"name":"ada"},"op":"c","ts_ms":1}
+        |{"before":null,"after":{"id":2,"name":"bob"},"op":"c","ts_ms":2}
+        |""".stripMargin)
+    show("cdc-ddl", s.execute(
+      s"""CREATE TABLE users_cdc (id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector'='postgres-cdc','debezium.json.path'='$cdcDir')""".stripMargin))
+    val ch = s.execute("SELECT * FROM users_cdc")
+    val cinfo = s.ops.get(ch).get
+    val cdl = System.currentTimeMillis + 20000
+    while (cinfo.store.forall(_.size < 2) && cinfo.status != OpStatus.Error &&
+      System.currentTimeMillis < cdl) Thread.sleep(200)
+    println(s"cdc-scan => status=${cinfo.status} snapshot=${cinfo.store.map(_.snapshot()).getOrElse(Nil)}")
+    s.ops.cancel(ch)
+
+    // job monitor drill-down: per-operator vertices + checkpoint stats
+    val reg = new JobRegistry(spark)
+    spark.range(100000).selectExpr("sum(id)").collect()
+    Thread.sleep(1000) // listener delivery
+    reg.overview().values.flatten.headOption.flatMap(j => reg.details(j.id)).foreach { d =>
+      println(s"job-details => ${d.job.state} vertices=${d.vertices.map(_.name).take(5)}")
+    }
+    reg.close()
+
     // probes
     show("bad-ddl", s.execute("CREATE TABLE broken (x FROG) WITH ('connector'='datagen')"))
     show("unknown-table", s.execute("SELECT * FROM never_registered"))
