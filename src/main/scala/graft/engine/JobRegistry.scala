@@ -62,9 +62,14 @@ final class JobRegistry(spark: SparkSession) {
   // execution → physical plan tree (SQLExecutionStart listener event)
   private val jobToExecution = TrieMap.empty[Int, Long]
   private val executionPlans = TrieMap.empty[Long, SparkPlanInfo]
-  // streaming: last progress + committed-batch counter per query
+  // streaming: last progress + committed-batch counter per query. Commits
+  // key off batchId ADVANCING, not event count — Spark re-emits idle
+  // progress events for an unchanged batch (noDataProgressEventInterval),
+  // which must not inflate the "completed checkpoint = committed
+  // micro-batch" contract.
   private val streamProgress = TrieMap.empty[java.util.UUID, StreamingQueryProgress]
   private val streamCommits = TrieMap.empty[java.util.UUID, Long]
+  private val streamLastBatch = TrieMap.empty[java.util.UUID, Long]
   private val streamFailures = TrieMap.empty[java.util.UUID, Long]
 
   /** History caps: a long-lived gateway session executes unbounded numbers
@@ -125,7 +130,10 @@ final class JobRegistry(spark: SparkSession) {
         Option(e.name).getOrElse(""), "RUNNING", 0, 0, 0))
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       streamProgress.put(e.progress.id, e.progress)
-      streamCommits.updateWith(e.progress.id)(c => Some(c.getOrElse(0L) + 1L))
+      val isNewBatch = streamLastBatch.put(e.progress.id, e.progress.batchId)
+        .forall(_ < e.progress.batchId)
+      if (isNewBatch)
+        streamCommits.updateWith(e.progress.id)(c => Some(c.getOrElse(0L) + 1L))
       streamJobs.updateWith(e.progress.id) {
         case Some(j) => Some(j.copy(
           numRecordsIn = j.numRecordsIn + e.progress.numInputRows,

@@ -43,6 +43,20 @@ object TextFunctions {
   def stopwordCount(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).cast("long")
 
+  /** Whitespace-delimited marker-word count straight off the text — equal
+    * by construction to `stopwordCount(tokens(text), words)` (a token
+    * matches a marker iff the marker appears with whitespace or a string
+    * boundary on both sides; the lookarounds consume nothing, so adjacent
+    * occurrences like "a a a" all count). Unlike the higher-order `filter`
+    * (CodegenFallback in Spark), `regexp_count` stays inside whole-stage
+    * codegen, which matters when a query evaluates several marker sets per
+    * row (language ID). Markers must be regex-literal words. */
+  def markerCount(text: Column, words: Seq[String]): Column = {
+    require(words.forall(_.matches("[A-Za-z]+")), "markers must be plain words")
+    regexp_count(text, lit(words.mkString("(?<=^|\\s)(?:", "|", ")(?=$|\\s)")))
+      .cast("long")
+  }
+
   val EnglishStops: Seq[String] =
     Seq("the", "a", "an", "is", "are", "of", "to", "and", "in", "that", "it")
 
@@ -76,14 +90,22 @@ object TextFunctions {
       lang -> stopwordCount(toks, markers)
     }
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langScores(toks)
+  /** Argmax with fixed priority order over pre-materialized score COLUMNS.
+    * Callers must compute the scores through a projection boundary first —
+    * inlining score expressions here duplicates each one ~6× (once per
+    * `when` guard plus once inside every `greatest`), which multiplied to
+    * ~24 full text scans per row in the r2 shape. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
       when(sc > 0 && sc === best, lit(lang)).otherwise(acc)
     }
   }
+
+  def langId(text: Column): Column =
+    langIdFromScores(LangMarkers.map { case (lang, markers) =>
+      lang -> markerCount(text, markers)
+    })
 
   /** Normalized-content fingerprint: md5 over lowercased,
     * whitespace-collapsed text. Two docs with the same fingerprint are

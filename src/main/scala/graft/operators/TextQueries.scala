@@ -67,7 +67,14 @@ object TextQueries {
   // ------------------------------------------------------ language ID
   def txtLangId(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    d.select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    // materialize the four marker scores through a projection boundary,
+    // then argmax over plain columns — one codegen'd regexp_count per
+    // language per row (the r2 shape inlined interpreted HOF score
+    // expressions into every `when`/`greatest`, ~24 evals per row)
+    val scored = d.select(col("doc_id") +:
+      LangMarkers.map { case (lang, m) => markerCount(col("text"), m).as(s"s_$lang") }: _*)
+    val pred = langIdFromScores(LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") })
+    scored.select(pred.as("lang_pred"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang_pred"))

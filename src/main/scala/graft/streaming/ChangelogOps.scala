@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
 object ChangelogOps {
 
   /** Batch/foreachBatch compaction: last-writer-wins per key, deletes drop
-    * the key. `ord` breaks ties (e.g. the CDC LSN or kafka offset). */
+    * the key. `ord` breaks ties (e.g. the CDC LSN or kafka offset);
+    * `opCol` names the changelog-op column (`__op` for DebeziumJson
+    * streams, `op` for ad-hoc changelogs). */
   def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
-      ord: Column): DataFrame = {
+      ord: Column, opCol: String = "op"): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
     changelog
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("op") =!= "d")
-      .drop("__rn", "op")
+      .filter(col("__rn") === 1 && col(opCol) =!= "d")
+      .drop("__rn", opCol)
   }
 
   /** Streaming form: collapse each micro-batch to latest-per-key and MERGE

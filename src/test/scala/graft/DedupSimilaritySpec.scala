@@ -86,6 +86,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge on a 1000-link chain in O(log n) rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial worst case for plain min-label propagation (would need
+    // ~999 rounds — the pointer-jump step must close it in ≤ 25)
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val pairsDf = chain.toDF("id_a", "id_b")
+    val edges = pairsDf.union(pairsDf.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val labels = DedupOps.connectedComponents(edges, maxRounds = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 1001)
+    assert(labels.values.forall(_ == 0L), "one chain = one component, rep = min id")
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "documents").createOrReplaceTempView("ext_docs")
