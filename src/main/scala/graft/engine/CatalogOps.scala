@@ -20,21 +20,23 @@ object CatalogOps {
   def describe(spark: SparkSession, table: String): DataFrame =
     spark.sql(s"DESCRIBE TABLE $table")
 
-  /** Full tree as the reference builds it (catalogService.ts:226-285). */
+  /** Full tree as the reference builds it (catalogService.ts:226-285).
+    * Walks via catalog-qualified SHOW statements — the session's current
+    * catalog is never touched, so a statement running concurrently in the
+    * same session can't observe a half-walked catalog switch. */
   def catalogTree(spark: SparkSession): Seq[TableEntry] = {
     val current = spark.catalog.currentCatalog()
-    try {
-      val cats = showCatalogs(spark).collect().map(_.getString(0)).toSeq
-      val out = for {
-        cat <- cats
-        _ = spark.catalog.setCurrentCatalog(cat)
-        db <- spark.catalog.listDatabases().collect().map(_.name).toSeq
-        t <- spark.catalog.listTables(db).collect().toSeq
-      } yield TableEntry(cat, db, t.name)
-      // temp views live outside databases; include them under the session db
-      val temps = spark.catalog.listTables().collect()
-        .filter(_.isTemporary).map(t => TableEntry(current, "", t.name)).toSeq
-      (out ++ temps).distinct
-    } finally spark.catalog.setCurrentCatalog(current) // never leave the walk's catalog active
+    val cats = showCatalogs(spark).collect().map(_.getString(0)).toSeq
+    val out = for {
+      cat <- cats
+      db <- spark.sql(s"SHOW NAMESPACES IN `$cat`").collect()
+        .map(_.getString(0)).toSeq
+      t <- spark.sql(s"SHOW TABLES IN `$cat`.`$db`").collect().toSeq
+      if !t.getBoolean(2) // temp views are collected once, below
+    } yield TableEntry(cat, db, t.getString(1))
+    // temp views live outside databases; include them under the session db
+    val temps = spark.catalog.listTables().collect()
+      .filter(_.isTemporary).map(t => TableEntry(current, "", t.name)).toSeq
+    (out ++ temps).distinct
   }
 }

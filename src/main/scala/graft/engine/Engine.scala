@@ -103,9 +103,10 @@ final class EngineSession(val spark: SparkSession) {
     case DialectShim.InsertInto(target, overwrite, query) =>
       specs.get(target) match {
         case Some(spec) if spec.connector == "filesystem" =>
+          val refs = referencedTables(query)
           val streams =
             if (runtimeMode == "batch") Nil
-            else streamingTables(referencedTables(query))
+            else streamingTables(refs)
           if (streams.nonEmpty) {
             // streaming INSERT: continuous append job into the table path
             // (writeStream file sink; the op stays RUNNING until canceled —
@@ -217,8 +218,23 @@ final class EngineSession(val spark: SparkSession) {
     val streams = if (runtimeMode == "batch") Nil else streamingTables(refs)
     val cdc = streams.filter(_.connector.endsWith("-cdc"))
     if (streams.isEmpty) runBatch(rewritten, refs)
-    else if (cdc.nonEmpty) runCdcScan(original, cdc)
-    else runStreaming(rewritten, streams, refs)
+    else if (cdc.nonEmpty) runCdcScan(original, rewritten, cdc, streams)
+    else {
+      // Flink's streaming top-N idiom can't go through the streaming
+      // planner (Spark rejects rank-over-stream) — detect and route to the
+      // stateful accumulator BEFORE planning
+      val topn = streams match {
+        case Seq(one) =>
+          StreamingTopNPattern.detect(
+              spark.sessionState.sqlParser.parsePlan(rewritten))
+            .filter(_.table.equalsIgnoreCase(one.name))
+        case _ => None
+      }
+      topn match {
+        case Some(shape) => runStreamTopN(rewritten, streams.head, refs, shape)
+        case None => runStreaming(rewritten, streams, refs)
+      }
+    }
   }
 
   /** `SELECT * FROM <table>` and nothing else — the changelog-scan shape. */
@@ -241,21 +257,35 @@ final class EngineSession(val spark: SparkSession) {
     * postgres-cdc/mysql-cdc endpoint is unreachable here; a file-backed
     * Debezium-JSON directory ('debezium.json.path') drives the identical
     * pipeline. */
-  private def runCdcScan(sql: String, cdc: Seq[TableSpec]): OperationHandle =
-    ops.submit(sql) { info =>
-      val spec = cdc match {
-        case Seq(one) if isDirectScan(sql, one.name) => one
-        case _ => throw new IllegalArgumentException(
-          "CDC tables support direct changelog scans (SELECT * FROM <cdc_table>); " +
-            "materialize the compacted snapshot first for transformations")
-      }
-      if (spec.primaryKey.isEmpty) throw new IllegalArgumentException(
-        s"cdc table ${spec.name} needs PRIMARY KEY (...) NOT ENFORCED for changelog merge")
-      val path = spec.options.getOrElse("debezium.json.path",
-        throw new IllegalStateException(
-          s"connector '${spec.connector}' (table ${spec.name}) endpoint is unreachable " +
-            "in this environment; set 'debezium.json.path' for a file-backed changelog"))
-      val changelog = graft.sources.DebeziumJson.fileStream(spark, path, spec.schema)
+  /** Shared CDC preamble: key + file-backed-endpoint validation, changelog
+    * stream construction. */
+  private def cdcChangelog(spec: TableSpec): DataFrame = {
+    if (spec.primaryKey.isEmpty) throw new IllegalArgumentException(
+      s"cdc table ${spec.name} needs PRIMARY KEY (...) NOT ENFORCED for changelog merge")
+    val path = spec.options.getOrElse("debezium.json.path",
+      throw new IllegalStateException(
+        s"connector '${spec.connector}' (table ${spec.name}) endpoint is unreachable " +
+          "in this environment; set 'debezium.json.path' for a file-backed changelog"))
+    graft.sources.DebeziumJson.fileStream(spark, path, spec.schema)
+  }
+
+  private def ckLocation(id: String): String =
+    checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ck").toString) + s"/$id"
+
+  private def runCdcScan(sql: String, rewritten: String,
+      cdc: Seq[TableSpec], streams: Seq[TableSpec]): OperationHandle = {
+    val spec = cdc match {
+      case Seq(one) => one
+      case _ => throw new IllegalArgumentException(
+        "queries may reference at most one CDC table " +
+          "(join cdc-to-cdc via a materialized snapshot)")
+    }
+    if (streams.exists(_.connector != spec.connector) || streams.size > cdc.size)
+      throw new IllegalArgumentException(
+        "mixing a CDC table with other unbounded sources in one statement is not supported")
+    if (isDirectScan(sql, spec.name)) ops.submit(sql) { info =>
+      val changelog = cdcChangelog(spec)
       val store = new ResultStore(spec.schema.fieldNames.toSeq,
         emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
@@ -266,28 +296,208 @@ final class EngineSession(val spark: SparkSession) {
       val q = changelog.writeStream
         .outputMode(OutputMode.Append())
         .trigger(Trigger.ProcessingTime(triggerInterval))
-        .option("checkpointLocation",
-          checkpointDir.getOrElse(
-            java.nio.file.Files.createTempDirectory("graft-ck").toString) +
-            s"/${info.handle.id}")
+        .option("checkpointLocation", ckLocation(info.handle.id))
         .foreachBatch(merge)
         .start()
       info.streamingQuery = Some(q)
       q.awaitTermination()
       store.markEos()
     }
+    else runCdcTransform(sql, rewritten, spec)
+  }
+
+  /** Transformations over a CDC table — to the reference a cdc table is a
+    * normal table Flink SQL plans with changelog semantics
+    * (CONNECTORS.md:126-140). Parity route: per micro-batch, fold the new
+    * changes into a COMPACTED SNAPSHOT (last-writer-wins per primary key,
+    * deletes drop the key), register the snapshot as the table's temp view,
+    * re-run the user's query over it, and deliver keyed-convergent results:
+    * upserts for changed keys, Deletes for keys that left the result (so
+    * the client-visible set converges to query(current-table-state), the
+    * changelog view the reference renders).
+    *
+    * Scale posture: the snapshot is a bounded entity table (localCheckpoint
+    * per batch truncates lineage — O(table), not O(changelog-history)), and
+    * re-running the query is the standard foreachBatch "recompute on
+    * change" shape. Flink instead propagates retractions incrementally
+    * through each operator; for a Spark-native engine the incremental path
+    * would be flatMapGroupsWithState per operator — out of proportion to
+    * the reference's interactive-notebook use. Delivery keys: grouping
+    * columns for a top-level aggregate, the whole row + occurrence index
+    * otherwise (exact multiset convergence either way). */
+  private def runCdcTransform(sql: String, rewritten: String,
+      spec: TableSpec): OperationHandle = ops.submit(sql) { info =>
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val changelog = cdcChangelog(spec)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), spec.schema)
+    empty.createOrReplaceTempView(spec.name)
+    materializeBounded(referencedTables(sql)) // jdbc dims joinable
+    val probe = spark.sql(rewritten) // plan once against the empty snapshot
+    val keyIdx = aggKeyIndexes(probe).getOrElse(Nil)
+    val store = new ResultStore(probe.schema.fieldNames.toSeq,
+      emitUpdateBefore = protocolUpdateBefore)
+    info.store = Some(store)
+    info.isStreaming = true
+    var snapshot = empty
+    val prevKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    val q = changelog.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", ckLocation(info.handle.id))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // fold new changes in: previous snapshot rows sort BELOW any real
+        // change (ts = MinValue, seq = -1), so last-writer-wins picks batch
+        // rows; within the batch, equal-ts changes to one key tie-break by
+        // read position (monotonically_increasing_id is batch-legal here,
+        // and a file micro-batch's partitions are byte ranges in file order)
+        val prevAsLog = snapshot
+          .withColumn("__op", lit("r"))
+          .withColumn("__ord", lit(Long.MinValue))
+          .withColumn("__seq", lit(-1L))
+        val batchSeq = batch
+          .withColumn("__seq", org.apache.spark.sql.functions.monotonically_increasing_id())
+        snapshot = graft.streaming.ChangelogOps.latestSnapshot(
+            prevAsLog.unionByName(batchSeq), spec.primaryKey,
+            struct(col("__ord"), col("__seq")), opCol = "__op")
+          .drop("__ord", "__seq")
+          .localCheckpoint()
+        snapshot.createOrReplaceTempView(spec.name)
+        deliverConvergent(store, spark.sql(rewritten), keyIdx, prevKeys)
+      }
+      .start()
+    info.streamingQuery = Some(q)
+    q.awaitTermination()
+    store.markEos()
+  }
+
+  /** Convergent delivery of a recomputed batch result: upsert every row —
+    * keyed by `keyIdx` columns, or by whole-row + occurrence index when
+    * unkeyed (duplicates stay distinct, exact multiset convergence) — then
+    * Delete the keys that left the result, so the client-visible set
+    * converges to the latest recomputation. `prevKeys` is the caller's
+    * across-batch key memory. */
+  private def deliverConvergent(store: ResultStore, result: DataFrame,
+      keyIdx: Seq[Int],
+      prevKeys: scala.collection.mutable.HashSet[Seq[Any]]): Unit = {
+    val newKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    val occ = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+    val it = result.toLocalIterator()
+    while (it.hasNext) {
+      val fields = it.next().toSeq
+      val key =
+        if (keyIdx.nonEmpty) keyIdx.map(fields)
+        else {
+          val n = occ.getOrElse(fields, 0); occ(fields) = n + 1
+          fields :+ (n: Any)
+        }
+      store.upsert(key, fields)
+      newKeys += key
+    }
+    prevKeys.diff(newKeys).foreach(store.delete)
+    prevKeys.clear(); prevKeys ++= newKeys
+    ()
+  }
+
+  /** SQL streaming top-N — the Flink `ROW_NUMBER() OVER (…) WHERE rn <= k`
+    * idiom on an unbounded table, which Spark's streaming planner rejects
+    * (rank-over-stream). Semantics: the result converges to the batch
+    * top-N over ALL rows seen so far.
+    *
+    * The accumulator exploits rank monotonicity: a row outside a key's
+    * current top-k can never re-enter it as more rows arrive, so per
+    * micro-batch the accumulated state compacts to the top-k rows per
+    * partition key — state is O(k · |keys|), never O(stream). The user's
+    * original query then re-runs over the compacted accumulator (registered
+    * under the table's name), and results deliver via the same
+    * keyed-convergent path as CDC transformations. Ties beyond the rank
+    * bound resolve like any batch ROW_NUMBER: nondeterministically — an
+    * ORDER BY with a tiebreaker column is deterministic end-to-end. */
+  private def runStreamTopN(sql: String, spec: TableSpec, refs: Set[String],
+      shape: StreamTopNShape): OperationHandle = ops.submit(sql) { info =>
+    import org.apache.spark.sql.functions.{col, row_number}
+    val source = streamSource(spec)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+    empty.createOrReplaceTempView(spec.name)
+    materializeBounded(refs)
+    val probe = spark.sql(sql) // plan once against the empty accumulator
+    val store = new ResultStore(probe.schema.fieldNames.toSeq,
+      emitUpdateBefore = protocolUpdateBefore)
+    info.store = Some(store)
+    info.isStreaming = true
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shape.partitionCols.map(col): _*)
+      .orderBy(shape.orderCols.map { case (c, desc) =>
+        if (desc) col(c).desc else col(c).asc }: _*)
+    var acc = empty
+    val prevKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    val q = source.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", ckLocation(info.handle.id))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acc = acc.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= shape.limit)
+          .drop("__rn")
+          .localCheckpoint()
+        acc.createOrReplaceTempView(spec.name)
+        deliverConvergent(store, spark.sql(sql), Nil, prevKeys)
+      }
+      .start()
+    info.streamingQuery = Some(q)
+    q.awaitTermination()
+    store.markEos()
+  }
 
   /** Bounded spec-backed tables that must materialize per query (jdbc: the
     * driver/connection is only touched at load(), inside the operation).
     * Called from BOTH the batch and the streaming path — a streaming query
     * joining a stream against a jdbc dimension is the lookup-shaped case
-    * jdbc tables exist for. */
+    * jdbc tables exist for. Filesystem views re-register too: a prior
+    * streaming statement (monitored directory, CDC snapshot, top-N
+    * accumulator) may have re-pointed the table's temp view. */
   private def materializeBounded(refs: Set[String]): Unit =
-    specs.values.filter(s =>
-      s.connector == "jdbc" && refs.contains(s.name.toLowerCase))
+    specs.values.filter(s => refs.contains(s.name.toLowerCase))
       .foreach { spec =>
-        graft.sources.Jdbc.reader(spark, spec).createOrReplaceTempView(spec.name)
+        spec.connector match {
+          case "jdbc" =>
+            graft.sources.Jdbc.reader(spark, spec).createOrReplaceTempView(spec.name)
+          case "filesystem" if spec.isBounded =>
+            spark.read.format(spec.options.getOrElse("format", "parquet"))
+              .schema(spec.schema).load(spec.options("path"))
+              .createOrReplaceTempView(spec.name)
+          case _ => ()
+        }
       }
+
+  /** Update-mode keying: `Some(indexes of the non-aggregate output
+    * columns)` when the statement's TOP-LEVEL plan is an aggregate (an
+    * aggregate buried in a subquery — e.g. an aggregated static join
+    * side — must not switch the whole query to keyed upserts), `None`
+    * for non-aggregate queries. A global aggregate returns `Some(Nil)`:
+    * update mode, unkeyed delivery. */
+  private def aggKeyIndexes(df: DataFrame): Option[Seq[Int]] = {
+    def topAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Aggregate] = p match {
+      case a: Aggregate => Some(a)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => topAgg(p.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => topAgg(f.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => topAgg(s.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => topAgg(s.child)
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => topAgg(l.child)
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => topAgg(l.child)
+      case _ => None
+    }
+    topAgg(df.queryExecution.analyzed).map { a =>
+      val aggNames = a.aggregateExpressions.filter(e =>
+        e.collectFirst { case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae }.isDefined
+      ).map(_.name).toSet
+      df.schema.fieldNames.zipWithIndex.collect {
+        case (n, i) if !aggNames.contains(n) => i
+      }.toSeq
+    }
+  }
 
   private def runBatch(sql: String, refs: Set[String]): OperationHandle = ops.submit(sql) { info =>
     materializeBounded(refs)
@@ -302,29 +512,34 @@ final class EngineSession(val spark: SparkSession) {
     store.markEos()
   }
 
-  /** Materialize each unbounded table as a streaming temp view, with its
-    * declared watermark applied (SURVEY §2.4 watermark declaration). */
-  private def materializeStreams(streams: Seq[TableSpec]): Unit =
-    streams.foreach { spec =>
-      spec.connector match {
-        case "datagen" =>
-          val df = Datagen.unbounded(spark, spec)
-          val wm = spec.watermark
-            .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
-          wm.createOrReplaceTempView(spec.name)
-        case "kafka" =>
-          // full reader plan built here (option mapping + value parse);
-          // without the connector jar, .load() throws data-source-not-found
-          // — an async Error on the SELECT's operation, never at DDL time
-          val df = graft.sources.KafkaJson.reader(spark, spec)
-          val wm = spec.watermark
-            .map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
-          wm.createOrReplaceTempView(spec.name)
-        case other =>
-          throw new IllegalStateException(
-            s"connector '$other' (table ${spec.name}) is not reachable in this environment")
-      }
+  /** The unbounded DataFrame for a streaming table spec, with its declared
+    * watermark applied (SURVEY §2.4 watermark declaration). */
+  private def streamSource(spec: TableSpec): DataFrame = {
+    val df = spec.connector match {
+      case "datagen" => Datagen.unbounded(spark, spec)
+      case "kafka" =>
+        // full reader plan built here (option mapping + value parse);
+        // without the connector jar, .load() throws data-source-not-found
+        // — an async Error on the SELECT's operation, never at DDL time
+        graft.sources.KafkaJson.reader(spark, spec)
+      case "filesystem" =>
+        // continuous directory monitoring ('source.monitor-interval'):
+        // unbounded stream of new files, one per trigger so multi-batch
+        // state paths actually exercise
+        spark.readStream.schema(spec.schema)
+          .option("maxFilesPerTrigger", "1")
+          .format(spec.options.getOrElse("format", "parquet"))
+          .load(spec.options("path"))
+      case other =>
+        throw new IllegalStateException(
+          s"connector '$other' (table ${spec.name}) is not reachable in this environment")
     }
+    spec.watermark.map(w => df.withWatermark(w.column, w.delay)).getOrElse(df)
+  }
+
+  /** Materialize each unbounded table as a streaming temp view. */
+  private def materializeStreams(streams: Seq[TableSpec]): Unit =
+    streams.foreach(spec => streamSource(spec).createOrReplaceTempView(spec.name))
 
   private def runStreaming(sql: String, streams: Seq[TableSpec],
       refs: Set[String]): OperationHandle =
@@ -332,39 +547,13 @@ final class EngineSession(val spark: SparkSession) {
       materializeStreams(streams)
       materializeBounded(refs) // jdbc dims joinable from streaming queries
       val df = spark.sql(sql)
-      // Update-mode semantics are driven by the TOP-LEVEL aggregate only —
-      // an aggregate buried in a subquery (e.g. an aggregated static join
-      // side) must not switch the whole query to keyed upserts.
-      def topAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Aggregate] = p match {
-        case a: Aggregate => Some(a)
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project => topAgg(p.child)
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => topAgg(f.child)
-        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => topAgg(s.child)
-        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => topAgg(s.child)
-        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => topAgg(l.child)
-        case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => topAgg(l.child)
-        case _ => None
-      }
-      val agg = topAgg(df.queryExecution.analyzed)
+      val keys = aggKeyIndexes(df)
+      val keyIdx = keys.getOrElse(Nil)
       val store = new ResultStore(df.schema.fieldNames.toSeq,
         emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
       info.isStreaming = true
-
-      // update-mode aggregates upsert by grouping-key columns (SURVEY §7.4
-      // #1: Spark re-emits rows without UPDATE_BEFORE; keyed overwrite keeps
-      // the client-visible set convergent).
-      val keyIdx: Seq[Int] = agg match {
-        case Some(a) =>
-          val aggNames = a.aggregateExpressions.filter(e =>
-            e.collectFirst { case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae }.isDefined
-          ).map(_.name).toSet
-          df.schema.fieldNames.zipWithIndex.collect {
-            case (n, i) if !aggNames.contains(n) => i
-          }.toSeq
-        case None => Nil
-      }
-      val mode = if (agg.isDefined) OutputMode.Update() else OutputMode.Append()
+      val mode = if (keys.isDefined) OutputMode.Update() else OutputMode.Append()
       val writer0 = df.writeStream
         .outputMode(mode)
         .trigger(Trigger.ProcessingTime(triggerInterval))

@@ -20,8 +20,12 @@ final case class TableSpec(
     primaryKey: Seq[String],
     options: Map[String, String]) {
   def connector: String = options.getOrElse("connector", "")
+  /** filesystem tables are bounded scans UNLESS continuous directory
+    * monitoring is on ('source.monitor-interval', the Flink option that
+    * turns a filesystem source into an unbounded stream of new files). */
   def isBounded: Boolean = options.contains("number-of-rows") ||
-    connector == "filesystem" || connector == "jdbc" // jdbc = bounded scan
+    (connector == "filesystem" && !options.contains("source.monitor-interval")) ||
+    connector == "jdbc" // jdbc = bounded scan
 }
 
 object FlinkDdl {
@@ -64,17 +68,30 @@ object FlinkDdl {
     case _ => throw new IllegalArgumentException(s"not a CREATE TABLE … WITH: $sql")
   }
 
-  /** Split on commas at nesting level zero (respects () and <>). */
+  /** Split on commas at nesting level zero. Respects () and <> nesting and
+    * treats single-quoted strings as opaque, so a COMMENT containing commas
+    * or angle brackets can't mis-nest the split (doubled '' escapes toggle
+    * twice — harmless). A bare `<`/`>` OUTSIDE a string or generic type —
+    * e.g. a comparison inside a (future) computed-column expression —
+    * leaves the depth unbalanced and is rejected with a clear error
+    * instead of silently mis-splitting the remaining columns. */
   private[engine] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
+    var inQuote = false
     val cur = new StringBuilder
     s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c if inQuote => cur += c
       case c @ ('(' | '<') => depth += 1; cur += c
       case c @ (')' | '>') => depth -= 1; cur += c
       case ',' if depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
+    if (depth != 0 || inQuote) throw new IllegalArgumentException(
+      s"unbalanced (), <> or quote in DDL list: '$s' — comparison operators " +
+        "in column definitions are not supported (computed columns are not " +
+        "part of the envelope); put < > inside a COMMENT '…' string")
     if (cur.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
   }

@@ -95,8 +95,33 @@ object Datagen {
         array((0 until n).map(i =>
           gen(id * 31 + i, s"$name[$i]", et, opts, prefix, rateTs)): _*)
       case MapType(kt, vt, _) =>
-        map(gen(id, s"$name.k", kt, opts, prefix, rateTs),
-          gen(id, s"$name.v", vt, opts, prefix, rateTs))
+        // `fields.<f>.length` entries (Flink's collection-size option).
+        // map() THROWS on duplicate keys under the default dedup policy, so
+        // keys must be distinct by construction: integral keys step from a
+        // per-row random offset wrapping inside [min,max] (length clamps to
+        // the domain size); string keys salt the generator per index; any
+        // other key type can't guarantee distinctness generically → 1 entry.
+        val n = math.max(1, opt("length").map(_.toInt).getOrElse(3))
+        kt match {
+          case IntegerType | LongType | ShortType | ByteType =>
+            val min = opt("min").map(_.toLong).getOrElse(0L)
+            val max = opt("max").map(_.toLong).getOrElse(min + 99L)
+            val range = max - min + 1
+            val m = math.min(n.toLong, range).toInt
+            val base = pmod(xxhash64(id, lit(s"$name.k")), lit(range))
+            map((0 until m).flatMap { i =>
+              Seq((pmod(base + i, lit(range)) + min).cast(kt),
+                gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
+            }: _*)
+          case StringType =>
+            map((0 until n).flatMap { i =>
+              Seq(gen(id, s"$name.k[$i]", kt, opts, prefix, rateTs),
+                gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
+            }: _*)
+          case _ =>
+            map(gen(id, s"$name.k", kt, opts, prefix, rateTs),
+              gen(id, s"$name.v", vt, opts, prefix, rateTs))
+        }
       case BinaryType =>
         unhex(md5(concat(id.cast(StringType), lit(name))))
       case other =>

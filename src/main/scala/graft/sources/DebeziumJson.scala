@@ -25,18 +25,17 @@ object DebeziumJson {
     .add("ts_ms", LongType)
 
   /** Envelope rows → flat changelog: payload columns + `__op` + `__ord`
-    * (deletes take their payload from `before`). The metadata columns use
-    * reserved names so a payload column literally named `op` can't shadow
-    * the Debezium op code in downstream index-by-name resolution; a payload
-    * that itself declares a reserved name is rejected up front.
+    * (event order = ts_ms; deletes take their payload from `before`). The
+    * metadata columns use reserved names so a payload column literally
+    * named `op` can't shadow the Debezium op code in downstream
+    * index-by-name resolution; a payload that itself declares a reserved
+    * name is rejected up front.
     *
-    * `__ord` is a (ts, seq) struct — structs order lexicographically, so
-    * last-writer-wins compaction keyed on it resolves ts_ms ties (two
-    * changes to one key within the same Debezium millisecond are realistic)
-    * by physical read position instead of nondeterministically: `seq` is
-    * monotonically_increasing_id(), which encodes (partition, row-in-
-    * partition), and file-source partitions are byte ranges in file order —
-    * so within a replayed batch, seq order IS line order. */
+    * ts_ms ties (two changes to one key within the same Debezium
+    * millisecond are realistic) are NOT resolved here — a read-position
+    * expression would be nondeterministic and streaming plans reject those;
+    * the per-batch merge adds the positional tiebreaker in batch context
+    * (`ChangelogOps.mergeBatch`). */
   def flatten(env: DataFrame): DataFrame = {
     val payloadCols = env.schema("after").dataType
       .asInstanceOf[StructType].fieldNames
@@ -45,9 +44,7 @@ object DebeziumJson {
       s"cdc payload columns ${clash.mkString(",")} collide with reserved changelog metadata names")
     env
       .select(coalesce(col("after"), col("before")).as("__p"),
-        col("op").as("__op"),
-        struct(col("ts_ms").as("ts"),
-          monotonically_increasing_id().as("seq")).as("__ord"))
+        col("op").as("__op"), col("ts_ms").as("__ord"))
       .select(col("__p.*"), col("__op"), col("__ord"))
   }
 

@@ -42,11 +42,20 @@ object ChangelogOps {
     * column when present — never reach the store. */
   def mergeBatch(store: graft.engine.ResultStore, keyCols: Seq[String],
       ord: Column, opCol: String = "op")(batch: DataFrame, batchId: Long): Unit = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
+    // Deterministic tie-break for equal `ord` values (same-millisecond
+    // changes to one key): monotonically_increasing_id() encodes
+    // (partition, row-in-partition), and a file-source micro-batch's
+    // partitions are byte ranges in file order — so replay position breaks
+    // the tie, not hash-partition race order. Legal here (batch context
+    // inside foreachBatch); the streaming plan itself must stay free of
+    // nondeterministic expressions.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ord.desc, col("__seq").desc)
     val latest = batch
+      .withColumn("__seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__seq")
     val fieldNames = latest.schema.fieldNames
     val keyIdx = keyCols.map(fieldNames.indexOf(_))
     val opIdx = fieldNames.indexOf(opCol)

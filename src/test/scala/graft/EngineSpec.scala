@@ -327,19 +327,102 @@ class EngineSpec extends AnyFunSuite {
     session.ops.cancel(h)
   }
 
-  test("cdc table: non-direct-scan queries surface a clear error") {
+  test("cdc table: GROUP BY transformation converges to the compacted answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-tx")
+    // batch 1 puts a key into group 'north'; batch 2 deletes it — the
+    // group's row must LEAVE the client-visible result (keyed Delete), not
+    // linger at a stale count
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"before":null,"after":{"id":1,"region":"east"},"op":"c","ts_ms":100}
+        |{"before":null,"after":{"id":2,"region":"north"},"op":"c","ts_ms":101}
+        |""".stripMargin)
+    Thread.sleep(1100) // distinct mtime second → deterministic replay order
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"before":{"id":2,"region":"north"},"after":null,"op":"d","ts_ms":102}
+        |{"before":null,"after":{"id":3,"region":"east"},"op":"c","ts_ms":103}
+        |{"before":null,"after":{"id":4,"region":"west"},"op":"r","ts_ms":104}
+        |""".stripMargin)
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE cdc_accounts (id INT, region STRING,
+         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+         |'connector' = 'postgres-cdc', 'hostname' = 'unreachable',
+         |'debezium.json.path' = '$dir')""".stripMargin)
+    val h = session.execute(
+      "SELECT region, COUNT(*) AS n FROM cdc_accounts GROUP BY region")
+    val info = session.ops.get(h).get
+    // final snapshot {1:east, 3:east, 4:west} → east=2, west=1, north GONE
+    val expected = Set(Seq("east", 2L), Seq("west", 1L))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+  }
+
+  test("SQL streaming top-N: ROW_NUMBER <= k over a monitored directory converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topn").toString
+    // two files = two micro-batches (the monitored dir must contain BARE
+    // parquet files — the file stream source doesn't recurse into the
+    // subdirectories df.write creates, so write elsewhere and move the part
+    // file in). Distinct scores so ROW_NUMBER is deterministic; the global
+    // top-2 per group spans BOTH files — a batch-local rank would get it
+    // wrong.
+    def addFile(rows: Seq[(Int, String, Int)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-topn-w").toString
+      spark.createDataFrame(rows).toDF("id", "grp", "score")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, name))
+    }
+    addFile(Seq((1, "a", 10), (2, "a", 30), (3, "b", 50)), "f1.parquet")
+    addFile(Seq((4, "a", 20), (5, "b", 40), (6, "b", 45)), "f2.parquet")
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE scores_stream (id INT, grp STRING, score INT) WITH (
+         |'connector' = 'filesystem', 'path' = '$dir',
+         |'format' = 'parquet', 'source.monitor-interval' = '1s')""".stripMargin)
+    val h = session.execute(
+      """SELECT grp, score, rn FROM (
+        |  SELECT grp, score,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC) AS rn
+        |  FROM scores_stream
+        |) WHERE rn <= 2""".stripMargin)
+    val info = session.ops.get(h).get
+    // all 6 rows: a → 30, 20; b → 50, 45
+    val expected = Set(
+      Seq("a", 30, 1), Seq("a", 20, 2), Seq("b", 50, 1), Seq("b", 45, 2))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+  }
+
+  test("cdc table: mixing with another unbounded source surfaces a clear error") {
     session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
     session.executeSync(
       """CREATE TABLE cdc_limits (id INT, v STRING,
         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
         |'connector' = 'mysql-cdc', 'debezium.json.path' = '/tmp/none')""".stripMargin)
-    val h = session.execute("SELECT COUNT(*) FROM cdc_limits")
+    session.executeSync(
+      """CREATE TABLE gen_clicks (id INT) WITH (
+        |'connector' = 'datagen', 'rows-per-second' = '1')""".stripMargin)
+    val h = session.execute(
+      "SELECT * FROM cdc_limits JOIN gen_clicks ON cdc_limits.id = gen_clicks.id")
     val info = session.ops.get(h).get
     val deadline = System.currentTimeMillis() + 20000
     while (info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     assert(info.status == OpStatus.Error)
-    assert(info.error.exists(_.getMessage.contains("direct changelog scans")))
+    assert(info.error.exists(_.getMessage.contains("mixing a CDC table")))
   }
 
   // ------------------------------------ filesystem sink: INSERT INTO/OVERWRITE
@@ -498,6 +581,40 @@ class EngineSpec extends AnyFunSuite {
     assert(m("l") == DateType && m("m") == IntegerType) // TIME → millis-of-day
     assert(m("n") == BinaryType && m("o") == BinaryType && m("p") == BinaryType)
     assert(m("q") == ShortType && m("r") == ByteType)
+  }
+
+  test("DDL parser: quoted comments are opaque, stray angle brackets reject") {
+    // a COMMENT containing < > and commas must not mis-nest the column split
+    val spec = FlinkDdl.parse(
+      """CREATE TABLE commented (
+        | a INT COMMENT 'threshold a < b, or a > b',
+        | b ROW<x INT, y STRING>
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    assert(spec.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(spec.schema("b").dataType.isInstanceOf[StructType])
+    // a comparison OUTSIDE a string (future computed column) errors clearly
+    // instead of silently mis-splitting the remaining columns
+    val e = intercept[IllegalArgumentException] {
+      FlinkDdl.parse(
+        "CREATE TABLE bad (a INT, c AS a < 3) WITH ('connector' = 'datagen')")
+    }
+    assert(e.getMessage.contains("computed columns"))
+  }
+
+  test("datagen MAP fields honor the length option with distinct keys") {
+    session.executeSync(
+      """CREATE TABLE map_gen (
+        | id INT,
+        | tags MAP<STRING, INT>,
+        | counts MAP<INT, BIGINT>
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '50',
+        | 'fields.tags.length' = '4', 'fields.counts.length' = '5',
+        | 'fields.counts.min' = '0', 'fields.counts.max' = '9')""".stripMargin)
+    val h = session.execute(
+      "SELECT MIN(size(tags)) AS t, MIN(size(counts)) AS c FROM map_gen")
+    val info = session.awaitFinished(h)
+    val row = info.store.get.snapshot().head
+    assert(row == Seq(4, 5), s"got $row")
   }
 
   test("dialect rewrites: HOP arg order flips, SESSION maps to session_window") {
