@@ -18,18 +18,23 @@ object Bench {
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Timed: min of 2 runs (single-run noise on a shared VM is up to 3x).
-    val results = qs.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Timed: min of 3 samples, taken as 3 FULL PASSES over the query list
+    // (not back-to-back repeats) — single-run noise on a shared VM is up to
+    // 3x and a contention burst lasts seconds, so back-to-back samples of
+    // one query are correlated; pass-separated samples ~30 s apart are not.
+    val samples = (1 to 3).flatMap { _ =>
+      qs.map { case (name, fn) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+    }
+    val results = qs.map { case (name, _) =>
+      name -> samples.collect { case (n, t) if n == name => t }.min
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

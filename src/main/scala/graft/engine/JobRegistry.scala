@@ -166,6 +166,14 @@ final class JobRegistry(spark: SparkSession) {
   spark.sparkContext.addSparkListener(sparkListener)
   spark.streams.addListener(streamListener)
 
+  /** Observe streaming queries started from ANOTHER session over the same
+    * SparkContext — `newSession()` children get their own
+    * StreamingQueryManager, so the constructor's listener registration
+    * doesn't see their queries. Batch jobs need no attach (the
+    * SparkListener sits on the shared context). */
+  def attach(session: SparkSession): Unit =
+    session.streams.addListener(streamListener)
+
   /** Overview grouped by state (jobMonitorProvider.ts:112,146-157). */
   def overview(): Map[String, Seq[JobInfo]] =
     (batchJobs.values ++ streamJobs.values).toSeq.groupBy(_.state)

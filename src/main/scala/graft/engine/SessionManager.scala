@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * SparkContext. Mirrors the reference's per-notebook gateway session
   * (flinkNotebookController.ts:932-977, SURVEY §1.1 sessions row).
   */
-final class SessionManager(root: SparkSession) {
+final class SessionManager(root: SparkSession,
+    /** Called once per newly created session — e.g. a JobRegistry attaching
+      * its streaming listener to the child's own StreamingQueryManager. */
+    onCreate: EngineSession => Unit = _ => ()) {
   private val sessions = TrieMap.empty[String, EngineSession]
 
   def getOrCreate(notebookId: String,
@@ -24,6 +27,7 @@ final class SessionManager(root: SparkSession) {
       engineProps.foreach { case (k, v) =>
         es.executeSync(s"SET '$k' = '$v'")
       }
+      onCreate(es)
       es
     })
 

@@ -1,0 +1,139 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the REST facade over real HTTP exactly as the reference clients
+  * do (sqlGatewayClient.ts request shapes, flinkJobClient.ts monitor
+  * paths), asserting the wire payloads the extension actually consumes.
+  */
+class RestGatewaySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.GraftSession.local("4")
+  private lazy val gw = {
+    val g = new RestGateway(spark)
+    g.start()
+    g
+  }
+  private val http = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, Any) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def post(url: String, body: String): (Int, Any) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def delete(url: String): Int =
+    http.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+
+  private def obj(v: Any): Map[String, Any] = v.asInstanceOf[Map[String, Any]]
+  private def arr(v: Any): Seq[Any] = v.asInstanceOf[Seq[Any]]
+
+  private def pollStatus(base: String, h: String, op: String,
+      want: Set[String], deadlineMs: Long = 30000): String = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var st = ""
+    while (System.currentTimeMillis() < end && !want.contains(st)) {
+      st = obj(get(s"$base/v1/sessions/$h/operations/$op/status")._2)("status").toString
+      if (!want.contains(st)) Thread.sleep(100)
+    }
+    st
+  }
+
+  test("gateway wire round-trip: session, statement, paged results, EOS") {
+    val base = gw.gatewayAddress
+    val (ic, info) = get(s"$base/v1/info")
+    assert(ic == 200 && obj(info).contains("productName"))
+
+    val (sc, sess) = post(s"$base/v1/sessions",
+      """{"sessionName":"nb1","properties":{"execution.runtime-mode":"batch"}}""")
+    assert(sc == 200)
+    val h = obj(sess)("sessionHandle").toString
+
+    val (xc, stmt) = post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELECT 1 AS x, 'a\nb' AS s"}""")
+    assert(xc == 200)
+    val op = obj(stmt)("operationHandle").toString
+
+    assert(pollStatus(base, h, op, Set("FINISHED", "ERROR")) == "FINISHED")
+
+    // first page: ResultSet shape the controller reads
+    // (flinkNotebookController.ts:179-236,348-356)
+    val (rc, rs0) = get(s"$base/v1/sessions/$h/operations/$op/result/0")
+    assert(rc == 200)
+    val m = obj(rs0)
+    assert(Set("PAYLOAD", "EOS").contains(m("resultType").toString))
+    val results = obj(m("results"))
+    val cols = arr(results("columns")).map(c => obj(c)("name").toString)
+    assert(cols == Seq("x", "s"))
+    val rows = arr(results("data")).map(obj)
+    assert(rows.size == 1)
+    assert(rows.head("kind") == "INSERT")
+    assert(arr(rows.head("fields")) == Seq(1.0, "a\nb")) // 1 crosses as JSON number
+    // drain to EOS via nextResultUri
+    var cur = m
+    var guard = 0
+    while (cur.contains("nextResultUri") && guard < 10) {
+      cur = obj(get(base + cur("nextResultUri").toString)._2)
+      guard += 1
+    }
+    assert(cur("resultType") == "EOS")
+
+    // a parse error surfaces as status=ERROR on the operation, never a 500
+    // on submit (sqlGatewayClient.ts:97-112 contract)
+    val (bc, bad) = post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELEKT nope"}""")
+    assert(bc == 200)
+    val badOp = obj(bad)("operationHandle").toString
+    assert(pollStatus(base, h, badOp, Set("FINISHED", "ERROR")) == "ERROR")
+
+    assert(delete(s"$base/v1/sessions/$h") == 200)
+  }
+
+  test("monitor wire: config, jobs overview, details, metrics, checkpoints") {
+    val base = gw.gatewayAddress
+    val mon = gw.monitorAddress
+    assert(get(s"$mon/config")._1 == 200)
+
+    // run a query so the registry has at least one batch job
+    val h = obj(post(s"$base/v1/sessions",
+      """{"properties":{"execution.runtime-mode":"batch"}}""")._2)("sessionHandle").toString
+    val op = obj(post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELECT COUNT(*) AS n FROM (VALUES (1),(2)) t(v)"}""")._2)("operationHandle").toString
+    assert(pollStatus(base, h, op, Set("FINISHED", "ERROR")) == "FINISHED")
+
+    val jobs = arr(obj(get(s"$mon/jobs/overview")._2)("jobs")).map(obj)
+    assert(jobs.nonEmpty, "batch jobs should be tracked in the overview")
+    val jid = jobs.head("jid").toString
+    assert(jobs.head.contains("state") && jobs.head.contains("tasks"))
+
+    val (dc, det) = get(s"$mon/jobs/$jid")
+    assert(dc == 200)
+    assert(obj(det)("jid") == jid && obj(det).contains("vertices"))
+
+    val metrics = arr(get(s"$mon/jobs/$jid/metrics?get=numRecordsIn,numRecordsOut")._2)
+      .map(obj).map(_("id").toString)
+    assert(metrics.toSet == Set("numRecordsIn", "numRecordsOut"))
+
+    val ck = obj(get(s"$mon/jobs/$jid/checkpoints")._2)
+    assert(obj(ck("counts")).contains("total")) // batch job: zeroed shape
+  }
+
+  test("json codec: escapes round-trip") {
+    val v = Map("s" -> "line\n\"quote\"\\tab\t", "n" -> 3.5, "b" -> true,
+      "xs" -> Seq(1, 2), "null" -> null)
+    assert(Json.parse(Json.write(v)) ==
+      Map("s" -> "line\n\"quote\"\\tab\t", "n" -> 3.5, "b" -> true,
+        "xs" -> Seq(1.0, 2.0), "null" -> null))
+  }
+}
