@@ -648,6 +648,55 @@ object RelationalQueries {
       |  ROUND(corr(o_totalprice, o_custkey), 4) + 0.0 AS price_cust_corr
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------- q26: EXISTS / NOT EXISTS / scalar subquery
+  // Catalyst rewrites EXISTS → LeftSemi, NOT EXISTS → LeftAnti, and the
+  // correlated scalar COUNT to an aggregated left outer join
+  // (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery) — all
+  // shuffle-keyed on the correlation key, no per-row re-execution. Identical
+  // SQL runs on the oracle (both dialects share the full subquery envelope).
+  val q26Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_totalprice > 100000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+      |                  AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q26Exists(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q26Sql)
+  }
+
+  // ----------------------------------- q27: navigation window functions
+  // FIRST/LAST/NTH_VALUE with explicit frames + NTILE/CUME_DIST/PERCENT_RANK.
+  // o_orderkey is unique per partition, so every navigation value is
+  // deterministic; CUME_DIST/PERCENT_RANK are single integer divisions —
+  // the same IEEE op in both engines, so doubles hash bit-identically.
+  val q27Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  FIRST_VALUE(o_totalprice) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+      |  CAST(NTILE(4) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS quartile,
+      |  CUME_DIST() OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS cdist,
+      |  PERCENT_RANK() OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prank
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def q27WindowNav(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q27Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -679,6 +728,8 @@ object RelationalQueries {
     "q23_string_fns" -> (q23StringFns _),
     "q24_collection_fns" -> (q24CollectionFns _),
     "q25_agg_more" -> (q25AggMore _),
+    "q26_exists" -> (q26Exists _),
+    "q27_window_nav" -> (q27WindowNav _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,5 +763,7 @@ object RelationalQueries {
     "q23_string_fns" -> q23Sql,
     "q24_collection_fns" -> q24Sql,
     "q25_agg_more" -> q25Sql,
+    "q26_exists" -> q26Sql,
+    "q27_window_nav" -> q27Sql,
   )
 }

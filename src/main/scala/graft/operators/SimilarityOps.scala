@@ -118,9 +118,91 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate NN via IVF-flat: a coarse quantizer partitions the corpus
+    * into `cells` inverted lists; a query ranks the cell centroids and
+    * exhaustively scores only the `nprobe` nearest lists.
+    *
+    * The quantizer is a DETERMINISTIC SAMPLE of corpus vectors (the
+    * `cells` smallest id-hashes, unit-normalized): IVF needs a partition
+    * of the space, not optimal centroids — a sampled quantizer is the
+    * standard cheap choice and keeps every run replayable (a k-means
+    * refinement would add iterative jobs and order-dependent float sums
+    * that break run-to-run determinism). Centroids are MODEL state
+    * (cells × dims doubles — a few KB), so collecting them to the driver
+    * and folding them into literal expressions is the dimension-table
+    * pattern, not a data-plane collect; at 100 TB the same plan shape
+    * holds with trained centroids.
+    *
+    * Scale: cell assignment is one map-side projection (`cells` codegen'd
+    * VecDot calls against literal arrays — no shuffle, no model broadcast
+    * round-trip); the candidate join shuffles corpus rows keyed by cell,
+    * and each query scores ~nprobe/cells of the corpus. Every (query,
+    * corpus) pair meets at most once (a vector lives in exactly one cell),
+    * so no dedup step is needed — unlike multi-table LSH.
+    *
+    * HONEST LIMITS, measured on the driver corpus (near-isotropic 64-dim
+    * synthetic embeddings): recall@10 ≈ the probed corpus fraction
+    * (nprobe/cells) — i.e. chance-level for the mid-cosine tail — and even
+    * cos ≥ 0.4 neighbors can land outside the probed cells (2 of 2 missed
+    * at sf0.1). IVF's cell structure only pays off on CLUSTERABLE corpora
+    * (real embedding distributions); on this data the method has no
+    * certifiable floor, so it is exposed as a spec-tested API, NOT a
+    * driver-gated query — `annLsh` is the certified ANN path here (full
+    * top-k recall on the driver corpus, oracle = brute force). */
+  def annIvf(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      cells: Int = 32, nprobe: Int = 8): DataFrame = {
+    val base = emb(s, dir)
+    val centroids: Seq[Seq[Double]] = base
+      .select(col("vec_id"), col("ve"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val units = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    // all cells ranked by cosine (|v| is constant across cells, so dot
+    // against unit centroids ranks identically); struct sort breaks exact
+    // ties by cell id — deterministic. Centroid literals go through
+    // Literal.create with an explicit ArrayType (typedlit's reflection
+    // fails over the row-extracted boxed Seq).
+    def centroidLit(u: Seq[Double]): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          u.toArray,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    def cellsRanked(ve: org.apache.spark.sql.Column) =
+      sort_array(array(units.zipWithIndex.map { case (u, i) =>
+        struct((lit(0.0) - VF.dot(ve, centroidLit(u))).as("nd"), lit(i).as("cell"))
+      }: _*))
+    val corpus = base
+      .withColumn("cell", cellsRanked(col("ve")).getItem(0).getField("cell"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(slice(cellsRanked(col("ve")), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("pc.cell").as("probe_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    corpus.join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    // annIvf is deliberately NOT a driver query: no honest oracle exists on
+    // the isotropic driver corpus (see its scaladoc) — DedupSimilaritySpec
+    // covers determinism, precision-within-candidates, and the measured
+    // recall floor instead.
   )
 
   val oracles: Map[String, String] = Map(

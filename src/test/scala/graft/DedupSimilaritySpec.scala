@@ -57,6 +57,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall@10 = $recall")
   }
 
+  test("ANN IVF: deterministic, exact within candidates, measured recall floor") {
+    val ivf1 = SimilarityOps.annIvf(spark, dir).collect().map(_.toSeq).toSeq
+    val ivf2 = SimilarityOps.annIvf(spark, dir).collect().map(_.toSeq).toSeq
+    assert(ivf1 == ivf2, "sampled quantizer + tie-broken ranking must replay identically")
+    // precision: every returned (pair, cos) must agree with the brute-force
+    // score — IVF approximates RECALL (which candidates are seen), never
+    // the scores of the candidates it does see
+    val brute = SimilarityOps.bruteTopK(spark, dir, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pairs = ivf1.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+    pairs.foreach { case (q, n, c) =>
+      assert(brute.get((q, n)).contains(c), s"IVF cos for ($q,$n) diverges from brute")
+    }
+    // recall floor at this SF (measured 0.3-0.6 per query; floor with margin)
+    val top10 = SimilarityOps.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = top10.count(found.contains).toDouble / top10.size
+    assert(recall >= 0.2, s"IVF recall@10 = $recall")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val d = DedupOps.ddExact(spark, dir)
     val total = d.agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
