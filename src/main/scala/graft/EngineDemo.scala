@@ -52,6 +52,44 @@ object EngineDemo {
       System.currentTimeMillis < cdl) Thread.sleep(200)
     println(s"cdc-scan => status=${cinfo.status} snapshot=${cinfo.store.map(_.snapshot()).getOrElse(Nil)}")
     s.ops.cancel(ch)
+    // CDC transformation: GROUP BY over the changelog converges to the
+    // compacted answer (per-batch snapshot + keyed-convergent delivery)
+    val th = s.execute("SELECT name, COUNT(*) AS n FROM users_cdc GROUP BY name")
+    val tinfo = s.ops.get(th).get
+    val tdl = System.currentTimeMillis + 20000
+    while (tinfo.store.forall(_.size < 2) && tinfo.status != OpStatus.Error &&
+      System.currentTimeMillis < tdl) Thread.sleep(200)
+    println(s"cdc-transform => status=${tinfo.status} groups=${tinfo.store.map(_.snapshot()).getOrElse(Nil)}")
+    s.ops.cancel(th)
+
+    // REST facade: the same engine over the reference's two HTTP APIs
+    val rest = new RestGateway(spark)
+    rest.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(req: java.net.http.HttpRequest): String =
+        http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val base = rest.gatewayAddress
+      val sess = call(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/v1/sessions"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("""{"properties":{"execution.runtime-mode":"batch"}}""")).build())
+      val sid = sess.split("\"")(3)
+      val op = call(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/v1/sessions/$sid/statements"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("""{"statement":"SELECT 42 AS answer"}""")).build())
+      val oid = op.split("\"")(3)
+      var st = ""
+      val rdl = System.currentTimeMillis + 15000
+      while (st != "FINISHED" && st != "ERROR" && System.currentTimeMillis < rdl) {
+        st = call(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/v1/sessions/$sid/operations/$oid/status")).GET().build()).split("\"")(3)
+        Thread.sleep(100)
+      }
+      val page = call(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/v1/sessions/$sid/operations/$oid/result/0")).GET().build())
+      println(s"rest-gateway => status=$st page=${page.take(160)}")
+      val jobs = call(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${rest.monitorAddress}/jobs/overview")).GET().build())
+      println(s"rest-monitor => jobs=${jobs.take(120)}")
+    } finally rest.stop()
 
     // job monitor drill-down: per-operator vertices + checkpoint stats
     val reg = new JobRegistry(spark)

@@ -129,6 +129,31 @@ class RestGatewaySpec extends AnyFunSuite {
     assert(obj(ck("counts")).contains("total")) // batch job: zeroed shape
   }
 
+  test("streaming statement over REST: RUNNING status, rows arrive, cancel") {
+    val base = gw.gatewayAddress
+    val h = obj(post(s"$base/v1/sessions", "{}")._2)("sessionHandle").toString
+    val ddl = obj(post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"CREATE TABLE clicks (user_id INT) WITH ('connector'='datagen','rows-per-second'='50','fields.user_id.min'='1','fields.user_id.max'='5')"}""")._2)("operationHandle").toString
+    assert(pollStatus(base, h, ddl, Set("FINISHED", "ERROR")) == "FINISHED")
+    val op = obj(post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELECT user_id, COUNT(*) AS n FROM clicks GROUP BY user_id"}""")._2)("operationHandle").toString
+    // a streaming statement stays RUNNING while pages fill
+    // (flinkNotebookController.ts:256-260 classification)
+    assert(pollStatus(base, h, op, Set("RUNNING", "ERROR")) == "RUNNING")
+    val end = System.currentTimeMillis() + 30000
+    var rows = Seq.empty[Map[String, Any]]
+    while (rows.isEmpty && System.currentTimeMillis() < end) {
+      val rs = obj(get(s"$base/v1/sessions/$h/operations/$op/result/0")._2)
+      rows = arr(obj(rs("results"))("data")).map(obj)
+      if (rows.isEmpty) Thread.sleep(300)
+    }
+    assert(rows.nonEmpty, "streaming rows should arrive within the deadline")
+    assert(rows.forall(r => Set("INSERT", "UPDATE_AFTER", "UPDATE_BEFORE", "DELETE")
+      .contains(r("kind").toString)))
+    assert(delete(s"$base/v1/sessions/$h/operations/$op") == 200)
+    assert(pollStatus(base, h, op, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
+  }
+
   test("json codec: escapes round-trip") {
     val v = Map("s" -> "line\n\"quote\"\\tab\t", "n" -> 3.5, "b" -> true,
       "xs" -> Seq(1, 2), "null" -> null)
