@@ -331,8 +331,10 @@ final class EngineSession(val spark: SparkSession) {
     val changelog = cdcChangelog(spec)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), spec.schema)
+    // jdbc/filesystem dims joinable; the cdc table itself is excluded — its
+    // view is this operator's own incremental snapshot, registered below
+    materializeBounded(referencedTables(sql) - spec.name.toLowerCase)
     empty.createOrReplaceTempView(spec.name)
-    materializeBounded(referencedTables(sql)) // jdbc dims joinable
     val probe = spark.sql(rewritten) // plan once against the empty snapshot
     val keyIdx = aggKeyIndexes(probe).getOrElse(Nil)
     val store = new ResultStore(probe.schema.fieldNames.toSeq,
@@ -377,6 +379,15 @@ final class EngineSession(val spark: SparkSession) {
     * Delete the keys that left the result, so the client-visible set
     * converges to the latest recomputation. `prevKeys` is the caller's
     * across-batch key memory. */
+  /** Key components normalized to value-equality: BINARY columns surface
+    * as Array[Byte] (identity equals/hashCode), so raw arrays would never
+    * match across micro-batch recomputations and every batch would re-
+    * upsert all rows instead of converging. */
+  private def keyable(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq.map(keyable)
+    case other => other
+  }
+
   private def deliverConvergent(store: ResultStore, result: DataFrame,
       keyIdx: Seq[Int],
       prevKeys: scala.collection.mutable.HashSet[Seq[Any]]): Unit = {
@@ -385,11 +396,13 @@ final class EngineSession(val spark: SparkSession) {
     val it = result.toLocalIterator()
     while (it.hasNext) {
       val fields = it.next().toSeq
+      val keyFields =
+        (if (keyIdx.nonEmpty) keyIdx.map(fields) else fields).map(keyable)
       val key =
-        if (keyIdx.nonEmpty) keyIdx.map(fields)
+        if (keyIdx.nonEmpty) keyFields
         else {
-          val n = occ.getOrElse(fields, 0); occ(fields) = n + 1
-          fields :+ (n: Any)
+          val n = occ.getOrElse(keyFields, 0); occ(keyFields) = n + 1
+          keyFields :+ (n: Any)
         }
       store.upsert(key, fields)
       newKeys += key
@@ -419,8 +432,10 @@ final class EngineSession(val spark: SparkSession) {
     val source = streamSource(spec)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+    // bounded dims joinable; the streamed table itself is excluded — its
+    // view is this operator's own top-k accumulator, registered below
+    materializeBounded(refs - spec.name.toLowerCase)
     empty.createOrReplaceTempView(spec.name)
-    materializeBounded(refs)
     val probe = spark.sql(sql) // plan once against the empty accumulator
     val store = new ResultStore(probe.schema.fieldNames.toSeq,
       emitUpdateBefore = protocolUpdateBefore)
@@ -455,19 +470,37 @@ final class EngineSession(val spark: SparkSession) {
     * driver/connection is only touched at load(), inside the operation).
     * Called from BOTH the batch and the streaming path — a streaming query
     * joining a stream against a jdbc dimension is the lookup-shaped case
-    * jdbc tables exist for. Filesystem views re-register too: a prior
-    * streaming statement (monitored directory, CDC snapshot, top-N
-    * accumulator) may have re-pointed the table's temp view. */
+    * jdbc tables exist for.
+    *
+    * Filesystem views re-register UNCONDITIONALLY (monitored directories
+    * included — a batch query over one reads the directory's CURRENT
+    * contents): a prior streaming statement (CDC snapshot, top-N
+    * accumulator, monitored stream) may have re-pointed the table's temp
+    * view at its own frozen state, and a later batch query must not
+    * silently read that. A cdc table queried in BATCH mode materializes as
+    * the fully compacted snapshot of its changelog — the natural batch
+    * semantics of a changelog table. */
   private def materializeBounded(refs: Set[String]): Unit =
     specs.values.filter(s => refs.contains(s.name.toLowerCase))
       .foreach { spec =>
         spec.connector match {
           case "jdbc" =>
             graft.sources.Jdbc.reader(spark, spec).createOrReplaceTempView(spec.name)
-          case "filesystem" if spec.isBounded =>
+          case "filesystem" =>
             spark.read.format(spec.options.getOrElse("format", "parquet"))
               .schema(spec.schema).load(spec.options("path"))
               .createOrReplaceTempView(spec.name)
+          case c if c.endsWith("-cdc") =>
+            spec.options.get("debezium.json.path").foreach { path =>
+              import org.apache.spark.sql.functions.{col, monotonically_increasing_id, struct}
+              val log = graft.sources.DebeziumJson.fileBatch(spark, path, spec.schema)
+                .withColumn("__seq", monotonically_increasing_id())
+              graft.streaming.ChangelogOps.latestSnapshot(
+                  log, spec.primaryKey,
+                  struct(col("__ord"), col("__seq")), opCol = "__op")
+                .drop("__ord", "__seq")
+                .createOrReplaceTempView(spec.name)
+            }
           case _ => ()
         }
       }

@@ -151,8 +151,15 @@ final class RestGateway(root: SparkSession,
 
   private val gw = HttpServer.create(new InetSocketAddress(gatewayPort), 0)
   private val mon = HttpServer.create(new InetSocketAddress(monitorPort), 0)
-  gw.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
-  mon.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  // daemon threads + explicit shutdown: HttpServer.stop() does NOT stop the
+  // executor it was given, and a lingering non-daemon cached pool would hold
+  // the JVM open for its 60 s keep-alive after stop()
+  private def pool() = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t })
+  private val gwPool = pool()
+  private val monPool = pool()
+  gw.setExecutor(gwPool)
+  mon.setExecutor(monPool)
 
   private val sessionIds = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
@@ -161,6 +168,7 @@ final class RestGateway(root: SparkSession,
   def monitorAddress: String = s"http://localhost:${mon.getAddress.getPort}"
   def stop(): Unit = {
     gw.stop(0); mon.stop(0)
+    gwPool.shutdown(); monPool.shutdown()
     sessions.closeAll(); registry.close()
   }
 
@@ -211,10 +219,15 @@ final class RestGateway(root: SparkSession,
 
   /** Field values cross as JSON scalars; anything non-primitive (timestamp,
     * array, struct rendered by Spark) crosses as its string form — same
-    * fidelity the reference's JSON rowFormat gives a notebook client. */
+    * fidelity the reference's JSON rowFormat gives a notebook client.
+    * Non-finite doubles (NaN/Infinity) cross as strings: bare NaN tokens
+    * are not legal JSON and would break the client's parse of the whole
+    * page. */
   private def jsonField(v: Any): Any = v match {
     case null => null
     case x @ (_: String | _: java.lang.Boolean) => x
+    case d: java.lang.Double if d.isNaN || d.isInfinite => d.toString
+    case f: java.lang.Float if f.isNaN || f.isInfinite => f.toString
     case n: java.lang.Number => n
     case other => other.toString
   }
@@ -250,6 +263,12 @@ final class RestGateway(root: SparkSession,
         }
         val handle = sessions.getOrCreate(h).execute(stmt)
         reply(ex, 200, Map("operationHandle" -> handle.id))
+
+      // operation routes 404 on unknown/closed session handles — a
+      // getOrCreate here would silently allocate a fresh SparkSession per
+      // garbage handle (e.g. a poller still in flight after DELETE)
+      case (_, Seq("v1", "sessions", h, "operations", _*)) if !sessionIds.contains(h) =>
+        reply(ex, 404, Map("errors" -> Seq(s"session not found: $h")))
 
       case ("GET", Seq("v1", "sessions", h, "operations", op, "status")) =>
         val st = sessions.getOrCreate(h).ops.status(OperationHandle(op))

@@ -58,7 +58,18 @@ final class ResultStore(
     if (rows.size < maxRows) rows += StoredRow(RowKind.Insert, fields)
   }
 
-  def upsert(key: Seq[Any], fields: Seq[Any]): Unit = synchronized {
+  /** Keys normalize to value-equality before indexing: BINARY columns
+    * arrive as Array[Byte] (identity equals/hashCode), and a key that
+    * never compares equal to itself across batches would turn every keyed
+    * update into a fresh insert. */
+  private def normVal(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq.map(normVal)
+    case x => x
+  }
+  private def normKey(key: Seq[Any]): Seq[Any] = key.map(normVal)
+
+  def upsert(rawKey: Seq[Any], fields: Seq[Any]): Unit = synchronized {
+    val key = normKey(rawKey)
     keyIndex.get(key) match {
       case Some(i) if i >= servedWatermark =>
         // not yet delivered: overwrite in place
@@ -89,7 +100,7 @@ final class ResultStore(
     * from `snapshot()`, still visible to the paging client as a Delete
     * row-kind (Flink retraction parity for CDC streams). */
   def delete(key: Seq[Any]): Unit = synchronized {
-    keyIndex.get(key).foreach { i =>
+    keyIndex.get(normKey(key)).foreach { i =>
       rows(i) = StoredRow(RowKind.Delete, rows(i).fields)
     }
   }

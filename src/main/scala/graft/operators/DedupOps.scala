@@ -482,9 +482,13 @@ object DedupOps {
     while (changed > 0 && iter < maxRounds) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // materialize the propagation once — the path-halving self-join below
+      // reads it on BOTH sides, and without the checkpoint each round would
+      // evaluate the edges-join + aggregate twice
       val propagated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label"))
+        .localCheckpoint()
       // path-halving: follow one hop of label→label (inner join is safe:
       // every label value is a node id present in the frame)
       val hop = propagated

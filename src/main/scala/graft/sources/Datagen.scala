@@ -114,8 +114,13 @@ object Datagen {
                 gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
             }: _*)
           case StringType =>
+            // entry index suffixed onto the random key: per-index salts
+            // alone make duplicates merely IMPROBABLE, and with short
+            // `length` values (the same option sizes the string) a corpus
+            // of rows would hit map()'s duplicate-key error with certainty
             map((0 until n).flatMap { i =>
-              Seq(gen(id, s"$name.k[$i]", kt, opts, prefix, rateTs),
+              Seq(concat(gen(id, s"$name.k[$i]", kt, opts, prefix, rateTs),
+                  lit(s"#$i")),
                 gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
             }: _*)
           case _ =>

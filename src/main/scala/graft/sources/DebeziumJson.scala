@@ -39,7 +39,10 @@ object DebeziumJson {
   def flatten(env: DataFrame): DataFrame = {
     val payloadCols = env.schema("after").dataType
       .asInstanceOf[StructType].fieldNames
-    val clash = payloadCols.toSet.intersect(Set("__op", "__ord"))
+    // __seq/__rn are injected later by the per-batch merge/compaction —
+    // reserving them here keeps the rejection up-front instead of letting
+    // a payload column be silently clobbered downstream
+    val clash = payloadCols.toSet.intersect(Set("__op", "__ord", "__seq", "__rn"))
     require(clash.isEmpty,
       s"cdc payload columns ${clash.mkString(",")} collide with reserved changelog metadata names")
     env

@@ -361,6 +361,14 @@ class EngineSpec extends AnyFunSuite {
     assert(info.store.get.snapshot().toSet == expected,
       s"got ${info.store.get.snapshot()}")
     session.ops.cancel(h)
+    // a later BATCH query over the cdc table must see the fully compacted
+    // changelog — not the transform's frozen per-batch snapshot view
+    session.executeSync("SET 'execution.runtime-mode' = 'batch'")
+    val batch = session.executeSync(
+      "SELECT region, COUNT(*) AS n FROM cdc_accounts GROUP BY region")
+    assert(batch.store.get.snapshot().toSet == expected,
+      s"batch compaction got ${batch.store.get.snapshot()}")
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
   }
 
   test("SQL streaming top-N: ROW_NUMBER <= k over a monitored directory converges") {
@@ -404,6 +412,14 @@ class EngineSpec extends AnyFunSuite {
     assert(info.store.get.snapshot().toSet == expected,
       s"got ${info.store.get.snapshot()}")
     session.ops.cancel(h)
+    // the top-N accumulator re-pointed the table's temp view at its frozen
+    // k-row state; a later BATCH scan must read the directory's real
+    // contents again
+    session.executeSync("SET 'execution.runtime-mode' = 'batch'")
+    val scan = session.executeSync("SELECT COUNT(*) AS n FROM scores_stream")
+    assert(scan.store.get.snapshot() == Seq(Seq(6L)),
+      s"batch rescan got ${scan.store.get.snapshot()}")
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
   }
 
   test("cdc table: mixing with another unbounded source surfaces a clear error") {

@@ -98,6 +98,10 @@ class RestGatewaySpec extends AnyFunSuite {
     assert(pollStatus(base, h, badOp, Set("FINISHED", "ERROR")) == "ERROR")
 
     assert(delete(s"$base/v1/sessions/$h") == 200)
+    // a poller still in flight after DELETE must get 404 — not a silently
+    // recreated engine session under the dead handle
+    assert(get(s"$base/v1/sessions/$h/operations/$op/status")._1 == 404)
+    assert(get(s"$base/v1/sessions/bogus-handle/operations/x/result/0")._1 == 404)
   }
 
   test("monitor wire: config, jobs overview, details, metrics, checkpoints") {
