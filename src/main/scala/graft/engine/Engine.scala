@@ -116,6 +116,10 @@ final class EngineSession(val spark: SparkSession) {
               "INSERT OVERWRITE is not supported from a streaming source")
             ops.submit(sql) { info =>
               materializeStreams(streams)
+              // bounded dims (jdbc/filesystem) joinable from the streaming
+              // INSERT; stream names excluded so the batch re-registration
+              // can't clobber the streaming views registered above
+              materializeBounded(refs -- streams.map(_.name.toLowerCase))
               val df = spark.sql(query)
               val store = new ResultStore(Seq("result"))
               info.store = Some(store)
@@ -138,6 +142,7 @@ final class EngineSession(val spark: SparkSession) {
           } else sync(sql) { _ =>
             // batch INSERT INTO/OVERWRITE a path-backed table (SURVEY §2.1):
             // write the query result, then refresh the registered view.
+            materializeBounded(refs) // jdbc/filesystem sources of the SELECT
             val df = spark.sql(query)
             val mode = if (overwrite) "overwrite" else "append"
             df.write.format(spec.options.getOrElse("format", "parquet"))
@@ -379,14 +384,9 @@ final class EngineSession(val spark: SparkSession) {
     * Delete the keys that left the result, so the client-visible set
     * converges to the latest recomputation. `prevKeys` is the caller's
     * across-batch key memory. */
-  /** Key components normalized to value-equality: BINARY columns surface
-    * as Array[Byte] (identity equals/hashCode), so raw arrays would never
-    * match across micro-batch recomputations and every batch would re-
-    * upsert all rows instead of converging. */
-  private def keyable(v: Any): Any = v match {
-    case a: Array[_] => a.toSeq.map(keyable)
-    case other => other
-  }
+  /** Key components normalized to value-equality (see ResultStore.keyable:
+    * BINARY columns surface as Array[Byte] with identity equals). */
+  private def keyable(v: Any): Any = ResultStore.keyable(v)
 
   private def deliverConvergent(store: ResultStore, result: DataFrame,
       keyIdx: Seq[Int],
@@ -491,16 +491,26 @@ final class EngineSession(val spark: SparkSession) {
               .schema(spec.schema).load(spec.options("path"))
               .createOrReplaceTempView(spec.name)
           case c if c.endsWith("-cdc") =>
-            spec.options.get("debezium.json.path").foreach { path =>
-              import org.apache.spark.sql.functions.{col, monotonically_increasing_id, struct}
-              val log = graft.sources.DebeziumJson.fileBatch(spark, path, spec.schema)
-                .withColumn("__seq", monotonically_increasing_id())
-              graft.streaming.ChangelogOps.latestSnapshot(
-                  log, spec.primaryKey,
-                  struct(col("__ord"), col("__seq")), opCol = "__op")
-                .drop("__ord", "__seq")
-                .createOrReplaceTempView(spec.name)
-            }
+            // same validation as the streaming path — a missing key or
+            // endpoint must fail with the SAME clear diagnostics, not a
+            // generic TABLE_OR_VIEW_NOT_FOUND or a silently global
+            // compaction (empty partitionBy = one row survives)
+            if (spec.primaryKey.isEmpty) throw new IllegalArgumentException(
+              s"cdc table ${spec.name} needs PRIMARY KEY (...) NOT ENFORCED for changelog merge")
+            val path = spec.options.getOrElse("debezium.json.path",
+              throw new IllegalStateException(
+                s"connector '$c' (table ${spec.name}) endpoint is unreachable " +
+                  "in this environment; set 'debezium.json.path' for a file-backed changelog"))
+            import org.apache.spark.sql.functions.{col, monotonically_increasing_id, struct}
+            // order: ts_ms, then source-file mtime (write order), then
+            // in-file position — matches the streaming replay's winner
+            val log = graft.sources.DebeziumJson.fileBatch(spark, path, spec.schema)
+              .withColumn("__seq", monotonically_increasing_id())
+            graft.streaming.ChangelogOps.latestSnapshot(
+                log, spec.primaryKey,
+                struct(col("__ord"), col("__mt"), col("__seq")), opCol = "__op")
+              .drop("__ord", "__mt", "__seq")
+              .createOrReplaceTempView(spec.name)
           case _ => ()
         }
       }
@@ -578,7 +588,11 @@ final class EngineSession(val spark: SparkSession) {
       refs: Set[String]): OperationHandle =
     ops.submit(sql) { info =>
       materializeStreams(streams)
-      materializeBounded(refs) // jdbc dims joinable from streaming queries
+      // jdbc/filesystem dims joinable from streaming queries; stream names
+      // excluded — the unconditional filesystem re-registration would
+      // otherwise clobber a monitored directory's just-registered
+      // streaming view with a batch read
+      materializeBounded(refs -- streams.map(_.name.toLowerCase))
       val df = spark.sql(sql)
       val keys = aggKeyIndexes(df)
       val keyIdx = keys.getOrElse(Nil)

@@ -15,6 +15,22 @@ object RowKind extends Enumeration {
 
 final case class StoredRow(kind: RowKind.Value, fields: Seq[Any])
 
+object ResultStore {
+  /** Normalize a value to value-equality semantics for use as (part of) a
+    * store key: BINARY columns arrive as Array[Byte] (identity
+    * equals/hashCode), including nested inside Seq for ARRAY<BINARY> — a
+    * key that never compares equal to itself across micro-batch
+    * recomputations would turn every keyed update into a fresh insert.
+    * The ONE shared implementation: Engine's convergent delivery and the
+    * store's own upsert/delete all normalize through here (normalizing
+    * twice is idempotent). */
+  def keyable(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq.map(keyable)
+    case s: scala.collection.Seq[_] => s.map(keyable)
+    case x => x
+  }
+}
+
 /** One page of results. `resultType` state machine matches the client's
   * (flinkNotebookController.ts:179-236): NOT_READY (retry same token),
   * PAYLOAD (data + nextToken), EOS (final).
@@ -58,15 +74,7 @@ final class ResultStore(
     if (rows.size < maxRows) rows += StoredRow(RowKind.Insert, fields)
   }
 
-  /** Keys normalize to value-equality before indexing: BINARY columns
-    * arrive as Array[Byte] (identity equals/hashCode), and a key that
-    * never compares equal to itself across batches would turn every keyed
-    * update into a fresh insert. */
-  private def normVal(v: Any): Any = v match {
-    case a: Array[_] => a.toSeq.map(normVal)
-    case x => x
-  }
-  private def normKey(key: Seq[Any]): Seq[Any] = key.map(normVal)
+  private def normKey(key: Seq[Any]): Seq[Any] = key.map(ResultStore.keyable)
 
   def upsert(rawKey: Seq[Any], fields: Seq[Any]): Unit = synchronized {
     val key = normKey(rawKey)

@@ -114,13 +114,20 @@ object Datagen {
                 gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
             }: _*)
           case StringType =>
-            // entry index suffixed onto the random key: per-index salts
-            // alone make duplicates merely IMPROBABLE, and with short
-            // `length` values (the same option sizes the string) a corpus
-            // of rows would hit map()'s duplicate-key error with certainty
-            map((0 until n).flatMap { i =>
-              Seq(concat(gen(id, s"$name.k[$i]", kt, opts, prefix, rateTs),
-                  lit(s"#$i")),
+            // a fixed-width zero-padded entry index OVERWRITES the key's
+            // tail: distinct by construction (per-index salts alone make
+            // duplicates merely improbable, and with short `length` values
+            // a corpus of rows would hit map()'s duplicate-key error with
+            // certainty), alphanumeric-only, declared length preserved.
+            // Entry count clamps to what `width` digits can index.
+            val len = math.max(1, opt("length").map(_.toInt).getOrElse(10))
+            val width = math.min((n - 1).toString.length, len)
+            val m = math.min(n.toLong, math.pow(10, width).toLong).toInt
+            val base = substring(
+              gen(id, s"$name.k", kt, opts, prefix, rateTs), 1, len - width)
+            map((0 until m).flatMap { i =>
+              val idx = ("0" * width + i.toString).takeRight(width)
+              Seq(concat(base, lit(idx)),
                 gen(id * 31 + i, s"$name.v[$i]", vt, opts, prefix, rateTs))
             }: _*)
           case _ =>

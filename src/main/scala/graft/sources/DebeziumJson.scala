@@ -36,19 +36,20 @@ object DebeziumJson {
     * expression would be nondeterministic and streaming plans reject those;
     * the per-batch merge adds the positional tiebreaker in batch context
     * (`ChangelogOps.mergeBatch`). */
-  def flatten(env: DataFrame): DataFrame = {
+  def flatten(env: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val payloadCols = env.schema("after").dataType
       .asInstanceOf[StructType].fieldNames
     // __seq/__rn are injected later by the per-batch merge/compaction —
     // reserving them here keeps the rejection up-front instead of letting
     // a payload column be silently clobbered downstream
-    val clash = payloadCols.toSet.intersect(Set("__op", "__ord", "__seq", "__rn"))
+    val clash = payloadCols.toSet.intersect(Set("__op", "__ord", "__seq", "__rn", "__mt"))
     require(clash.isEmpty,
       s"cdc payload columns ${clash.mkString(",")} collide with reserved changelog metadata names")
+    val keepCols = keep.map(col)
     env
-      .select(coalesce(col("after"), col("before")).as("__p"),
-        col("op").as("__op"), col("ts_ms").as("__ord"))
-      .select(col("__p.*"), col("__op"), col("__ord"))
+      .select(coalesce(col("after"), col("before")).as("__p") +:
+        col("op").as("__op") +: col("ts_ms").as("__ord") +: keepCols: _*)
+      .select(col("__p.*") +: col("__op") +: col("__ord") +: keepCols: _*)
   }
 
   /** File-backed Debezium changelog stream: JSON-lines files under `path`,
@@ -59,7 +60,17 @@ object DebeziumJson {
     flatten(spark.readStream.schema(envelope(payload))
       .option("maxFilesPerTrigger", "1").json(path))
 
-  /** Batch twin (compaction jobs, tests). */
+  /** Batch twin (compaction jobs, tests). Carries `__mt` — the source
+    * file's modification time — so whole-directory compaction can order
+    * same-ts_ms changes by WRITE order: a batch scan's partition indexes
+    * follow split-size packing, not replay order, so position alone
+    * (monotonically_increasing_id) would tie-break across files by file
+    * SIZE. (The streaming path needs no `__mt`: it replays one file per
+    * trigger, oldest-first, so cross-file order is batch order there.) */
   def fileBatch(spark: SparkSession, path: String, payload: StructType): DataFrame =
-    flatten(spark.read.schema(envelope(payload)).json(path))
+    flatten(
+      spark.read.schema(envelope(payload)).json(path)
+        .withColumn("__mt",
+          col("_metadata.file_modification_time").cast("long")),
+      keep = Seq("__mt"))
 }

@@ -422,6 +422,35 @@ class EngineSpec extends AnyFunSuite {
     session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
   }
 
+  test("monitored directory: plain streaming aggregate works (view not clobbered)") {
+    // regression: materializeBounded's unconditional filesystem
+    // re-registration must not replace the streaming view runStreaming just
+    // registered (that made writeStream throw 'not a streaming Dataset')
+    val dir = java.nio.file.Files.createTempDirectory("graft-mon").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mon-w").toString
+    spark.createDataFrame(Seq((1, "a"), (2, "a"), (3, "b"))).toDF("id", "grp")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "f1.parquet"))
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE mon_events (id INT, grp STRING) WITH (
+         |'connector' = 'filesystem', 'path' = '$dir',
+         |'format' = 'parquet', 'source.monitor-interval' = '1s')""".stripMargin)
+    val h = session.execute("SELECT grp, COUNT(*) AS n FROM mon_events GROUP BY grp")
+    val info = session.ops.get(h).get
+    val expected = Set(Seq("a", 2L), Seq("b", 1L))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+  }
+
   test("cdc table: mixing with another unbounded source surfaces a clear error") {
     session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
     session.executeSync(
