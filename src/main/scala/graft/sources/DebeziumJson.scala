@@ -70,7 +70,9 @@ object DebeziumJson {
   def fileBatch(spark: SparkSession, path: String, payload: StructType): DataFrame =
     flatten(
       spark.read.schema(envelope(payload)).json(path)
+        // microseconds, not cast-to-long (= epoch SECONDS): changelog files
+        // written within the same second must still order by write time
         .withColumn("__mt",
-          col("_metadata.file_modification_time").cast("long")),
+          unix_micros(col("_metadata.file_modification_time"))),
       keep = Seq("__mt"))
 }

@@ -159,6 +159,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(state == Seq((1L, "alicia"), (3L, "caro")))
   }
 
+  test("CDC batch compaction: same-ts_ms changes order by file write time, not split packing") {
+    import graft.streaming.ChangelogOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-tie")
+    // the EARLIER-written file is deliberately LARGER: split-size packing
+    // would scan it first and a position-only tiebreaker would crown its
+    // change the winner — write order must decide instead
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      ("""{"before":null,"after":{"id":1,"name":"old"},"op":"c","ts_ms":100}""" + "\n") +
+        (2 to 40).map(i =>
+          s"""{"before":null,"after":{"id":$i,"name":"pad$i"},"op":"c","ts_ms":50}""")
+          .mkString("", "\n", "\n"))
+    Thread.sleep(20) // distinct mtime at microsecond resolution
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"before":{"id":1,"name":"old"},"after":{"id":1,"name":"new"},"op":"u","ts_ms":100}""" + "\n")
+    val payload = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.IntegerType)
+      .add("name", org.apache.spark.sql.types.StringType)
+    val log = graft.sources.DebeziumJson.fileBatch(spark, dir.toString, payload)
+      .withColumn("__seq", monotonically_increasing_id())
+    val snap = ChangelogOps.latestSnapshot(log, Seq("id"),
+        org.apache.spark.sql.functions.struct(col("__ord"), col("__mt"), col("__seq")),
+        opCol = "__op")
+      .filter(col("id") === 1).collect()
+    assert(snap.map(_.getString(1)).toSeq == Seq("new"),
+      s"later-written change must win the ts tie; got ${snap.toSeq}")
+  }
+
   test("streaming top-N converges to batch top-N across micro-batches") {
     import spark.implicits._
     val streamed = runToCompletion(
