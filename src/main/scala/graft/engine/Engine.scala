@@ -346,30 +346,41 @@ final class EngineSession(val spark: SparkSession) {
       emitUpdateBefore = protocolUpdateBefore)
     info.store = Some(store)
     info.isStreaming = true
+    // The fold state carries, PER KEY, the winning (__ord=ts_ms, __bat=
+    // micro-batch id, __seq=read position) alongside the payload — plus the
+    // winning __op, so a delete's ordinal keeps shadowing older changes
+    // that arrive in later batches. A change in a later micro-batch with an
+    // OLDER ts_ms therefore LOSES to the value already folded in:
+    // timestamp-wins, the same winner the batch compaction path in
+    // materializeBounded picks over the whole directory (ts_ms, then
+    // arrival, then position) — a streaming transform and a later batch
+    // query over the same out-of-order changelog agree.
     var snapshot = empty
+      .withColumn("__op", lit("r"))
+      .withColumn("__ord", lit(Long.MinValue))
+      .withColumn("__bat", lit(-1L))
+      .withColumn("__seq", lit(-1L))
     val prevKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
     val q = changelog.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", ckLocation(info.handle.id))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // fold new changes in: previous snapshot rows sort BELOW any real
-        // change (ts = MinValue, seq = -1), so last-writer-wins picks batch
-        // rows; within the batch, equal-ts changes to one key tie-break by
-        // read position (monotonically_increasing_id is batch-legal here,
-        // and a file micro-batch's partitions are byte ranges in file order)
-        val prevAsLog = snapshot
-          .withColumn("__op", lit("r"))
-          .withColumn("__ord", lit(Long.MinValue))
-          .withColumn("__seq", lit(-1L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // equal-ts changes to one key tie-break by arrival: batch id, then
+        // read position within the batch (monotonically_increasing_id is
+        // batch-legal here, and a file micro-batch's partitions are byte
+        // ranges in file order). __seq values are only comparable within
+        // one batch — __bat ranks across batches first.
         val batchSeq = batch
+          .withColumn("__bat", lit(batchId))
           .withColumn("__seq", org.apache.spark.sql.functions.monotonically_increasing_id())
-        snapshot = graft.streaming.ChangelogOps.latestSnapshot(
-            prevAsLog.unionByName(batchSeq), spec.primaryKey,
-            struct(col("__ord"), col("__seq")), opCol = "__op")
-          .drop("__ord", "__seq")
+        snapshot = graft.streaming.ChangelogOps.compact(
+            snapshot.unionByName(batchSeq), spec.primaryKey,
+            struct(col("__ord"), col("__bat"), col("__seq")))
           .localCheckpoint()
-        snapshot.createOrReplaceTempView(spec.name)
+        snapshot.filter(col("__op") =!= "d")
+          .drop("__op", "__ord", "__bat", "__seq")
+          .createOrReplaceTempView(spec.name)
         deliverConvergent(store, spark.sql(rewritten), keyIdx, prevKeys)
       }
       .start()

@@ -52,7 +52,12 @@ private[engine] object Json {
     private var i = 0
     def eof: Boolean = i >= s.length
     def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
-    private def ch: Char = s.charAt(i)
+    /** Every character read funnels through here: truncated input fails as
+      * IllegalArgumentException (→ HTTP 400), never
+      * StringIndexOutOfBoundsException (→ 500). */
+    private def ch: Char = {
+      require(!eof, s"unexpected end of JSON at $i"); s.charAt(i)
+    }
     private def expect(c: Char): Unit = {
       require(!eof && ch == c, s"expected '$c' at $i"); i += 1
     }
@@ -107,6 +112,7 @@ private[engine] object Json {
             case 'b' => b.append('\b'); i += 1
             case 'f' => b.append('\f'); i += 1
             case 'u' =>
+              require(i + 5 <= s.length, s"truncated \\u escape at $i")
               b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
               i += 5
             case c => b.append(c); i += 1
@@ -118,6 +124,10 @@ private[engine] object Json {
     }
   }
 }
+
+/** Typed HTTP failure a route can throw to pick its own status code. */
+private[engine] final case class HttpError(code: Int, msg: String)
+  extends RuntimeException(msg)
 
 /** REST facade for the engine — wire parity with the two HTTP APIs the
   * reference extension speaks:
@@ -144,13 +154,18 @@ private[engine] object Json {
   * renders `columns[].name` only, flinkNotebookController.ts:348-356).
   */
 final class RestGateway(root: SparkSession,
-    gatewayPort: Int = 0, monitorPort: Int = 0) {
+    gatewayPort: Int = 0, monitorPort: Int = 0,
+    /** Loopback by default: the facade is an UNAUTHENTICATED arbitrary-SQL
+      * control plane for a local notebook — exposing it on 0.0.0.0 would
+      * hand SQL execution and job-cancel to the whole network. Pass an
+      * explicit address to bind externally on purpose. */
+    bindAddress: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress) {
 
   val registry = new JobRegistry(root)
   val sessions = new SessionManager(root, es => registry.attach(es.spark))
 
-  private val gw = HttpServer.create(new InetSocketAddress(gatewayPort), 0)
-  private val mon = HttpServer.create(new InetSocketAddress(monitorPort), 0)
+  private val gw = HttpServer.create(new InetSocketAddress(bindAddress, gatewayPort), 0)
+  private val mon = HttpServer.create(new InetSocketAddress(bindAddress, monitorPort), 0)
   // daemon threads + explicit shutdown: HttpServer.stop() does NOT stop the
   // executor it was given, and a lingering non-daemon cached pool would hold
   // the JVM open for its 60 s keep-alive after stop()
@@ -166,6 +181,8 @@ final class RestGateway(root: SparkSession,
   def start(): Unit = { gw.start(); mon.start() }
   def gatewayAddress: String = s"http://localhost:${gw.getAddress.getPort}"
   def monitorAddress: String = s"http://localhost:${mon.getAddress.getPort}"
+  private[engine] def boundAddresses: Seq[java.net.InetAddress] =
+    Seq(gw.getAddress.getAddress, mon.getAddress.getAddress)
   def stop(): Unit = {
     gw.stop(0); mon.stop(0)
     gwPool.shutdown(); monPool.shutdown()
@@ -197,6 +214,13 @@ final class RestGateway(root: SparkSession,
         val segs = ex.getRequestURI.getPath.split("/").toSeq.filter(_.nonEmpty)
         route(ex.getRequestMethod.toUpperCase, segs, ex)
       } catch {
+        case HttpError(code, msg) =>
+          reply(ex, code, Map("errors" -> Seq(msg)))
+        case e: IllegalArgumentException =>
+          // client-input errors (malformed JSON — Json.P throws require/
+          // NumberFormatException — missing fields, bad parameters) are
+          // 400s, not 500s
+          reply(ex, 400, Map("errors" -> Seq(String.valueOf(e.getMessage))))
         case scala.util.control.NonFatal(t) =>
           reply(ex, 500, Map("errors" -> Seq(String.valueOf(t.getMessage))))
       })
@@ -277,8 +301,11 @@ final class RestGateway(root: SparkSession,
       case ("GET", Seq("v1", "sessions", h, "operations", op, "result", token)) =>
         val session = sessions.getOrCreate(h)
         val info = session.ops.get(OperationHandle(op))
-        info.flatMap(_.error).foreach(t => throw t)
-        val page = session.ops.fetch(OperationHandle(op), token.toLong)
+          .getOrElse(throw HttpError(404, s"operation not found: $op"))
+        info.error.foreach(t => throw t)
+        val tok = token.toLongOption
+          .getOrElse(throw HttpError(400, s"malformed result token: $token"))
+        val page = session.ops.fetch(OperationHandle(op), tok)
         val results = Map(
           "columns" -> page.columns.map(c =>
             Map("name" -> c,

@@ -76,9 +76,23 @@ final class ResultStore(
 
   private def normKey(key: Seq[Any]): Seq[Any] = key.map(ResultStore.keyable)
 
+  /** Value-equality for stored field rows (same normalization as keys:
+    * BINARY surfaces as Array[Byte] with identity equals). */
+  private def sameFields(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length &&
+      a.map(ResultStore.keyable) == b.map(ResultStore.keyable)
+
   def upsert(rawKey: Seq[Any], fields: Seq[Any]): Unit = synchronized {
     val key = normKey(rawKey)
     keyIndex.get(key) match {
+      case Some(i) if rows(i).kind != RowKind.Delete &&
+          sameFields(rows(i).fields, fields) =>
+        // unchanged: no wire row. Convergent delivery recomputes the WHOLE
+        // result every micro-batch; re-emitting every key per recompute
+        // would burn the client cap in minutes of 500 ms polling even when
+        // nothing changed. (A tombstoned key with equal fields still
+        // re-emits — the key must reappear.)
+        ()
       case Some(i) if i >= servedWatermark =>
         // not yet delivered: overwrite in place
         rows(i) = StoredRow(RowKind.UpdateAfter, fields)

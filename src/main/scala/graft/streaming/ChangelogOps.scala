@@ -18,18 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object ChangelogOps {
 
+  /** Per-key top-1 by `ord` descending, KEEPING delete rows (and the op
+    * column): the winning row per key even when that winner is a
+    * tombstone. Incremental snapshot folding needs the tombstones — a
+    * delete's ordinal must keep shadowing older out-of-order changes that
+    * arrive in later micro-batches. */
+  def compact(changelog: DataFrame, keyCols: Seq[String],
+      ord: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Batch/foreachBatch compaction: last-writer-wins per key, deletes drop
     * the key. `ord` breaks ties (e.g. the CDC LSN or kafka offset);
     * `opCol` names the changelog-op column (`__op` for DebeziumJson
     * streams, `op` for ad-hoc changelogs). */
   def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
-      ord: Column, opCol: String = "op"): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord.desc)
-    changelog
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= "d")
-      .drop("__rn", opCol)
-  }
+      ord: Column, opCol: String = "op"): DataFrame =
+    compact(changelog, keyCols, ord)
+      .filter(col(opCol) =!= "d")
+      .drop(opCol)
 
   /** Streaming form: collapse each micro-batch to latest-per-key and MERGE
     * into keyed store state — upserts for c/u/r, tombstones for d (a delete

@@ -371,6 +371,80 @@ class EngineSpec extends AnyFunSuite {
     session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
   }
 
+  test("cdc transform: out-of-order change in a later batch loses (timestamp-wins)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ooo")
+    // batch 2 carries a change to id=1 whose ts_ms is OLDER than the value
+    // folded in batch 1: the snapshot must keep 'new' — timestamp-wins,
+    // agreeing with the batch compaction path over the same directory
+    // (arrival-order-wins would flip id=1 to 'stale')
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"before":null,"after":{"id":1,"v":"new"},"op":"c","ts_ms":200}
+        |""".stripMargin)
+    Thread.sleep(1100) // distinct mtime second → deterministic replay order
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"before":null,"after":{"id":1,"v":"stale"},"op":"u","ts_ms":150}
+        |{"before":null,"after":{"id":2,"v":"other"},"op":"c","ts_ms":201}
+        |""".stripMargin)
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE cdc_ooo (id INT, v STRING,
+         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+         |'connector' = 'postgres-cdc', 'hostname' = 'unreachable',
+         |'debezium.json.path' = '$dir')""".stripMargin)
+    // a projection (not SELECT *) → the transform path's incremental fold
+    val h = session.execute("SELECT id, v FROM cdc_ooo WHERE id > 0")
+    val info = session.ops.get(h).get
+    val expected = Set(Seq(1, "new"), Seq(2, "other"))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+    // the batch path over the same directory picks the same winners
+    session.executeSync("SET 'execution.runtime-mode' = 'batch'")
+    val batch = session.executeSync("SELECT id, v FROM cdc_ooo WHERE id > 0")
+    assert(batch.store.get.snapshot().toSet == expected,
+      s"batch compaction got ${batch.store.get.snapshot()}")
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+  }
+
+  test("cdc transform: delete's ordinal shadows an older out-of-order change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ooo-del")
+    // batch 1 deletes id=1 at ts 300; batch 2 replays an OLDER change (ts
+    // 250) to the same key — the tombstone must keep shadowing it (the key
+    // stays gone), matching the whole-directory batch compaction
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"before":null,"after":{"id":1,"v":"x"},"op":"c","ts_ms":100}
+        |{"before":{"id":1,"v":"x"},"after":null,"op":"d","ts_ms":300}
+        |{"before":null,"after":{"id":2,"v":"keep"},"op":"c","ts_ms":101}
+        |""".stripMargin)
+    Thread.sleep(1100)
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"before":null,"after":{"id":1,"v":"zombie"},"op":"u","ts_ms":250}
+        |{"before":null,"after":{"id":3,"v":"later"},"op":"c","ts_ms":301}
+        |""".stripMargin)
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE cdc_ooo_del (id INT, v STRING,
+         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+         |'connector' = 'postgres-cdc', 'hostname' = 'unreachable',
+         |'debezium.json.path' = '$dir')""".stripMargin)
+    val h = session.execute("SELECT id, v FROM cdc_ooo_del WHERE id > 0")
+    val info = session.ops.get(h).get
+    val expected = Set(Seq(2, "keep"), Seq(3, "later"))
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+  }
+
   test("SQL streaming top-N: ROW_NUMBER <= k over a monitored directory converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-topn").toString
     // two files = two micro-batches (the monitored dir must contain BARE
@@ -711,6 +785,40 @@ class EngineSpec extends AnyFunSuite {
     assert(second.rows.map(r => (r.kind, r.fields)) ==
       Seq((RowKind.UpdateAfter, Seq("a", 99))))
     assert(fs.snapshot() == Seq(Seq("b", 1), Seq("a", 99))) // keyed-unique
+  }
+
+  test("result store: unchanged upsert is a no-op, not a re-emitted wire row") {
+    // convergent delivery recomputes the WHOLE result each micro-batch and
+    // upserts every row; with a client polling at 500 ms an unchanged key
+    // must not generate Delete+UpdateAfter churn (it would burn the 10k cap
+    // in minutes, then silently mutate behind the served watermark)
+    val rs = new ResultStore(Seq("k", "v"), pageSize = 2)
+    rs.upsert(Seq("a"), Seq("a", 1))
+    rs.upsert(Seq("b"), Seq("b", 1))
+    assert(rs.fetch(0).rows.size == 2) // both served
+    (1 to 5).foreach { _ => // five recomputations, nothing changed
+      rs.upsert(Seq("a"), Seq("a", 1))
+      rs.upsert(Seq("b"), Seq("b", 1))
+    }
+    assert(rs.size == 2, "unchanged upserts must not append wire rows")
+    // a REAL change still re-emits forward
+    rs.upsert(Seq("a"), Seq("a", 2))
+    assert(rs.size == 3)
+    // binary fields compare by VALUE: a fresh Array[Byte] with equal bytes
+    // is "unchanged" (identity equals would re-emit every batch)
+    rs.upsert(Seq("a"), Seq("a", 2))
+    val bs = new ResultStore(Seq("k", "b"), pageSize = 1)
+    bs.upsert(Seq("x"), Seq("x", Array[Byte](1, 2)))
+    bs.fetch(0)
+    bs.upsert(Seq("x"), Seq("x", Array[Byte](1, 2)))
+    assert(bs.size == 1)
+    // a deleted key re-upserted with the SAME fields must reappear
+    val ds = new ResultStore(Seq("k", "v"))
+    ds.upsert(Seq("a"), Seq("a", 1))
+    ds.delete(Seq("a"))
+    assert(ds.snapshot().isEmpty)
+    ds.upsert(Seq("a"), Seq("a", 1))
+    assert(ds.snapshot() == Seq(Seq("a", 1)))
   }
 
   test("result store: UPDATE_BEFORE protocol flag emits retraction pairs") {

@@ -22,6 +22,18 @@ class MonitorCatalogSpec extends AnyFunSuite {
     assert(cols.get("id").contains("int") && cols.get("name").contains("string"))
   }
 
+  test("catalog tree walk: nested namespaces quoted per part, not as one identifier") {
+    // a nested namespace comes back from SHOW NAMESPACES as a DOTTED string
+    // ('a.b'); quoting it whole would produce `cat`.`a.b` and miss/break
+    // the walk
+    spark.conf.set("spark.sql.catalog.nested",
+      classOf[engine.NestedTestCatalog].getName)
+    spark.sql("SHOW TABLES IN nested.a") // force-load so SHOW CATALOGS lists it
+    val tree = CatalogOps.catalogTree(spark)
+    assert(tree.contains(CatalogOps.TableEntry("nested", "a", "t1")), s"tree: $tree")
+    assert(tree.contains(CatalogOps.TableEntry("nested", "a.b", "t2")), s"tree: $tree")
+  }
+
   test("job registry: batch jobs tracked, streaming query lifecycle observed") {
     val reg = new JobRegistry(spark)
     try {

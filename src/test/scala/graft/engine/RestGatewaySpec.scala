@@ -158,6 +158,35 @@ class RestGatewaySpec extends AnyFunSuite {
     assert(pollStatus(base, h, op, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
   }
 
+  test("client-input errors surface as 400/404, never 500") {
+    val base = gw.gatewayAddress
+    val h = obj(post(s"$base/v1/sessions", "{}")._2)("sessionHandle").toString
+    // malformed JSON bodies: unterminated string, truncated \u escape —
+    // both used to escape the parser as StringIndexOutOfBounds → 500
+    assert(post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELECT 1""")._1 == 400)
+    assert(post(s"$base/v1/sessions/$h/statements",
+      "{\"statement\":\"x" + "\\" + "u00")._1 == 400)
+    // missing required field
+    assert(post(s"$base/v1/sessions/$h/statements", "{}")._1 == 400)
+    val op = obj(post(s"$base/v1/sessions/$h/statements",
+      """{"statement":"SELECT 1 AS x"}""")._2)("operationHandle").toString
+    assert(pollStatus(base, h, op, Set("FINISHED", "ERROR")) == "FINISHED")
+    // non-numeric result token → 400; unknown operation → 404 (was an
+    // endless NOT_READY)
+    assert(get(s"$base/v1/sessions/$h/operations/$op/result/abc")._1 == 400)
+    assert(get(s"$base/v1/sessions/$h/operations/no-such-op/result/0")._1 == 404)
+    assert(delete(s"$base/v1/sessions/$h") == 200)
+  }
+
+  test("servers bind loopback, not the wildcard address") {
+    // the facade is an unauthenticated SQL-execution surface for a LOCAL
+    // notebook: 0.0.0.0 would expose it to the whole network
+    gw.gatewayAddress // force lazy init
+    assert(gw.boundAddresses.forall(_.isLoopbackAddress),
+      s"bound: ${gw.boundAddresses}")
+  }
+
   test("json codec: escapes round-trip") {
     val v = Map("s" -> "line\n\"quote\"\\tab\t", "n" -> 3.5, "b" -> true,
       "xs" -> Seq(1, 2), "null" -> null)
