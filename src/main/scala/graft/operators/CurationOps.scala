@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs over raw text
+  * before anything reaches a tokenizer: within-document repetition signals
+  * (the C4/Gopher-style cheap filters), deterministic hash-based dataset
+  * splits, and TF-IDF term weighting. All are one or two shuffles at any
+  * scale — see each operator's scale note.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // ------------------------------------------- within-doc repetition signals
+  /** Per-document repetition metrics: duplicate-token fraction, duplicate-
+    * bigram fraction, and mean token length — the cheap quality filters the
+    * public C4/Gopher pipelines apply before any model-based scoring.
+    *
+    * Scale: one map-side pass per document (array ops over the token
+    * array, no explode, no shuffle beyond the final ORDER BY). Documents
+    * are bounded-size rows, so per-row array work is O(doc length). */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // materialize toks/n through a projection boundary: every metric below
+    // references them, and re-inlining the split per use would re-evaluate
+    // it (CollapseProject keeps multi-referenced non-cheap aliases put)
+    val t = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), col("n") - 1),
+      slice(col("toks"), lit(2), col("n") - 1),
+      (a, b) => concat(a, lit(" "), b))
+    t.select(
+      col("doc_id"),
+      col("n").cast("long").as("n_tokens"),
+      round(lit(1.0) -
+        size(array_distinct(col("toks"))).cast("double") / col("n").cast("double"),
+        6).as("dup_tok_frac"),
+      round(when(col("n") > 1,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+          (col("n") - 1).cast("double")).otherwise(lit(0.0)),
+        6).as("dup_bigram_frac"),
+      round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / col("n").cast("double"), 6).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
+       |), b AS (
+       |  SELECT doc_id, toks, n,
+       |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, n - 1)] AS bigrams
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS dup_tok_frac,
+       |  ROUND(CASE WHEN n > 1
+       |    THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+       |  ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+       |    / CAST(n AS DOUBLE), 6) AS mean_tok_len
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- deterministic splits
+  /** Deterministic train/val/test split by content-independent hash of the
+    * document id: first hex char of md5(doc_id) — '0'..'b' train (12/16),
+    * 'c'..'d' val (2/16), 'e'..'f' test (2/16). Reports counts per (source,
+    * split) so per-source balance is visible.
+    *
+    * md5 (not xxhash64) deliberately: both engines — and any other system a
+    * pipeline hands the split rule to — produce the identical digest for
+    * the identical string, so the assignment is portable and replayable.
+    * Scale: one map-side expression per row + one map-combined count
+    * shuffle on (source, split). */
+  def dsSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    docs(s, dir)
+      .select(col("source"),
+        when(bucket < "c", "train").when(bucket < "e", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val dsSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // ------------------------------------------------------------- TF-IDF
+  /** Top-3 TF-IDF terms per document: tf(term, doc) · ln(N / df(term)),
+    * ranked per doc with an alphabetic tiebreak.
+    *
+    * Scale: explode → (doc, term) map-combined count; the df table is
+    * vocabulary-sized → broadcast join (never a corpus shuffle); the
+    * corpus count crosses as a broadcast scalar, not a driver constant.
+    * The per-doc window partitions on doc_id — bounded rows per partition
+    * (a doc's distinct terms), no skew. */
+  def txtTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    val terms = d.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    // tf feeds TWO branches (the df aggregation and the join left side);
+    // without a persist each branch re-runs the explode + count
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val txtTfidfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+       |      AS tfidf_raw
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+       |)
+       |SELECT doc_id, term,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rank,
+       |  ROUND(tfidf_raw, 6) AS tfidf
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_repetition" -> (txtRepetition _),
+    "ds_split" -> (dsSplit _),
+    "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "txt_repetition" -> txtRepetitionSql,
+    "ds_split" -> dsSplitSql,
+    "txt_tfidf" -> txtTfidfSql,
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column analytics for data curation: per-label centroids and
+  * nearest-centroid assignment (the E-step of k-means / the "cluster, then
+  * sample per cluster" curation recipe).
+  *
+  * Float sums are order-dependent; every mean here routes through an exact
+  * DECIMAL sum (float → double cast is exact, double → DECIMAL(30,15) is
+  * one deterministic rounding) so Spark's partial-aggregation order and the
+  * oracle's sequential order produce the identical value — then ONE cast
+  * back to double. Never emit DECIMAL output columns (driver-hasher
+  * canonicalization differs between pyarrow and duckdb-pandas).
+  */
+object EmbeddingOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** (label, dim, value) centroid components, exact-sum mean. */
+  private def centroidRows(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1)).cast("double")).as("c_raw"))
+
+  // ------------------------------------------------------- label centroids
+  /** Element-wise mean embedding per label.
+    *
+    * Scale: posexplode emits n·d rows but the (label, dim) aggregation is
+    * map-side combined — the shuffle carries labels·d partial sums per map
+    * task, not the corpus. Output is model-sized (labels·d rows). */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    centroidRows(emb(s, dir))
+      .select(col("label"), col("dim"), round(col("c_raw"), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val embCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |)
+      |SELECT label, dim,
+      |  ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+      |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------- nearest-centroid assignment
+  /** Assign every vector to its nearest label centroid by cosine (k-means
+    * E-step) and report the (true label, assigned label) confusion counts.
+    *
+    * Centroid components are rounded to 6 decimals BEFORE assignment on
+    * both engines, so the cosine inputs are bit-identical and the argmax
+    * decision can't diverge on a final-ulp difference; ties (none at
+    * double precision here) break by centroid label.
+    *
+    * Scale: centroids are model state (labels·d doubles, a few KB) —
+    * assembled per label and broadcast; assignment is a map-side
+    * broadcast-join + codegen'd dot products; the confusion count is one
+    * map-combined shuffle of labels² partials. No corpus shuffle at all. */
+  def embAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = centroidRows(e)
+      .select(col("label").as("c_label"), col("dim"), round(col("c_raw"), 6).as("c"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnrm", VF.norm(col("cv")))
+    val vecs = e.select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("c_label"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val embAssignSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label AS c_label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY label, dim
+      |), cents AS (
+      |  SELECT c_label, list(c ORDER BY dim) AS cv FROM comp GROUP BY c_label
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, cents.c_label,
+      |    list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)), cv)
+      |      / (sqrt(list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+      |               list_transform(e.embedding, v -> CAST(v AS DOUBLE))))
+      |         * sqrt(list_dot_product(cv, cv))) AS cos_raw
+      |  FROM embeddings e CROSS JOIN cents
+      |), best AS (
+      |  SELECT vec_id, label, c_label,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, c_label) AS rn
+      |  FROM scored
+      |)
+      |SELECT label, c_label AS assigned, COUNT(*) AS n_vecs
+      |FROM best WHERE rn = 1
+      |GROUP BY label, c_label ORDER BY label, assigned""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroids" -> (embCentroids _),
+    "emb_assign" -> (embAssign _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "emb_centroids" -> embCentroidsSql,
+    "emb_assign" -> embAssignSql,
+  )
+}
