@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CumulateWindows, CurationOps, DedupOps, EmbeddingOps, MultimodalOps, RelationalQueries, SimilarityOps, TextQueries, WindowQueries}
+import graft.operators.{CumulateWindows, CurationOps, DedupOps, EmbeddingOps, MultimodalOps, RelationalQueries, SamplingOps, SimilarityOps, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ DedupOps.all ++
       SimilarityOps.all ++ WindowQueries.all ++ MultimodalOps.all ++
-      CumulateWindows.all ++ CurationOps.all ++ EmbeddingOps.all
+      CumulateWindows.all ++ CurationOps.all ++ EmbeddingOps.all ++
+      SamplingOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ WindowQueries.oracles ++ MultimodalOps.oracles ++
-      CumulateWindows.oracles ++ CurationOps.oracles ++ EmbeddingOps.oracles
+      CumulateWindows.oracles ++ CurationOps.oracles ++ EmbeddingOps.oracles ++
+      SamplingOps.oracles
 }

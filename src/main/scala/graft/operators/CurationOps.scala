@@ -158,15 +158,103 @@ object CurationOps {
        |QUALIFY rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------ quality funnel
+  /** Sequential quality-filter funnel: per-stage survivor counts for the
+    * standard cheap-filter chain (char length → mean token length →
+    * duplicate-token fraction → English language-ID). The funnel view is
+    * what a pipeline operator watches to see which stage is eating the
+    * corpus; selecting the survivors instead of counting them is the same
+    * predicate chain minus the aggregate.
+    *
+    * Scale: every stage flag is a map-side expression over one projection
+    * boundary (tokens materialized once); the count is a single
+    * map-combined aggregate to one row, then a constant-size unpivot. */
+  def txtFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = d.select(col("n_chars"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("n_chars"), col("text"), col("toks"), size(col("toks")).as("n"))
+    // flags materialized through a projection boundary: mtl/dupf/marker
+    // scores each feed several cumulative conjunctions below
+    val scored = t.select(
+      Seq(
+        col("n_chars"),
+        (aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n").cast("double")).as("mtl"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          col("n").cast("double")).as("dupf")) ++
+        LangMarkers.map { case (lang, m) =>
+          markerCount(col("text"), m).as(s"s_$lang")
+        }: _*)
+    val c1 = col("n_chars") >= 150 && col("n_chars") <= 600
+    val c2 = col("mtl") >= 3.0 && col("mtl") <= 8.0
+    val c3 = col("dupf") <= 0.7
+    val c4 = langIdFromScores(
+      LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }) === "en"
+    val a = scored.agg(
+      count(lit(1)).as("s0"),
+      sum(when(c1, 1L).otherwise(0L)).as("s1"),
+      sum(when(c1 && c2, 1L).otherwise(0L)).as("s2"),
+      sum(when(c1 && c2 && c3, 1L).otherwise(0L)).as("s3"),
+      sum(when(c1 && c2 && c3 && c4, 1L).otherwise(0L)).as("s4"))
+    val stages = Seq(0L -> "all", 1L -> "len_chars", 2L -> "mean_tok_len",
+      3L -> "dup_tok_frac", 4L -> "lang_en")
+    a.select(explode(array(stages.map { case (i, name) =>
+      struct(lit(i).as("stage_id"), lit(name).as("stage"),
+        col(s"s$i").as("survivors"))
+    }: _*)).as("x"))
+      .select(col("x.stage_id"), col("x.stage"), col("x.survivors"))
+      .orderBy(col("stage_id"))
+  }
+
+  val txtFunnelSql: String = {
+    val langs = Seq("en", "de", "fr", "es")
+    def stop(words: Seq[String]): String =
+      s"len(list_filter(toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+    val scoreCols = graft.functions.TextFunctions.LangMarkers
+      .map { case (lang, m) => s"${stop(m)} AS s_$lang" }.mkString(",\n      |    ")
+    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    s"""WITH t AS (
+       |  SELECT n_chars, $duckToks AS toks, len($duckToks) AS n FROM documents
+       |), m AS (
+       |  SELECT n_chars,
+       |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+       |      / CAST(n AS DOUBLE) AS mtl,
+       |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE) AS dupf,
+       |    $scoreCols
+       |  FROM t
+       |), f AS (
+       |  SELECT (n_chars >= 150 AND n_chars <= 600) AS c1,
+       |    (mtl >= 3.0 AND mtl <= 8.0) AS c2,
+       |    (dupf <= 0.7) AS c3,
+       |    (s_en > 0 AND s_en = $best) AS c4
+       |  FROM m
+       |), a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+       |    CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+       |  FROM f
+       |)
+       |SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage, s0 AS survivors FROM a
+       |UNION ALL SELECT 1, 'len_chars', s1 FROM a
+       |UNION ALL SELECT 2, 'mean_tok_len', s2 FROM a
+       |UNION ALL SELECT 3, 'dup_tok_frac', s3 FROM a
+       |UNION ALL SELECT 4, 'lang_en', s4 FROM a
+       |ORDER BY stage_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_repetition" -> (txtRepetition _),
     "ds_split" -> (dsSplit _),
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
+    "txt_funnel" -> (txtFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
     "txt_repetition" -> txtRepetitionSql,
     "ds_split" -> dsSplitSql,
     "txt_tfidf" -> txtTfidfSql,
+    "txt_funnel" -> txtFunnelSql,
   )
 }

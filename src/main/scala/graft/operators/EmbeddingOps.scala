@@ -114,13 +114,111 @@ object EmbeddingOps {
       |FROM best WHERE rn = 1
       |GROUP BY label, c_label ORDER BY label, assigned""".stripMargin
 
+  // --------------------------------------------------- k-means iterations
+  /** Spherical k-means (cosine) with deterministic seeding: centroids start
+    * at the `k` lowest vec_ids, then `iters` Lloyd steps (assign → exact-sum
+    * recompute). Emits per-cluster size and mean cosine-to-centroid — the
+    * cluster-then-sample curation recipe's model state.
+    *
+    * Determinism contract (so an unrolled SQL oracle can replay it):
+    * centroid components are rounded to 6 decimals after every recompute,
+    * assignment ties break by cluster id, and every mean routes through the
+    * DECIMAL(30,15) exact-sum path — no step depends on float addition
+    * order, so Spark's partial aggregation and the oracle's sequential scan
+    * agree bit-for-bit.
+    *
+    * Scale: the corpus-sized `vecs` relation is persisted once and scanned
+    * once per iteration; centroids are model state (k·d doubles) assembled
+    * per cluster and broadcast — assignment is a map-side broadcast join +
+    * codegen'd dot products, and each recompute is one map-combined
+    * (cluster, dim) shuffle of k·d partials per task. k iterations = k
+    * corpus scans, zero corpus shuffles. */
+  def embKmeans(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = emb(s, dir)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("cluster"))
+    def assign(cs: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("ve"), col("cluster"),
+          (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def withNorm(cs: DataFrame): DataFrame = cs.withColumn("cnrm", VF.norm(col("cv")))
+    var cents = withNorm(vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("ve"), x => round(x, 6)).as("cv")))
+    for (_ <- 1 until iters)
+      cents = withNorm(assign(cents)
+        .select(col("cluster"), posexplode(col("ve")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("x").cast("decimal(30,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("c_raw"))
+        .select(col("cluster"), col("dim"), round(col("c_raw"), 6).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv")))
+    assign(cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cos_raw").cast("decimal(30,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("mc"))
+      .select(col("cluster"), col("n_vecs"), round(col("mc"), 6).as("mean_cos"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The oracle unrolls the two Lloyd steps as CTE stages — identical
+    * seeding, rounding, and tiebreaks. */
+  val embKmeansSql: String =
+    """WITH vn AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv
+      |  FROM vn WHERE vec_id < 8
+      |), c0n AS (
+      |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
+      |), a1 AS (
+      |  SELECT vec_id, ve, cluster,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(ve, cv) / (nrm * cnrm) DESC, cluster) AS rn
+      |  FROM vn CROSS JOIN c0n
+      |), x1 AS (
+      |  SELECT cluster, unnest(generate_series(1, len(ve))) - 1 AS dim,
+      |    CAST(unnest(ve) AS DECIMAL(30,15)) AS xd
+      |  FROM a1 WHERE rn = 1
+      |), comp1 AS (
+      |  SELECT cluster, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x1 GROUP BY cluster, dim
+      |), c1n AS (
+      |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+      |  FROM (SELECT cluster, list(c ORDER BY dim) AS cv FROM comp1 GROUP BY cluster)
+      |), a2 AS (
+      |  SELECT vn.vec_id, c1n.cluster,
+      |    list_dot_product(vn.ve, c1n.cv) / (vn.nrm * c1n.cnrm) AS cos_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
+      |      list_dot_product(vn.ve, c1n.cv) / (vn.nrm * c1n.cnrm) DESC,
+      |      c1n.cluster) AS rn
+      |  FROM vn CROSS JOIN c1n
+      |)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(cos_raw AS DECIMAL(30,15))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos
+      |FROM a2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
+    "emb_kmeans" -> ((s: SparkSession, d: String) => embKmeans(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> embCentroidsSql,
     "emb_assign" -> embAssignSql,
+    "emb_kmeans" -> embKmeansSql,
   )
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-composition operators for training-data pipelines: deterministic
+  * rate-based stratified sampling, fixed-size per-stratum sampling, and
+  * source-mixture weighting. Sampling decisions are pure functions of a
+  * stable document hash — replayable across runs, engines, and retries
+  * (the property a 100 TB pipeline needs so a re-run of one partition
+  * makes the same keep/drop calls), never `rand()`.
+  */
+object SamplingOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Hex chars 9..12 of md5(doc_id) — 16 independent-of-ds_split bits of
+    * the digest (ds_split consumes char 1), compared as a string against a
+    * 4-hex-digit threshold = keep-rate * 0x10000. Lowercase-hex string
+    * comparison is numeric comparison (fixed width, '0'<'9'<'a'<'f'), and
+    * md5 is portable: any engine produces the identical digest for the
+    * identical string. */
+  private def hashBucket(id: org.apache.spark.sql.Column) =
+    substring(md5(id.cast("string").cast("binary")), 9, 4)
+  private val duckBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)"
+
+  // ------------------------------------------------ rate-based stratified
+  /** Language-stratified sampling at per-stratum keep rates (en 1.0,
+    * de/fr/es 0.5, zh 0.25 — the up/down-weighting a multilingual corpus
+    * mix applies). Reports per-language total, kept, and achieved rate.
+    *
+    * Scale: the keep decision is one map-side hash expression; the report
+    * is one map-combined count shuffle of |langs| groups. Selecting the
+    * kept rows instead of counting them is the same plan minus the agg. */
+  def sampStratified(s: SparkSession, dir: String): DataFrame = {
+    val kept = when(col("lang") === "en", lit(true))
+      .when(col("lang").isin("de", "fr", "es"), hashBucket(col("doc_id")) < "8000")
+      .otherwise(hashBucket(col("doc_id")) < "4000")
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6)
+          .as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  val sampStratifiedSql: String =
+    s"""WITH k AS (
+       |  SELECT lang,
+       |    CASE WHEN lang = 'en' THEN TRUE
+       |         WHEN lang IN ('de', 'fr', 'es') THEN $duckBucket < '8000'
+       |         ELSE $duckBucket < '4000' END AS kept
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------- fixed-size per-stratum
+  /** Deterministic fixed-size sample: the first `n` documents per source in
+    * md5-hash order (doc_id tiebreak) — a content-independent "random but
+    * replayable" pick, the batch analogue of reservoir sampling.
+    *
+    * Scale: one shuffle partitioned by source; per-stratum state is the
+    * top-n heap, not the stratum. With few strata and huge rows-per-stratum
+    * the window sort is the bottleneck — the two-phase salted top-k in
+    * `SimilarityOps.topKPerKey` is the drop-in replacement at that shape
+    * (same output, one extra shuffle of n*salt rows). */
+  def sampFixed(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16).as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("source"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val sampFixedSql: String =
+    """SELECT source, doc_id,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY source
+      |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS BIGINT)
+      |    AS rank
+      |FROM documents
+      |QUALIFY rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  // ------------------------------------------------- source mix weighting
+  /** Per-source mixture statistics for a token-budgeted training mix:
+    * token share, the up/down-sampling weight that would flatten the mix to
+    * uniform-over-sources, and the number of epochs of each source a 1M-
+    * token uniform budget implies (>1 = the source repeats, the standard
+    * "epochs per dataset" knob in LLM data recipes).
+    *
+    * Scale: one map-combined count/sum shuffle of |sources| groups; the
+    * totals cross as a broadcast scalar row, never a driver constant. */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("token_share"),
+        round((lit(1.0) / col("n_sources").cast("double")) / share, 6)
+          .as("mix_weight"),
+        round((lit(1000000.0) / col("n_sources").cast("double"))
+          / col("n_tokens").cast("double"), 6).as("epochs_1m"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH per_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources
+      |  FROM per_src
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+      |    AS token_share,
+      |  ROUND((1.0 / CAST(n_sources AS DOUBLE))
+      |    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+      |    AS mix_weight,
+      |  ROUND((1000000.0 / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS epochs_1m
+      |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_stratified" -> (sampStratified _),
+    "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
+    "mix_weights" -> (mixWeights _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "samp_stratified" -> sampStratifiedSql,
+    "samp_fixed" -> sampFixedSql,
+    "mix_weights" -> mixWeightsSql,
+  )
+}

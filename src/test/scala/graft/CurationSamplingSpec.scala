@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{CurationOps, EmbeddingOps, SamplingOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the curation / sampling / embedding-analytics
+  * operators (their value-level correctness is driver-oracle-checked; these
+  * pin the structural properties an oracle hash can't explain when it
+  * breaks: determinism, conservation, monotonicity).
+  */
+class CurationSamplingSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("4")
+  private def nDocs: Long = Tables.load(spark, dir, "documents").count()
+  private def nVecs: Long = Tables.load(spark, dir, "embeddings").count()
+
+  test("txt_repetition emits one bounded row per document") {
+    val r = CurationOps.txtRepetition(spark, dir).collect()
+    assert(r.length == nDocs)
+    r.foreach { row =>
+      assert(row.getLong(1) > 0)
+      val dup = row.getDouble(2)
+      assert(dup >= 0.0 && dup <= 1.0, s"dup_tok_frac $dup")
+      assert(row.getDouble(4) > 0.0, "mean token length")
+    }
+  }
+
+  test("ds_split partitions every document into train/val/test, stably") {
+    val r = CurationOps.dsSplit(spark, dir)
+    val rows = r.collect()
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    assert(r.collect().sameElements(rows), "split must be deterministic")
+  }
+
+  test("txt_tfidf ranks at most 3 descending terms per doc") {
+    val byDoc = CurationOps.txtTfidf(spark, dir).collect()
+      .groupBy(_.getLong(0)).values
+    byDoc.foreach { rs =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to rs.length).toSeq)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "tfidf must be non-increasing in rank")
+    }
+  }
+
+  test("txt_funnel survivors are monotone and start at the corpus size") {
+    val rows = CurationOps.txtFunnel(spark, dir).collect()
+    assert(rows.length == 5)
+    val surv = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(surv.head == nDocs)
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      s"funnel must be non-increasing: ${surv.mkString(",")}")
+    assert(surv.last > 0, "an all-filtering funnel checks nothing")
+  }
+
+  test("samp_stratified keeps all English and a hash-stable fraction elsewhere") {
+    val r = SamplingOps.sampStratified(spark, dir)
+    val rows = r.collect()
+    rows.foreach { row =>
+      val (total, kept) = (row.getLong(1), row.getLong(2))
+      assert(kept <= total)
+      if (row.getString(0) == "en") assert(kept == total, "en keeps everything")
+    }
+    assert(r.collect().sameElements(rows), "sampling must be replayable")
+  }
+
+  test("samp_fixed takes min(5, stratum) docs per source with contiguous ranks") {
+    val sizes = Tables.load(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = SamplingOps.sampFixed(spark, dir).collect()
+      .groupBy(_.getString(0))
+    assert(bySrc.keySet == sizes.keySet)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == math.min(5L, sizes(src)))
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("mix_weights shares sum to 1 and weights flatten the mix") {
+    val rows = SamplingOps.mixWeights(spark, dir).collect()
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"share sum $shareSum")
+    val s = rows.length.toDouble
+    rows.foreach { r =>
+      // weight * share == uniform share (up to the 6-decimal rounding)
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / s) < 1e-3)
+    }
+  }
+
+  test("emb_centroids emits labels x dims model-sized output") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val labels = e.select("label").distinct().count()
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val rows = EmbeddingOps.embCentroids(spark, dir).collect()
+    assert(rows.length == labels * dims)
+    assert(rows.forall(r => !r.getDouble(2).isNaN))
+  }
+
+  test("emb_assign conserves the corpus") {
+    val rows = EmbeddingOps.embAssign(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == nVecs)
+  }
+
+  test("emb_kmeans conserves the corpus and a Lloyd step never hurts") {
+    def objective(iters: Int): (Long, Double) = {
+      val rows = EmbeddingOps.embKmeans(spark, dir, k = 8, iters = iters).collect()
+      val n = rows.map(_.getLong(1)).sum
+      (n, rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n)
+    }
+    val (n1, o1) = objective(1)
+    val (n2, o2) = objective(2)
+    assert(n1 == nVecs && n2 == nVecs)
+    assert(o2 >= o1 - 1e-4,
+      s"mean cosine fell from $o1 to $o2 after a Lloyd step")
+  }
+}
