@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no "[info] " prefix) — the
+// bench/verify drivers parse Bench's single JSON stdout line, and sbt's
+// default LoggedOutput prefix breaks any strict `json.loads(line)`.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
