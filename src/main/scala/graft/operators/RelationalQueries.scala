@@ -697,6 +697,140 @@ object RelationalQueries {
     s.sql(q27Sql)
   }
 
+  // --------------------------------- q28: bitwise / try_cast / math battery
+  // The rest of the Flink scalar surface (FUNCTIONS envelope): bitwise
+  // ops, hex/bin rendering, chr/ascii, TRY_CAST, sign/mod/log/exp/power.
+  // Pure per-row expressions — map-side, codegen'd, scan-bounded at any
+  // scale. Integer/string ops are exact; the four libm doubles are
+  // round(.,6)-stabilized (1-ulp engine divergence sits ~1e-10 from any
+  // rounding boundary).
+  def q28ScalarMore(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        |  c_custkey & 255 AS bits_and,
+        |  c_custkey | 4096 AS bits_or,
+        |  c_custkey ^ c_nationkey AS bits_xor,
+        |  shiftleft(CAST(c_nationkey AS BIGINT), 3) AS shl,
+        |  shiftright(c_custkey, 2) AS shr,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS pop,
+        |  hex(CAST(c_nationkey AS BIGINT)) AS hx,
+        |  bin(CAST(c_nationkey AS BIGINT)) AS bn,
+        |  chr(65 + c_nationkey % 26) AS letter,
+        |  CAST(ascii(substring(c_name, 1, 1)) AS BIGINT) AS first_ascii,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  repeat(substring(c_mktsegment, 1, 2), 2) AS seg_rep,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  TRY_CAST(c_mktsegment AS INT) AS seg_num,
+        |  CAST(TRY_CAST(concat('1', CAST(c_nationkey AS STRING)) AS INT) AS BIGINT) AS nk_num,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+        |  mod(c_custkey, 7) AS k7,
+        |  round(log10(abs(c_acctbal) + 1.0), 6) + 0.0 AS log_bal,
+        |  round(sqrt(abs(c_acctbal)), 6) + 0.0 AS sqrt_bal,
+        |  round(exp(CAST(c_nationkey AS DOUBLE) / 25.0), 6) AS exp_nk,
+        |  power(CAST(c_nationkey AS DOUBLE), 2.0) AS pow_nk
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q28Sql: String =
+    """SELECT c_custkey,
+      |  c_custkey & 255 AS bits_and,
+      |  c_custkey | 4096 AS bits_or,
+      |  xor(c_custkey, CAST(c_nationkey AS BIGINT)) AS bits_xor,
+      |  CAST(c_nationkey AS BIGINT) << 3 AS shl,
+      |  c_custkey >> 2 AS shr,
+      |  CAST(bit_count(c_custkey) AS BIGINT) AS pop,
+      |  hex(CAST(c_nationkey AS BIGINT)) AS hx,
+      |  bin(CAST(c_nationkey AS BIGINT)) AS bn,
+      |  chr(CAST(65 + c_nationkey % 26 AS INTEGER)) AS letter,
+      |  CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS first_ascii,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  repeat(substr(c_mktsegment, 1, 2), 2) AS seg_rep,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+      |  TRY_CAST(c_mktsegment AS INTEGER) AS seg_num,
+      |  CAST(TRY_CAST('1' || CAST(c_nationkey AS VARCHAR) AS INTEGER) AS BIGINT) AS nk_num,
+      |  CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+      |  mod(c_custkey, 7) AS k7,
+      |  ROUND(log10(abs(c_acctbal) + 1.0), 6) + 0.0 AS log_bal,
+      |  ROUND(sqrt(abs(c_acctbal)), 6) + 0.0 AS sqrt_bal,
+      |  ROUND(exp(CAST(c_nationkey AS DOUBLE) / 25.0), 6) AS exp_nk,
+      |  power(CAST(c_nationkey AS DOUBLE), 2.0) AS pow_nk
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------- q29: map functions
+  // MAP construction + access (Flink's MAP<K,V> surface): entries built
+  // per group from sorted (status, count) pairs so construction order —
+  // and therefore map_keys order — is deterministic on both engines.
+  // try_element_at (not element_at): ANSI mode errors on absent keys.
+  def q29MapFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH cnt AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), mp AS (
+        |  SELECT prio,
+        |    map_from_entries(array_sort(collect_list(struct(st, n)))) AS m
+        |  FROM cnt GROUP BY prio
+        |)
+        |SELECT prio,
+        |  CAST(cardinality(m) AS BIGINT) AS n_statuses,
+        |  try_element_at(m, 'O') AS n_open,
+        |  try_element_at(m, 'F') AS n_filled,
+        |  try_element_at(m, 'P') AS n_partial,
+        |  concat_ws(',', map_keys(m)) AS statuses,
+        |  aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x) AS total
+        |FROM mp ORDER BY prio""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """WITH cnt AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2
+      |), mp AS (
+      |  SELECT prio, MAP(list(st ORDER BY st), list(n ORDER BY st)) AS m
+      |  FROM cnt GROUP BY prio
+      |)
+      |SELECT prio,
+      |  CAST(cardinality(m) AS BIGINT) AS n_statuses,
+      |  m['O'][1] AS n_open,
+      |  m['F'][1] AS n_filled,
+      |  m['P'][1] AS n_partial,
+      |  array_to_string(map_keys(m), ',') AS statuses,
+      |  CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS total
+      |FROM mp ORDER BY prio""".stripMargin
+
+  // -------------------------------------- q30: GROUPING / GROUPING_ID
+  // The grouping-function companions to q16/q9 (Flink exposes GROUPING and
+  // GROUPING_ID over GROUPING SETS/CUBE/ROLLUP). Bit order is
+  // first-argument-MSB in both engines. Same Expand + partial/final
+  // HashAggregate plan as q16 — one shuffle of group partials.
+  def q30GroupingFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val q30Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -730,6 +864,9 @@ object RelationalQueries {
     "q25_agg_more" -> (q25AggMore _),
     "q26_exists" -> (q26Exists _),
     "q27_window_nav" -> (q27WindowNav _),
+    "q28_scalar_more" -> (q28ScalarMore _),
+    "q29_map_fns" -> (q29MapFns _),
+    "q30_grouping_fns" -> (q30GroupingFns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -765,5 +902,8 @@ object RelationalQueries {
     "q25_agg_more" -> q25Sql,
     "q26_exists" -> q26Sql,
     "q27_window_nav" -> q27Sql,
+    "q28_scalar_more" -> q28Sql,
+    "q29_map_fns" -> q29Sql,
+    "q30_grouping_fns" -> q30Sql,
   )
 }
