@@ -1,17 +1,22 @@
 package graft
 
-/** Ad-hoc plan audit: prints the formatted physical plan of named queries
-  * so scan pruning / broadcast / codegen spans can be eyeballed per round.
-  * Not part of the driver contract. */
+/** Physical-plan audit tool: prints `explain("formatted")` for the named
+  * driver queries (all of them when none are named) so scan pruning,
+  * pushed filters, broadcast vs shuffle joins, and WholeStageCodegen spans
+  * can be reviewed against BASELINE.md's plan-quality claims.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> [queryName...]
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local()
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("dd_embed_cosine", "dd_simhash_pairs", "q21_approx", "q1_agg")
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.local()
     names.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      spark.catalog.clearCache()
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
