@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{SimHash64, SrpCode, VecDot}
-import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{SimHash64, SrpCode, TextFunctions, VecDot}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** SQL surface for the engine's native Catalyst expressions — registered
   * through `SparkSessionExtensions` (the brief's (c) extension route), so a
@@ -24,6 +25,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+
+  /** Register a 1-arg Column-composition (e.g. the TextFunctions curation
+    * helpers) as a SQL function: the child expression crosses the Bridge
+    * into Column space, the composition builds the same codegen'd
+    * expression tree the Scala API builds, and the result crosses back —
+    * SQL ≡ Column API by construction, no UDF serialization anywhere. */
+  private def columnFn1(ext: SparkSessionExtensions, name: String)
+      (f: Column => Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(TextFunctions.getClass.getName, name),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => Bridge.eagerExpression(f(Bridge.column(e)))
+        case _ => throw new IllegalArgumentException(s"$name(text)")
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -52,5 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "vec_dot(a: array<double>, b: array<double>)")
       }))
+    // Curation surface for SQL-only engine users (notebook cells):
+    columnFn1(ext, "graft_tokens")(TextFunctions.tokens)
+    columnFn1(ext, "graft_quality")(TextFunctions.qualityScore)
+    columnFn1(ext, "graft_langid")(TextFunctions.langId)
+    columnFn1(ext, "graft_fingerprint")(TextFunctions.fingerprint)
   }
 }

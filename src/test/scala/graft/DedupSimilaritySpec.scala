@@ -149,4 +149,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect()
     assert(sqlVec.map(_.toSeq).toSeq == apiVec.map(_.toSeq).toSeq)
   }
+
+  test("curation column-compositions are SQL-callable via GraftExtensions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("cur_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, size(graft_tokens(text)) AS n, graft_quality(text) AS q, " +
+        "graft_langid(text) AS lang, graft_fingerprint(text) AS fp " +
+        "FROM cur_docs ORDER BY doc_id").collect()
+    val api = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(sql.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
+    assert(sql.map(_.getString(3)).toSet.subsetOf(
+      Set("en", "de", "fr", "es", "und")))
+  }
 }
