@@ -97,6 +97,44 @@ object SamplingOps {
       |QUALIFY rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  // --------------------------------------------- weighted (A-Res) sampling
+  /** Deterministic weighted sampling without replacement, per stratum
+    * (Efraimidis–Spirakis A-Res via the exponential race): each doc gets
+    * priority −ln(u)/w with u a 48-bit hash-uniform and w = n_chars, and
+    * the n smallest priorities per source win — P(selection) ∝ weight,
+    * replayable because u comes from md5(doc_id), never rand().
+    * 0x-prefixed hex parses as an integer on both engines; 48 bits keep
+    * the value exact in a double.
+    *
+    * Scale: same one-shuffle-per-stratum shape as [[sampFixed]] (and the
+    * same two-phase salted top-k escape hatch for huge strata); the
+    * priority is a map-side expression. */
+  def sampWeighted(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 13, 12),
+      16, 10).cast("double") + 0.5) / lit(281474976710656.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        (-log(u) / col("n_chars").cast("double")).as("pri"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("source"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val sampWeightedSql: String =
+    """WITH p AS (
+      |  SELECT source, doc_id,
+      |    -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12) AS BIGINT)
+      |         AS DOUBLE) + 0.5) / 281474976710656.0)
+      |      / CAST(n_chars AS DOUBLE) AS pri
+      |  FROM documents
+      |)
+      |SELECT source, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM p QUALIFY rank <= 5 ORDER BY source, rank""".stripMargin
+
   // ------------------------------------------------- source mix weighting
   /** Per-source mixture statistics for a token-budgeted training mix:
     * token share, the up/down-sampling weight that would flatten the mix to
@@ -148,12 +186,14 @@ object SamplingOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
+    "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
     "mix_weights" -> (mixWeights _),
   )
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> sampStratifiedSql,
     "samp_fixed" -> sampFixedSql,
+    "samp_weighted" -> sampWeightedSql,
     "mix_weights" -> mixWeightsSql,
   )
 }

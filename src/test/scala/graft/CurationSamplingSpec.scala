@@ -82,6 +82,19 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samp_weighted is replayable with contiguous per-stratum ranks") {
+    val sizes = Tables.load(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = SamplingOps.sampWeighted(spark, dir)
+    val rows = r.collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length == math.min(5L, sizes(src)))
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    assert(r.collect().sameElements(rows), "weighted sample must be replayable")
+  }
+
   test("mix_weights shares sum to 1 and weights flatten the mix") {
     val rows = SamplingOps.mixWeights(spark, dir).collect()
     val shareSum = rows.map(_.getDouble(3)).sum

@@ -525,6 +525,53 @@ class EngineSpec extends AnyFunSuite {
     session.ops.cancel(h)
   }
 
+  test("streaming curation: graft_* SQL functions over a monitored document stream") {
+    // the curation surface (language-ID, quality scoring) must work on a
+    // stream a notebook user declares with plain SQL — stateless column
+    // expressions run per micro-batch in append mode, converging to the
+    // same rows a batch scan of all files would produce
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cur-w").toString
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, name))
+    }
+    val texts = Seq(
+      1L -> "the cat is on the mat and it is fine",
+      2L -> "der hund und die katze das ist gut",
+      3L -> "le chat et la tour est les bons",
+      4L -> "zzz qqq xxx")
+    addFile(texts.take(2), "f1.parquet")
+    addFile(texts.drop(2), "f2.parquet")
+    // expected rows from the Column API on the same texts — SQL through the
+    // engine must match the library surface exactly
+    import graft.functions.TextFunctions
+    val expected = spark.createDataFrame(texts).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(_.toSeq).toSet
+    assert(expected.map(_(1)) == Set("en", "de", "fr", "und"))
+    session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
+    session.executeSync(
+      s"""CREATE TABLE doc_stream (doc_id BIGINT, text STRING) WITH (
+         |'connector' = 'filesystem', 'path' = '$dir',
+         |'format' = 'parquet', 'source.monitor-interval' = '1s')""".stripMargin)
+    val h = session.execute(
+      "SELECT doc_id, graft_langid(text) AS lang, graft_quality(text) AS q FROM doc_stream")
+    val info = session.ops.get(h).get
+    val deadline = System.currentTimeMillis() + 30000
+    while (!info.store.exists(_.snapshot().toSet == expected) &&
+      info.status != OpStatus.Error && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    info.error.foreach(throw _)
+    assert(info.store.get.snapshot().toSet == expected,
+      s"got ${info.store.get.snapshot()}")
+    session.ops.cancel(h)
+  }
+
   test("cdc table: mixing with another unbounded source surfaces a clear error") {
     session.executeSync("SET 'execution.runtime-mode' = 'streaming'")
     session.executeSync(
