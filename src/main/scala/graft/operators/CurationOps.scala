@@ -244,7 +244,75 @@ object CurationOps {
        |ORDER BY stage_id""".stripMargin
   }
 
+  // --------------------------------------------------- end-to-end pipeline
+  /** The full curation pipeline as ONE composed DAG — the capstone query a
+    * training-data team actually ships: quality-funnel predicates → exact
+    * dedup (min doc_id per content fingerprint) → deterministic split
+    * assignment → per-(split, lang) counts. Every stage reuses the
+    * operators above, so this also certifies they compose.
+    *
+    * Scale: filter/fingerprint/split are map-side; dedup is ONE shuffle
+    * (min-over-fingerprint-window, then keep rows equal to the min — no
+    * agg+join round trip, and no broadcast: the canonical set is
+    * corpus-sized when dup rates are low); the report is one
+    * |splits·langs| aggregation. Two shuffles total at any size. */
+  def pipeCurate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = d.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("toks"), size(col("toks")).as("n"))
+    val survivors = t.select(col("doc_id"), col("lang"),
+      fingerprint(col("text")).as("fp"),
+      (aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / col("n").cast("double")).as("mtl"),
+      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+        col("n").cast("double")).as("dupf"),
+      col("n_chars"))
+      .filter(col("n_chars") >= 150 && col("n_chars") <= 600 &&
+        col("mtl") >= 3.0 && col("mtl") <= 8.0 && col("dupf") <= 0.7)
+    // exact dedup among survivors: canonical = min doc_id per fingerprint
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    survivors
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("mn"))
+      .select(col("lang"),
+        when(bucket < "c", "train").when(bucket < "e", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val pipeCurateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars, text, $duckToks AS toks,
+       |    len($duckToks) AS n
+       |  FROM documents
+       |), survivors AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp
+       |  FROM t
+       |  WHERE n_chars >= 150 AND n_chars <= 600
+       |    AND CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+       |      / CAST(n AS DOUBLE) >= 3.0
+       |    AND CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+       |      / CAST(n AS DOUBLE) <= 8.0
+       |    AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE) <= 0.7
+       |), canon AS (
+       |  SELECT doc_id, lang FROM survivors
+       |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+       |)
+       |SELECT
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM canon
+       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curate" -> (pipeCurate _),
     "txt_repetition" -> (txtRepetition _),
     "ds_split" -> (dsSplit _),
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
@@ -252,6 +320,7 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_curate" -> pipeCurateSql,
     "txt_repetition" -> txtRepetitionSql,
     "ds_split" -> dsSplitSql,
     "txt_tfidf" -> txtTfidfSql,

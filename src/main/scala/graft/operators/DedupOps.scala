@@ -422,6 +422,59 @@ object DedupOps {
       |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------- semantic dedup groups
+  /** SemDeDup-shaped semantic deduplication: connected components over the
+    * embedding-cosine near-dup pair graph (cos ≥ threshold), electing the
+    * min vec_id per component as the canonical survivor. Same contract as
+    * [[ddDedupGroups]] but on SEMANTIC similarity — the dedup axis lexical
+    * fingerprints can't see (paraphrases, re-encodings).
+    *
+    * Scale: pair detection is the block-pair join of [[ddEmbeddingCosine]]
+    * (at real corpus sizes swap in the annLsh candidate generator — same
+    * downstream); components cost O(|pairs|) labels over clique-heavy
+    * graphs, 1-2 keyed-shuffle rounds (see [[connectedComponents]]). */
+  def ddSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = ddEmbeddingCosine(s, dir).select(col("id_a"), col("id_b"))
+      .persist(lvl)
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist(lvl)
+    val labels = connectedComponents(edges)
+    val singletons = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      .join(edges.select(col("src").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .withColumn("label", col("vec_id"))
+    val out = labels.select(col("doc_id").as("vec_id"), col("label"))
+      .union(singletons)
+      .select(col("vec_id"), col("label").as("group_rep"),
+        (col("vec_id") === col("label")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+    edges.unpersist()
+    pairs.unpersist()
+    out
+  }
+
+  val ddSemDedupSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.ve, b.ve)
+      |      / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6)
+      |    >= 0.4
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT vec_id AS node, vec_id AS root FROM embeddings
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT node AS vec_id, MIN(root) AS group_rep,
+      |  (node = MIN(root)) AS is_canonical
+      |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------- near-dup clustering
   /** Connected components over the verified near-dup pair graph, electing
     * the min doc_id of each component as the canonical survivor — the step
@@ -587,6 +640,7 @@ object DedupOps {
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
+    "dd_semdedup" -> (ddSemDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -597,5 +651,6 @@ object DedupOps {
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
+    "dd_semdedup" -> ddSemDedupSql,
   )
 }

@@ -58,6 +58,21 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(surv.last > 0, "an all-filtering funnel checks nothing")
   }
 
+  test("pipe_curate composes funnel, dedup, and split into a bounded report") {
+    val rows = CurationOps.pipeCurate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept <= nDocs, "pipeline output is a filtered subset")
+    // the pipeline can never keep more docs of a lang than exist
+    val byLang = Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sum <= byLang(lang))
+    }
+  }
+
   test("samp_stratified keeps all English and a hash-stable fraction elsewhere") {
     val r = SamplingOps.sampStratified(spark, dir)
     val rows = r.collect()
@@ -118,6 +133,20 @@ class CurationSamplingSpec extends AnyFunSuite {
   test("emb_assign conserves the corpus") {
     val rows = EmbeddingOps.embAssign(spark, dir).collect()
     assert(rows.map(_.getLong(2)).sum == nVecs)
+  }
+
+  test("dd_semdedup labels every vector with a component-transitive rep") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.ddSemDedup(spark, dir).collect()
+    assert(rows.length == nVecs)
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rep is idempotent (the canonical of a canonical is itself) and
+    // every cosine pair landed in one group
+    rep.foreach { case (_, g) => assert(rep(g) == g) }
+    DedupOps.ddEmbeddingCosine(spark, dir).collect().foreach { p =>
+      assert(rep(p.getLong(0)) == rep(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across groups")
+    }
   }
 
   test("emb_kmeans conserves the corpus and a Lloyd step never hurts") {
