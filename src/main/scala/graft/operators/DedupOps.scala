@@ -440,8 +440,11 @@ object DedupOps {
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist(lvl)
     val labels = connectedComponents(edges)
+    // labels is localCheckpoint'd — anti-joining IT (its keys are exactly
+    // the edge endpoints) keeps the singleton branch off the pair-detection
+    // lineage, so the unpersists below can't trigger a recompute
     val singletons = Tables.load(s, dir, "embeddings").select(col("vec_id"))
-      .join(edges.select(col("src").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .join(labels.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
       .withColumn("label", col("vec_id"))
     val out = labels.select(col("doc_id").as("vec_id"), col("label"))
       .union(singletons)
@@ -495,8 +498,11 @@ object DedupOps {
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(edges)
+    // anti-join the localCheckpoint'd labels (keys = edge endpoints), not
+    // `edges`: after the unpersists below an edges-derived branch would
+    // re-run the whole jaccard pair detection when the result materializes
     val singletons = docs(s, dir).select(col("doc_id"))
-      .join(edges.select(col("src").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
     edges.unpersist()
     pairs.unpersist()
