@@ -106,4 +106,82 @@ object StreamOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
   }
+
+  // ------------------------------------------- streaming near-dup detection
+  /** Dedup-on-arrival: streaming near-duplicate detection by SimHash
+    * blocking. Each document's 64-bit signature splits into `blocks`
+    * equal-width blocks; the stream is keyed by (block index, block value)
+    * and per-bucket state holds the signatures seen so far. By pigeonhole,
+    * two signatures within Hamming ≤ blocks−1 agree on at least one whole
+    * block, so every true near-dup pair meets in some bucket — and it is
+    * EMITTED only in the pair's first agreeing block (computable locally
+    * from the two signatures, no cross-bucket coordination), so a pair
+    * colliding in several buckets still reaches the sink exactly once.
+    *
+    * State: per-bucket signature list — memory is corpus-bounded like any
+    * exact dedup-on-arrival; production deployments bound it with a state
+    * TTL (`GroupStateTimeout`) at the same call site, trading recall
+    * against window age exactly like the reference's interval-scoped
+    * dedup. Per-arrival work is |bucket|, the same candidate-bounded cost
+    * as the batch operator's block-pair groups. */
+  case class SigBlock(block: Int, key: Long, docId: Long, sig: Long)
+  case class NearDupPair(id_a: Long, id_b: Long, ham: Int)
+  case class BucketState(seen: List[(Long, Long)])
+
+  /** Explode (doc_id, sig) rows into per-block keys. */
+  def sigBlocks(sigs: Dataset[(Long, Long)], blocks: Int)(
+      implicit spark: SparkSession): Dataset[SigBlock] = {
+    import spark.implicits._
+    val width = 64 / blocks
+    sigs.flatMap { case (id, sig) =>
+      (0 until blocks).map { b =>
+        SigBlock(b, (sig >>> (b * width)) & ((1L << width) - 1), id, sig)
+      }
+    }
+  }
+
+  private def firstAgreeingBlock(a: Long, b: Long, blocks: Int): Int = {
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    (0 until blocks).indexWhere(i => ((a ^ b) >>> (i * width) & mask) == 0L)
+  }
+
+  def streamingNearDup(sigs: Dataset[(Long, Long)], blocks: Int = 4,
+      maxHam: Int = 3)(implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(maxHam < blocks, "pigeonhole recall needs maxHam < blocks")
+    sigBlocks(sigs, blocks)
+      .groupByKey(r => (r.block, r.key))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[SigBlock], state: GroupState[BucketState]) =>
+          var seen = state.getOption.getOrElse(BucketState(Nil)).seen
+          val out = List.newBuilder[NearDupPair]
+          rows.foreach { r =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != r.docId) {
+                val ham = java.lang.Long.bitCount(osig ^ r.sig)
+                if (ham <= maxHam &&
+                  firstAgreeingBlock(osig, r.sig, blocks) == key._1)
+                  out += NearDupPair(math.min(oid, r.docId),
+                    math.max(oid, r.docId), ham)
+              }
+            }
+            seen = (r.docId, r.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
+  /** Batch reference: all near-dup pairs at Hamming ≤ maxHam. */
+  def batchNearDup(sigs: Dataset[(Long, Long)], maxHam: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val df = sigs.toDF("doc_id", "sig")
+    df.as("a").join(df.as("b"), col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHam)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("ham"))
+  }
 }

@@ -204,4 +204,33 @@ class StreamingSpec extends AnyFunSuite {
       .select("group", "value", "cnt", "rank")
     assert(canon(finalRows) == canon(batch))
   }
+
+  test("streaming near-dup emits exactly the batch Hamming pairs, once each") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // signatures with planted structure: 10/11 identical (ham 0), 12 within
+    // ham 2 of both, 13 within ham 3 of 12 only, 14/15 far away — and the
+    // near-dups arrive in DIFFERENT micro-batches so matching crosses state
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      10L -> base, 11L -> base, 12L -> (base ^ 3L),
+      13L -> (base ^ 3L ^ (1L << 40) ^ (1L << 50) ^ (1L << 60)),
+      14L -> ~base, 15L -> (~base ^ 1L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamingNearDup(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      mem.addData(sigs.take(3): _*); q.processAllAvailable()
+      mem.addData(sigs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_out")
+    val batch = StreamOps.batchNearDup(spark.createDataset(sigs))
+    assert(canon(streamed) == canon(batch), s"streamed=${canon(streamed)}")
+    // exactly-once per pair even though pairs collide in multiple blocks
+    val pairs = streamed.select("id_a", "id_b").collect().map(_.toSeq)
+    assert(pairs.distinct.length == pairs.length, "duplicate pair emission")
+    assert(pairs.nonEmpty)
+  }
 }
