@@ -244,6 +244,93 @@ object CurationOps {
        |ORDER BY stage_id""".stripMargin
   }
 
+  // ------------------------------------------------------- document chunking
+  /** Sliding-window chunking: split each document's token array into
+    * max-64-token chunks with 16-token overlap (stride 48) — the
+    * context-window sharding step before tokenization. Emits one row per
+    * chunk with its span and a content fingerprint (chunk text itself
+    * stays out of the report; the fingerprint pins it for the oracle).
+    *
+    * Scale: pure per-row array math + one explode — map-side at any size;
+    * output is ~n_tokens/stride rows per doc, bounded by doc length. */
+  def txtChunks(s: SparkSession, dir: String,
+      maxTok: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = maxTok - overlap
+    val t = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val nChunks = when(col("n") <= maxTok, lit(1))
+      .otherwise((lit(1) + ceil((col("n") - maxTok) / lit(stride.toDouble))).cast("int"))
+    t.select(col("doc_id"), col("toks"), col("n"),
+        explode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct((i * stride + 1).as("start"),
+            least(i * stride + maxTok, col("n")).as("end")))).as("c"))
+      .select(col("doc_id"),
+        ((col("c.start") - 1) / stride).cast("long").as("chunk_id"),
+        col("c.start").cast("long").as("start_tok"),
+        (col("c.end") - col("c.start") + 1).cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("c.start"), col("c.end") - col("c.start") + 1))
+          .cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val txtChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(generate_series(0,
+       |      CASE WHEN n <= 64 THEN 0
+       |           ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+       |  CAST(LEAST(i * 48 + 64, n) - (i * 48 + 1) + 1 AS BIGINT) AS n_tok,
+       |  md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' '))
+       |    AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------------ sequence packing
+  /** Concat-and-split sequence packing: documents concatenate in doc_id
+    * order into one token stream that splits at fixed 1024-token
+    * boundaries (the standard LLM pretraining packing). Reports each
+    * document's first/last training sequence and span.
+    *
+    * Scale note: the running offset is a global ordered prefix sum —
+    * correct but single-ordered-partition as written. The distributed form
+    * is two-phase (per-partition-range partial sums + broadcast partition
+    * offsets), same output; at report scale the op exists to pin the
+    * packing CONTRACT, which the two-phase rewrite must preserve. */
+  def txtPack(s: SparkSession, dir: String, budget: Int = 1024): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("offset") / budget).as("start_seq"),
+        floor((col("offset") + col("n_tokens") - 1) / budget).as("end_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents
+       |), o AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS tok_offset
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(FLOOR(tok_offset / 1024) AS BIGINT) AS start_seq,
+       |  CAST(FLOOR((tok_offset + n_tokens - 1) / 1024) AS BIGINT) AS end_seq
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- end-to-end pipeline
   /** The full curation pipeline as ONE composed DAG — the capstone query a
     * training-data team actually ships: quality-funnel predicates → exact
@@ -317,6 +404,8 @@ object CurationOps {
     "ds_split" -> (dsSplit _),
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
     "txt_funnel" -> (txtFunnel _),
+    "txt_chunks" -> ((s: SparkSession, d: String) => txtChunks(s, d)),
+    "txt_pack" -> ((s: SparkSession, d: String) => txtPack(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +414,7 @@ object CurationOps {
     "ds_split" -> dsSplitSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_funnel" -> txtFunnelSql,
+    "txt_chunks" -> txtChunksSql,
+    "txt_pack" -> txtPackSql,
   )
 }

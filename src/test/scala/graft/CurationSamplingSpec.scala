@@ -48,6 +48,40 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_chunks tiles every document with stride-48 windows") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = CurationOps.txtChunks(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.keySet == toks.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val n = toks(id)
+      val want = if (n <= 64) 1 else 1 + math.ceil((n - 64) / 48.0).toInt
+      assert(rs.length == want, s"doc $id: ${rs.length} chunks for $n tokens")
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until want).toSeq)
+      // chunks cover the doc: last chunk ends at n
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == n)
+      sorted.foreach(r => assert(r.getLong(3) <= 64))
+    }
+  }
+
+  test("txt_pack packs the token stream contiguously") {
+    val rows = CurationOps.txtPack(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    var expectedOffset = 0L
+    rows.foreach { r =>
+      val (nTok, startSeq, endSeq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(startSeq == expectedOffset / 1024)
+      assert(endSeq == (expectedOffset + nTok - 1) / 1024)
+      assert(startSeq <= endSeq)
+      expectedOffset += nTok
+    }
+  }
+
   test("txt_funnel survivors are monotone and start at the corpus size") {
     val rows = CurationOps.txtFunnel(spark, dir).collect()
     assert(rows.length == 5)
