@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,24 @@ object CurationOps {
     Tables.load(s, dir, "documents")
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // ---- shared quality/split expressions (single source; every operator
+  // ---- below AND pipeCurate build from these, oracles mirror them) ----
+  private def meanTokLen(toks: Column, n: Column): Column =
+    aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      n.cast("double")
+  private def dupTokFrac(toks: Column, n: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / n.cast("double")
+  private def splitCol(id: Column): Column = {
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 1)
+    when(bucket < "c", "train").when(bucket < "e", "val").otherwise("test")
+  }
+  // funnel thresholds (mirrored verbatim in the SQL oracles)
+  private val MinChars = 150
+  private val MaxChars = 600
+  private val MinMtl = 3.0
+  private val MaxMtl = 8.0
+  private val MaxDupFrac = 0.7
 
   // ------------------------------------------- within-doc repetition signals
   /** Per-document repetition metrics: duplicate-token fraction, duplicate-
@@ -41,15 +59,12 @@ object CurationOps {
     t.select(
       col("doc_id"),
       col("n").cast("long").as("n_tokens"),
-      round(lit(1.0) -
-        size(array_distinct(col("toks"))).cast("double") / col("n").cast("double"),
-        6).as("dup_tok_frac"),
+      round(dupTokFrac(col("toks"), col("n")), 6).as("dup_tok_frac"),
       round(when(col("n") > 1,
         lit(1.0) - size(array_distinct(bigrams)).cast("double") /
           (col("n") - 1).cast("double")).otherwise(lit(0.0)),
         6).as("dup_bigram_frac"),
-      round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-        .cast("double") / col("n").cast("double"), 6).as("mean_tok_len"))
+      round(meanTokLen(col("toks"), col("n")), 6).as("mean_tok_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -83,16 +98,12 @@ object CurationOps {
     * the identical string, so the assignment is portable and replayable.
     * Scale: one map-side expression per row + one map-combined count
     * shuffle on (source, split). */
-  def dsSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+  def dsSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("source"),
-        when(bucket < "c", "train").when(bucket < "e", "val")
-          .otherwise("test").as("split"))
+      .select(col("source"), splitCol(col("doc_id")).as("split"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
-  }
 
   val dsSplitSql: String =
     """SELECT source,
@@ -178,16 +189,14 @@ object CurationOps {
     val scored = t.select(
       Seq(
         col("n_chars"),
-        (aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / col("n").cast("double")).as("mtl"),
-        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-          col("n").cast("double")).as("dupf")) ++
+        meanTokLen(col("toks"), col("n")).as("mtl"),
+        dupTokFrac(col("toks"), col("n")).as("dupf")) ++
         LangMarkers.map { case (lang, m) =>
           markerCount(col("text"), m).as(s"s_$lang")
         }: _*)
-    val c1 = col("n_chars") >= 150 && col("n_chars") <= 600
-    val c2 = col("mtl") >= 3.0 && col("mtl") <= 8.0
-    val c3 = col("dupf") <= 0.7
+    val c1 = col("n_chars") >= MinChars && col("n_chars") <= MaxChars
+    val c2 = col("mtl") >= MinMtl && col("mtl") <= MaxMtl
+    val c3 = col("dupf") <= MaxDupFrac
     val c4 = langIdFromScores(
       LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }) === "en"
     val a = scored.agg(
@@ -263,10 +272,10 @@ object CurationOps {
       .otherwise((lit(1) + ceil((col("n") - maxTok) / lit(stride.toDouble))).cast("int"))
     t.select(col("doc_id"), col("toks"), col("n"),
         explode(transform(sequence(lit(0), nChunks - 1), i =>
-          struct((i * stride + 1).as("start"),
+          struct(i.as("idx"), (i * stride + 1).as("start"),
             least(i * stride + maxTok, col("n")).as("end")))).as("c"))
       .select(col("doc_id"),
-        ((col("c.start") - 1) / stride).cast("long").as("chunk_id"),
+        col("c.idx").cast("long").as("chunk_id"),
         col("c.start").cast("long").as("start_tok"),
         (col("c.end") - col("c.start") + 1).cast("long").as("n_tok"),
         md5(concat_ws(" ",
@@ -351,21 +360,17 @@ object CurationOps {
         col("toks"), size(col("toks")).as("n"))
     val survivors = t.select(col("doc_id"), col("lang"),
       fingerprint(col("text")).as("fp"),
-      (aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-        .cast("double") / col("n").cast("double")).as("mtl"),
-      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-        col("n").cast("double")).as("dupf"),
+      meanTokLen(col("toks"), col("n")).as("mtl"),
+      dupTokFrac(col("toks"), col("n")).as("dupf"),
       col("n_chars"))
-      .filter(col("n_chars") >= 150 && col("n_chars") <= 600 &&
-        col("mtl") >= 3.0 && col("mtl") <= 8.0 && col("dupf") <= 0.7)
+      .filter(col("n_chars") >= MinChars && col("n_chars") <= MaxChars &&
+        col("mtl") >= MinMtl && col("mtl") <= MaxMtl &&
+        col("dupf") <= MaxDupFrac)
     // exact dedup among survivors: canonical = min doc_id per fingerprint
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
     survivors
       .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("mn"))
-      .select(col("lang"),
-        when(bucket < "c", "train").when(bucket < "e", "val")
-          .otherwise("test").as("split"))
+      .select(col("lang"), splitCol(col("doc_id")).as("split"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"), col("lang"))

@@ -79,7 +79,13 @@ object DedupOps {
     * re-verified candidates against complete shingle sets; that probe join
     * cost |candidates|·|avg set| ≈ 50× more than this and changed no
     * detected pair on this corpus.) */
-  def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+  def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame =
+    ngramJaccardPairs(s, dir, dfCap).orderBy(col("id_a"), col("id_b"))
+
+  /** [[ddNgramJaccard]] without the final report sort — downstream
+    * consumers (components) destroy ordering immediately, and a persisted
+    * global sort of the pair set is pure waste there. */
+  private[operators] def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
     // discriminative-universe shingle set feeds 3 branches; cache once
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,7 +102,6 @@ object DedupOps {
         round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   val ddNgramJaccardSql: String =
@@ -342,6 +347,13 @@ object DedupOps {
     * Numeric order matches the oracle: sequential dot fold, norm from a
     * left-to-right sum of squares, `round(…, 6)` at the end. */
   def ddEmbeddingCosine(s: SparkSession, dir: String,
+      threshold: Double = 0.4, blocks: Int = 16): DataFrame =
+    embeddingCosinePairs(s, dir, threshold, blocks)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[ddEmbeddingCosine]] without the final report sort (see
+    * [[ngramJaccardPairs]]). */
+  private[operators] def embeddingCosinePairs(s: SparkSession, dir: String,
       threshold: Double = 0.4, blocks: Int = 16): DataFrame = {
     import s.implicits._
     val base = Tables.load(s, dir, "embeddings")
@@ -406,7 +418,6 @@ object DedupOps {
     pairs
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   val ddEmbeddingCosineSql: String =
@@ -435,7 +446,7 @@ object DedupOps {
     * graphs, 1-2 keyed-shuffle rounds (see [[connectedComponents]]). */
   def ddSemDedup(s: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = ddEmbeddingCosine(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = embeddingCosinePairs(s, dir).select(col("id_a"), col("id_b"))
       .persist(lvl)
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist(lvl)
@@ -492,7 +503,7 @@ object DedupOps {
   def ddDedupGroups(s: SparkSession, dir: String): DataFrame = {
     // persist the pair set BEFORE mirroring it: the union's two branches
     // would otherwise each evaluate the whole jaccard pipeline
-    val pairs = ddNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")

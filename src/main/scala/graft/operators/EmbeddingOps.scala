@@ -159,13 +159,19 @@ object EmbeddingOps {
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           x => x.getField("c")).as("cv")))
-    assign(cents)
+    // the report is k rows — materialize it (localCheckpoint cuts the
+    // lineage) so the corpus-sized cache can be released here instead of
+    // leaking until clearCache/session end
+    val out = assign(cents)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         (sum(col("cos_raw").cast("decimal(30,15)")).cast("double") /
           count(lit(1)).cast("double")).as("mc"))
       .select(col("cluster"), col("n_vecs"), round(col("mc"), 6).as("mean_cos"))
       .orderBy(col("cluster"))
+      .localCheckpoint()
+    vecs.unpersist()
+    out
   }
 
   /** The oracle unrolls the two Lloyd steps as CTE stages — identical

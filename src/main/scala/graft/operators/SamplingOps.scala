@@ -18,15 +18,21 @@ object SamplingOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Hex chars 9..12 of md5(doc_id) — 16 independent-of-ds_split bits of
-    * the digest (ds_split consumes char 1), compared as a string against a
-    * 4-hex-digit threshold = keep-rate * 0x10000. Lowercase-hex string
-    * comparison is numeric comparison (fixed width, '0'<'9'<'a'<'f'), and
-    * md5 is portable: any engine produces the identical digest for the
-    * identical string. */
-  private def hashBucket(id: org.apache.spark.sql.Column) =
-    substring(md5(id.cast("string").cast("binary")), 9, 4)
-  private val duckBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)"
+  /** md5(doc_id) hex digest — this file's shared entropy source. The
+    * digest's 32 hex chars are budgeted in DISJOINT 1-based ranges so no
+    * two operators (or ds_split in CurationOps) ever consume correlated
+    * bits: char 1 = ds_split bucket, 2..5 = sampStratified rate bits,
+    * 6..17 = sampWeighted 48-bit uniform, 18..32 = sampFixed order key.
+    * Lowercase-hex string comparison is numeric comparison (fixed width,
+    * '0'<'9'<'a'<'f'), and md5 is portable: any engine produces the
+    * identical digest for the identical string. */
+  private def docMd5 = md5(col("doc_id").cast("string").cast("binary"))
+  private def hexRange(start: Int, len: Int) = substring(docMd5, start, len)
+  private def duckHex(start: Int, len: Int) =
+    s"substr(md5(CAST(doc_id AS VARCHAR)), $start, $len)"
+  private val StratStart = 2; private val StratLen = 4
+  private val WeightStart = 6; private val WeightLen = 12
+  private val FixedStart = 18; private val FixedLen = 15
 
   // ------------------------------------------------ rate-based stratified
   /** Language-stratified sampling at per-stratum keep rates (en 1.0,
@@ -38,8 +44,9 @@ object SamplingOps {
     * kept rows instead of counting them is the same plan minus the agg. */
   def sampStratified(s: SparkSession, dir: String): DataFrame = {
     val kept = when(col("lang") === "en", lit(true))
-      .when(col("lang").isin("de", "fr", "es"), hashBucket(col("doc_id")) < "8000")
-      .otherwise(hashBucket(col("doc_id")) < "4000")
+      .when(col("lang").isin("de", "fr", "es"),
+        hexRange(StratStart, StratLen) < "8000")
+      .otherwise(hexRange(StratStart, StratLen) < "4000")
     docs(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -54,8 +61,8 @@ object SamplingOps {
     s"""WITH k AS (
        |  SELECT lang,
        |    CASE WHEN lang = 'en' THEN TRUE
-       |         WHEN lang IN ('de', 'fr', 'es') THEN $duckBucket < '8000'
-       |         ELSE $duckBucket < '4000' END AS kept
+       |         WHEN lang IN ('de', 'fr', 'es') THEN ${duckHex(StratStart, StratLen)} < '8000'
+       |         ELSE ${duckHex(StratStart, StratLen)} < '4000' END AS kept
        |  FROM documents
        |)
        |SELECT lang,
@@ -79,8 +86,7 @@ object SamplingOps {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
     docs(s, dir)
-      .select(col("source"), col("doc_id"),
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 16).as("h"))
+      .select(col("source"), col("doc_id"), hexRange(FixedStart, FixedLen).as("h"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select(col("source"), col("doc_id"), col("rank").cast("long").as("rank"))
@@ -88,14 +94,14 @@ object SamplingOps {
   }
 
   val sampFixedSql: String =
-    """SELECT source, doc_id,
-      |  CAST(ROW_NUMBER() OVER (
-      |    PARTITION BY source
-      |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS BIGINT)
-      |    AS rank
-      |FROM documents
-      |QUALIFY rank <= 5
-      |ORDER BY source, rank""".stripMargin
+    s"""SELECT source, doc_id,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${duckHex(FixedStart, FixedLen)}, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM documents
+       |QUALIFY rank <= 5
+       |ORDER BY source, rank""".stripMargin
 
   // --------------------------------------------- weighted (A-Res) sampling
   /** Deterministic weighted sampling without replacement, per stratum
@@ -110,8 +116,8 @@ object SamplingOps {
     * same two-phase salted top-k escape hatch for huge strata); the
     * priority is a map-side expression. */
   def sampWeighted(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 13, 12),
-      16, 10).cast("double") + 0.5) / lit(281474976710656.0)
+    val u = (conv(hexRange(WeightStart, WeightLen), 16, 10).cast("double") + 0.5) /
+      lit(281474976710656.0)
     val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
     docs(s, dir)
       .select(col("source"), col("doc_id"),
@@ -123,17 +129,17 @@ object SamplingOps {
   }
 
   val sampWeightedSql: String =
-    """WITH p AS (
-      |  SELECT source, doc_id,
-      |    -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12) AS BIGINT)
-      |         AS DOUBLE) + 0.5) / 281474976710656.0)
-      |      / CAST(n_chars AS DOUBLE) AS pri
-      |  FROM documents
-      |)
-      |SELECT source, doc_id,
-      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)
-      |    AS rank
-      |FROM p QUALIFY rank <= 5 ORDER BY source, rank""".stripMargin
+    s"""WITH p AS (
+       |  SELECT source, doc_id,
+       |    -ln((CAST(CAST('0x' || ${duckHex(WeightStart, WeightLen)} AS BIGINT)
+       |         AS DOUBLE) + 0.5) / 281474976710656.0)
+       |      / CAST(n_chars AS DOUBLE) AS pri
+       |  FROM documents
+       |)
+       |SELECT source, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM p QUALIFY rank <= 5 ORDER BY source, rank""".stripMargin
 
   // ------------------------------------------------- source mix weighting
   /** Per-source mixture statistics for a token-budgeted training mix:

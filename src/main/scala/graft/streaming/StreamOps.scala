@@ -158,16 +158,19 @@ object StreamOps {
           var seen = state.getOption.getOrElse(BucketState(Nil)).seen
           val out = List.newBuilder[NearDupPair]
           rows.foreach { r =>
-            seen.foreach { case (oid, osig) =>
-              if (oid != r.docId) {
+            // at-least-once upstreams can re-deliver a document; a second
+            // copy must neither re-emit its pairs nor grow state, or the
+            // exactly-once pair contract breaks
+            if (!seen.exists(_._1 == r.docId)) {
+              seen.foreach { case (oid, osig) =>
                 val ham = java.lang.Long.bitCount(osig ^ r.sig)
                 if (ham <= maxHam &&
                   firstAgreeingBlock(osig, r.sig, blocks) == key._1)
                   out += NearDupPair(math.min(oid, r.docId),
                     math.max(oid, r.docId), ham)
               }
+              seen = (r.docId, r.sig) :: seen
             }
-            seen = (r.docId, r.sig) :: seen
           }
           state.update(BucketState(seen))
           out.result().iterator
