@@ -831,6 +831,25 @@ object RelationalQueries {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // ------------------------------------- q31: UNNEST / LATERAL table fn
+  // Flink's UNNEST-with-ordinality envelope (array → rows as a lateral
+  // table function). Spark plans LATERAL VIEW posexplode as a Generate
+  // node — map-side row expansion, no shuffle before the report sort.
+  def q31UnnestLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_partkey, CAST(pos + 1 AS BIGINT) AS pos, tok
+        |FROM part LATERAL VIEW posexplode(split(p_name, ' ')) t AS pos, tok
+        |ORDER BY p_partkey, pos""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT p_partkey,
+      |  CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+      |  unnest(l) AS tok
+      |FROM (SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS l FROM part)
+      |ORDER BY p_partkey, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -867,6 +886,7 @@ object RelationalQueries {
     "q28_scalar_more" -> (q28ScalarMore _),
     "q29_map_fns" -> (q29MapFns _),
     "q30_grouping_fns" -> (q30GroupingFns _),
+    "q31_unnest_lateral" -> (q31UnnestLateral _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -905,5 +925,6 @@ object RelationalQueries {
     "q28_scalar_more" -> q28Sql,
     "q29_map_fns" -> q29Sql,
     "q30_grouping_fns" -> q30Sql,
+    "q31_unnest_lateral" -> q31Sql,
   )
 }

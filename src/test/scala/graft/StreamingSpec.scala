@@ -223,7 +223,9 @@ class StreamingSpec extends AnyFunSuite {
       .queryName("neardup_out").start()
     try {
       mem.addData(sigs.take(3): _*); q.processAllAvailable()
-      mem.addData(sigs.drop(3): _*); q.processAllAvailable()
+      // re-deliver doc 10 (at-least-once upstream): must not re-emit its
+      // pairs or grow state
+      mem.addData(sigs.drop(3) :+ sigs.head: _*); q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("neardup_out")
     val batch = StreamOps.batchNearDup(spark.createDataset(sigs))
