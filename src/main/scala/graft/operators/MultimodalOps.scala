@@ -100,6 +100,21 @@ object MultimodalOps {
       }.toDF("doc_id", "frame_idx", "frame_bytes", "frame")
   }
 
+  /** Resize: scale decoded dimensions to fit a `target`-pixel box
+    * preserving aspect ratio (the standard vision-pipeline letterbox
+    * step). The pixel-buffer transform is part of the decode stub — the
+    * REAL content here is the dimension math and the partition-local
+    * transform shape, both of which a codec-backed resize keeps
+    * unchanged. Never upscales (scale capped at 1.0). */
+  def resize(decoded: DataFrame, target: Int = 224): DataFrame = {
+    val scale = least(lit(target.toDouble) /
+      greatest(col("width"), col("height")).cast("double"), lit(1.0))
+    decoded
+      .withColumn("scale", scale)
+      .withColumn("out_w", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("out_h", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+  }
+
   // ------------------------------------------------------- driver queries
   /** Oracle-checked: binary size + stub-decoded dims per doc. */
   def mmDecode(s: SparkSession, dir: String): DataFrame =
@@ -133,13 +148,39 @@ object MultimodalOps {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Oracle-checked: letterbox-resize dims per doc. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    resize(decode(withBinary(Tables.load(s, dir, "documents"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("scale"), 6).as("scale"), col("out_w"), col("out_h"))
+      .orderBy(col("doc_id"))
+
+  val mmResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+      |    CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, width, height,
+      |    LEAST(224.0 / CAST(GREATEST(width, height) AS DOUBLE), 1.0) AS scale_raw
+      |  FROM d
+      |)
+      |SELECT doc_id, width, height,
+      |  ROUND(scale_raw, 6) AS scale,
+      |  CAST(GREATEST(FLOOR(width * scale_raw), 1) AS INT) AS out_w,
+      |  CAST(GREATEST(FLOOR(height * scale_raw), 1) AS INT) AS out_h
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql,
   )
 }

@@ -27,6 +27,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.exists(_.exists(_ != 0f)))
   }
 
+  test("resize fits the 224 box, preserves aspect ratio, never upscales") {
+    import org.apache.spark.sql.functions._
+    val rows = MultimodalOps.resize(MultimodalOps.decode(
+      MultimodalOps.withBinary(Tables.load(spark, dir, "documents")))).collect()
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 224 && oh <= 224)
+      assert(ow <= w && oh <= h, "resize must never upscale")
+      // aspect preserved within the floor's rounding
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 0.02)
+    }
+  }
+
   test("frame sampling round-trips: concatenated frames rebuild the payload") {
     val doc = binaries.filter(col("doc_id") === 0).collect()(0)
     val original = doc.getAs[Array[Byte]]("content")
