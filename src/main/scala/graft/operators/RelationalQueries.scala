@@ -850,6 +850,41 @@ object RelationalQueries {
       |FROM (SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS l FROM part)
       |ORDER BY p_partkey, pos""".stripMargin
 
+  // ---------------------------------- q32: interval arithmetic / calendar
+  // The rest of the temporal envelope: INTERVAL +/- (calendar month math
+  // clamps identically in both engines: Mar 31 - 1 month = Feb 28),
+  // quarter/day-of-week/ISO week, day differences, format, last_day.
+  // DuckDB's dayofweek is 0-based Sunday; Spark's is 1-based — the oracle
+  // adds 1. All map-side expressions.
+  def q32IntervalFns(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL '30' DAY AS DATE) AS due_date,
+        |  CAST(o_orderdate - INTERVAL '1' MONTH AS DATE) AS prev_month,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  CAST(datediff(DATE '1998-12-31', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_to_eod,
+        |  date_format(o_orderdate, 'yyyy-MM') AS ym,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q32Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prev_month,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+      |    AS days_to_eod,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -887,6 +922,7 @@ object RelationalQueries {
     "q29_map_fns" -> (q29MapFns _),
     "q30_grouping_fns" -> (q30GroupingFns _),
     "q31_unnest_lateral" -> (q31UnnestLateral _),
+    "q32_interval_fns" -> (q32IntervalFns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -926,5 +962,6 @@ object RelationalQueries {
     "q29_map_fns" -> q29Sql,
     "q30_grouping_fns" -> q30Sql,
     "q31_unnest_lateral" -> q31Sql,
+    "q32_interval_fns" -> q32Sql,
   )
 }
