@@ -433,6 +433,54 @@ object DedupOps {
       |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------- decontamination
+  /** Benchmark decontamination: flag training documents sharing ≥ `minShared`
+    * discriminative 3-gram shingles with any eval-set document (the overlap
+    * check run before training so benchmark text can't leak into the
+    * corpus). Eval set here = `source = 'src0'` documents; a real pipeline
+    * passes the benchmark corpus as the eval side.
+    *
+    * Scale: the same df-capped shingle-keyed join as [[ddNgramJaccard]] —
+    * one shuffle keyed by shingle hash, bucket size ≤ dfCap, pair rows
+    * linear in data; the eval side is typically tiny and arrives
+    * pre-shrunk at the join. */
+  def ddDecontaminate(s: SparkSession, dir: String,
+      minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val eval_ = sh.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_doc"), col("hs"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_doc"), col("hs"))
+    train.join(eval_, Seq("hs"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  val ddDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |)
+      |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sh t JOIN sh e ON t.s = e.s
+      |WHERE t.source <> 'src0' AND e.source = 'src0'
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY train_doc, eval_doc""".stripMargin
+
   // ------------------------------------------------- semantic dedup groups
   /** SemDeDup-shaped semantic deduplication: connected components over the
     * embedding-cosine near-dup pair graph (cos ≥ threshold), electing the
@@ -658,6 +706,7 @@ object DedupOps {
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_semdedup" -> (ddSemDedup _),
+    "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -669,5 +718,6 @@ object DedupOps {
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_semdedup" -> ddSemDedupSql,
+    "dd_decontaminate" -> ddDecontaminateSql,
   )
 }
