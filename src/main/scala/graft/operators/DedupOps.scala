@@ -446,8 +446,11 @@ object DedupOps {
     * pre-shrunk at the join. */
   def ddDecontaminate(s: SparkSession, dir: String,
       minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    // the shingle subtree feeds BOTH join sides — persist it once, same as
+    // ngramJaccardPairs, so the window df-count doesn't evaluate twice
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval_ = sh.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_doc"), col("hs"))
     val train = sh.filter(col("source") =!= "src0")

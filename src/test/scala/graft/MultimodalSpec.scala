@@ -28,9 +28,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize fits the 224 box, preserves aspect ratio, never upscales") {
-    import org.apache.spark.sql.functions._
-    val rows = MultimodalOps.resize(MultimodalOps.decode(
-      MultimodalOps.withBinary(Tables.load(spark, dir, "documents")))).collect()
+    val rows = MultimodalOps.resize(MultimodalOps.decode(binaries)).collect()
     rows.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
