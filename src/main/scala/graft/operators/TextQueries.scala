@@ -93,6 +93,67 @@ object TextQueries {
        |) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
 
+  // ------------------------------------------------------ unigram entropy
+  /** Token-unigram entropy per document (plus type-token ratio and a
+    * normalized form): the distribution-shape quality signal that catches
+    * gibberish (low entropy = few tokens repeated; high normalized entropy
+    * = near-uniform). Each term's p·ln p contribution is cast to
+    * DECIMAL(30,15) before summing — exact associative addition, so
+    * Spark's partial-aggregation order and the oracle's sequential scan
+    * agree (ln itself matches per-element; see q28/tfidf precedent).
+    *
+    * Scale: explode → map-combined (doc, term) counts → doc-level
+    * aggregation joined on doc_id. Two map-combined shuffles, both keyed
+    * by document — no skew beyond document size. */
+  def txtEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("types"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    tf.join(tot, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("n"), col("types"))
+      .agg(sum((p * log(p)).cast("decimal(30,15)")).as("hsum"))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        col("types").as("n_types"),
+        round(col("types").cast("double") / col("n").cast("double"), 6).as("ttr"),
+        (round(-col("hsum").cast("double"), 6) + 0.0).as("entropy"),
+        when(col("types") > 1,
+          round(-col("hsum").cast("double") / log(col("types").cast("double")), 6) + 0.0)
+          .otherwise(lit(0.0)).as("entropy_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtEntropySql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS types
+      |  FROM tf GROUP BY 1
+      |), h AS (
+      |  SELECT tf.doc_id, tot.n, tot.types,
+      |    SUM(CAST((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(30,15)))
+      |      AS hsum
+      |  FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, n AS n_tokens, types AS n_types,
+      |  ROUND(CAST(types AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+      |  ROUND(-CAST(hsum AS DOUBLE), 6) + 0.0 AS entropy,
+      |  CASE WHEN types > 1
+      |    THEN ROUND(-CAST(hsum AS DOUBLE) / ln(CAST(types AS DOUBLE)), 6) + 0.0
+      |    ELSE 0.0 END AS entropy_norm
+      |FROM h ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ fingerprinting
   def txtFingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -109,6 +170,7 @@ object TextQueries {
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
+    "txt_entropy" -> (txtEntropy _),
     "txt_fingerprint" -> (txtFingerprint _),
   )
 
@@ -116,6 +178,7 @@ object TextQueries {
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
+    "txt_entropy" -> txtEntropySql,
     "txt_fingerprint" -> txtFingerprintSql,
   )
 }
