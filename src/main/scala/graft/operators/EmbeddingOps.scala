@@ -114,6 +114,90 @@ object EmbeddingOps {
       |FROM best WHERE rn = 1
       |GROUP BY label, c_label ORDER BY label, assigned""".stripMargin
 
+  // ----------------------------------------------------- outlier detection
+  /** Embedding-space outlier report: each vector's cosine to its OWN label
+    * centroid, z-scored against the label's cosine distribution; a vector
+    * with z < −2 is flagged (mislabeled / out-of-distribution — the
+    * embedding-side data-cleaning filter). Emits per-label moments and the
+    * outlier count.
+    *
+    * Determinism: the z-score needs the label mean/std — both derived from
+    * DECIMAL(30,15)-exact windowed sums of cos and cos², so every engine
+    * computes the identical doubles regardless of aggregation order.
+    *
+    * Scale: centroids broadcast (model state); cos is a map-side codegen'd
+    * dot; the moments are one label-keyed window shuffle; the report is
+    * one |labels| aggregation. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = centroidRows(e)
+      .select(col("label"), col("dim"), round(col("c_raw"), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnrm", VF.norm(col("cv")))
+    val scored = e.select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+    val wl = Window.partitionBy(col("label"))
+    val dec = "decimal(30,15)"
+    scored
+      .withColumn("s1", sum(col("cos").cast(dec)).over(wl).cast("double"))
+      .withColumn("s2", sum((col("cos") * col("cos")).cast(dec)).over(wl).cast("double"))
+      .withColumn("n", count(lit(1)).over(wl).cast("double"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+        (col("n") - 1.0)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("m")), 6).as("mean_cos"),
+        round(min(col("sd")), 6).as("std_cos"),
+        sum(when((col("cos") - col("m")) / col("sd") < -2.0, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  val embOutliersSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY label, dim
+      |), cents AS (
+      |  SELECT label, list(c ORDER BY dim) AS cv,
+      |    sqrt(list_dot_product(list(c ORDER BY dim), list(c ORDER BY dim))) AS cnrm
+      |  FROM comp GROUP BY label
+      |), scored AS (
+      |  SELECT e.label,
+      |    list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)), cv)
+      |      / (sqrt(list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+      |               list_transform(e.embedding, v -> CAST(v AS DOUBLE)))) * cnrm) AS cos
+      |  FROM embeddings e JOIN cents ON e.label = cents.label
+      |), m AS (
+      |  SELECT label, cos,
+      |    CAST(SUM(CAST(cos AS DECIMAL(30,15))) OVER (PARTITION BY label) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(cos * cos AS DECIMAL(30,15))) OVER (PARTITION BY label) AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) OVER (PARTITION BY label) AS DOUBLE) AS n
+      |  FROM scored
+      |), z AS (
+      |  SELECT label, cos, s1 / n AS mean_c,
+      |    sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS sd
+      |  FROM m
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(MIN(mean_c), 6) AS mean_cos,
+      |  ROUND(MIN(sd), 6) AS std_cos,
+      |  CAST(SUM(CASE WHEN (cos - mean_c) / sd < -2.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM z GROUP BY label ORDER BY label""".stripMargin
+
   // --------------------------------------------------- k-means iterations
   /** Spherical k-means (cosine) with deterministic seeding: centroids start
     * at the `k` lowest vec_ids, then `iters` Lloyd steps (assign → exact-sum
@@ -220,11 +304,13 @@ object EmbeddingOps {
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => embKmeans(s, d)),
+    "emb_outliers" -> (embOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> embCentroidsSql,
     "emb_assign" -> embAssignSql,
     "emb_kmeans" -> embKmeansSql,
+    "emb_outliers" -> embOutliersSql,
   )
 }

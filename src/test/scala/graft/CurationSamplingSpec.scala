@@ -183,6 +183,17 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_outliers reports sane per-label moments and bounded outliers") {
+    val rows = EmbeddingOps.embOutliers(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, "mean cosine range")
+      assert(r.getDouble(3) >= 0.0, "std non-negative")
+      // Chebyshev: at most 1/4 of a distribution sits below mean - 2*std
+      assert(r.getLong(4) <= r.getLong(1) / 4 + 1, "outlier bound")
+    }
+  }
+
   test("emb_kmeans conserves the corpus and a Lloyd step never hurts") {
     def objective(iters: Int): (Long, Double) = {
       val rows = EmbeddingOps.embKmeans(spark, dir, k = 8, iters = iters).collect()
