@@ -29,6 +29,18 @@ object EmbeddingOps {
       .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double") /
         count(lit(1)).cast("double")).as("c_raw"))
 
+  /** Assemble per-key centroid VECTORS from rounded components — the
+    * determinism-critical sort/round/norm sequence, shared by every
+    * consumer (assignment, k-means, outliers) so a rounding-discipline
+    * change can't silently diverge between them. Emits (keyCol, cv, cnrm). */
+  private def centroidVectors(comp: DataFrame, key: String): DataFrame =
+    comp
+      .select(col(key), col("dim"), round(col("c_raw"), 6).as("c"))
+      .groupBy(col(key))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnrm", VF.norm(col("cv")))
+
   // ------------------------------------------------------- label centroids
   /** Element-wise mean embedding per label.
     *
@@ -66,12 +78,8 @@ object EmbeddingOps {
     * map-combined shuffle of labels² partials. No corpus shuffle at all. */
   def embAssign(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = centroidRows(e)
-      .select(col("label").as("c_label"), col("dim"), round(col("c_raw"), 6).as("c"))
-      .groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cv"))
-      .withColumn("cnrm", VF.norm(col("cv")))
+    val cents = centroidVectors(
+      centroidRows(e).withColumnRenamed("label", "c_label"), "c_label")
     val vecs = e.select(col("vec_id"), col("label"),
         VF.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", VF.norm(col("ve")))
@@ -130,13 +138,8 @@ object EmbeddingOps {
     * one |labels| aggregation. */
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = centroidRows(e)
-      .select(col("label"), col("dim"), round(col("c_raw"), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cv"))
-      .withColumn("cnrm", VF.norm(col("cv")))
-    val scored = e.select(col("vec_id"), col("label"),
+    val cents = centroidVectors(centroidRows(e), "label")
+    val scored = e.select(col("label"),
         VF.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", VF.norm(col("ve")))
       .join(broadcast(cents), Seq("label"))
@@ -149,13 +152,19 @@ object EmbeddingOps {
       .withColumn("s2", sum((col("cos") * col("cos")).cast(dec)).over(wl).cast("double"))
       .withColumn("n", count(lit(1)).over(wl).cast("double"))
       .withColumn("m", col("s1") / col("n"))
-      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-        (col("n") - 1.0)))
+      // degenerate guards: a 1-vector label has no sample std (0/0), and a
+      // zero-variance label's s2 - s1^2/n can round to a TINY NEGATIVE via
+      // the DECIMAL casts (Spark sqrt -> NaN, the oracle engine ERRORS) -
+      // clamp at 0 and define both degenerate cases as sd = 0, no outliers
+      .withColumn("sd", when(col("n") > 1.0,
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1.0), lit(0.0)))).otherwise(lit(0.0)))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(min(col("m")), 6).as("mean_cos"),
-        round(min(col("sd")), 6).as("std_cos"),
-        sum(when((col("cos") - col("m")) / col("sd") < -2.0, 1L).otherwise(0L))
+        (round(min(col("m")), 6) + 0.0).as("mean_cos"),
+        (round(min(col("sd")), 6) + 0.0).as("std_cos"),
+        sum(when(col("sd") > 0.0 &&
+          (col("cos") - col("m")) / col("sd") < -2.0, 1L).otherwise(0L))
           .as("n_outliers"))
       .orderBy(col("label"))
   }
@@ -188,14 +197,16 @@ object EmbeddingOps {
       |  FROM scored
       |), z AS (
       |  SELECT label, cos, s1 / n AS mean_c,
-      |    sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS sd
+      |    CASE WHEN n > 1.0
+      |      THEN sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+      |      ELSE 0.0 END AS sd
       |  FROM m
       |)
       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-      |  ROUND(MIN(mean_c), 6) AS mean_cos,
-      |  ROUND(MIN(sd), 6) AS std_cos,
-      |  CAST(SUM(CASE WHEN (cos - mean_c) / sd < -2.0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_outliers
+      |  ROUND(MIN(mean_c), 6) + 0.0 AS mean_cos,
+      |  ROUND(MIN(sd), 6) + 0.0 AS std_cos,
+      |  CAST(SUM(CASE WHEN sd > 0.0 AND (cos - mean_c) / sd < -2.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM z GROUP BY label ORDER BY label""".stripMargin
 
   // --------------------------------------------------- k-means iterations

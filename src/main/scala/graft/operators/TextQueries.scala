@@ -106,10 +106,13 @@ object TextQueries {
     * aggregation joined on doc_id. Two map-combined shuffles, both keyed
     * by document — no skew beyond document size. */
   def txtEntropy(s: SparkSession, dir: String): DataFrame = {
+    // tf feeds TWO branches (tot aggregation + join left side); without a
+    // persist each branch re-runs the explode + count (txtTfidf precedent)
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = tf.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("types"))
     val p = col("cnt").cast("double") / col("n").cast("double")
@@ -119,7 +122,12 @@ object TextQueries {
       .select(col("doc_id"),
         col("n").as("n_tokens"),
         col("types").as("n_types"),
-        round(col("types").cast("double") / col("n").cast("double"), 6).as("ttr"),
+        // types/n is a small-integer ratio that CAN land exactly on a .x5
+        // rounding boundary (e.g. 1/640) where the engines' round() rules
+        // diverge - use the floor(x*1e6+0.5) HALF_UP spelling (identical
+        // IEEE op sequence both engines; see q14's bal_hundreds)
+        (floor(col("types").cast("double") / col("n").cast("double") * 1e6 + 0.5) /
+          1e6).as("ttr"),
         (round(-col("hsum").cast("double"), 6) + 0.0).as("entropy"),
         when(col("types") > 1,
           round(-col("hsum").cast("double") / log(col("types").cast("double")), 6) + 0.0)
@@ -147,7 +155,8 @@ object TextQueries {
       |  GROUP BY 1, 2, 3
       |)
       |SELECT doc_id, n AS n_tokens, types AS n_types,
-      |  ROUND(CAST(types AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+      |  FLOOR(CAST(types AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS ttr,
       |  ROUND(-CAST(hsum AS DOUBLE), 6) + 0.0 AS entropy,
       |  CASE WHEN types > 1
       |    THEN ROUND(-CAST(hsum AS DOUBLE) / ln(CAST(types AS DOUBLE)), 6) + 0.0
