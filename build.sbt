@@ -15,6 +15,11 @@ run / fork := true
 // bench/verify drivers parse Bench's single JSON stdout line, and sbt's
 // default LoggedOutput prefix breaks any strict `json.loads(line)`.
 run / outputStrategy := Some(StdoutOutput)
+// …and suppress sbt's own "[success] Total time" epilogue so the JSON line
+// is the LAST line of stdout (a last-line json.loads in the driver fails on
+// the epilogue; every BENCH_r*.json so far recorded "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
