@@ -216,7 +216,9 @@ object CurationOps {
   }
 
   val txtFunnelSql: String = {
-    val langs = Seq("en", "de", "fr", "es")
+    // derive from the marker table — a hardcoded list desyncs the GREATEST
+    // argmax the moment a language is added to LangMarkers
+    val langs = graft.functions.TextFunctions.LangMarkers.map(_._1)
     def stop(words: Seq[String]): String =
       s"len(list_filter(toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
     val scoreCols = graft.functions.TextFunctions.LangMarkers

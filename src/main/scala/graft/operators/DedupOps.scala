@@ -455,11 +455,17 @@ object DedupOps {
       .select(col("doc_id").as("eval_doc"), col("hs"))
     val train = sh.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_doc"), col("hs"))
-    train.join(eval_, Seq("hs"))
+    // the report is tiny (flagged pairs) — materialize it so the cached
+    // shingle subtree can be released now rather than at clearCache/session
+    // end (ddSemDedup/embKmeans discipline)
+    val report = train.join(eval_, Seq("hs"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("train_doc"), col("eval_doc"))
+      .localCheckpoint()
+    sh.unpersist()
+    report
   }
 
   val ddDecontaminateSql: String =

@@ -116,7 +116,7 @@ object TextQueries {
     val tot = tf.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("types"))
     val p = col("cnt").cast("double") / col("n").cast("double")
-    tf.join(tot, Seq("doc_id"))
+    val out = tf.join(tot, Seq("doc_id"))
       .groupBy(col("doc_id"), col("n"), col("types"))
       .agg(sum((p * log(p)).cast("decimal(30,15)")).as("hsum"))
       .select(col("doc_id"),
@@ -133,6 +133,11 @@ object TextQueries {
           round(-col("hsum").cast("double") / log(col("types").cast("double")), 6) + 0.0)
           .otherwise(lit(0.0)).as("entropy_norm"))
       .orderBy(col("doc_id"))
+      // one row per doc — materialize, then release the corpus-scale
+      // (doc, term) cache instead of leaking it until clearCache
+      .localCheckpoint()
+    tf.unpersist()
+    out
   }
 
   val txtEntropySql: String =
