@@ -885,6 +885,108 @@ object RelationalQueries {
       |  last_day(CAST(o_orderdate AS DATE)) AS month_end
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------ q33: PIVOT / UNPIVOT battery
+  /** PIVOT (multi-aggregate, aliased IN-list) then UNPIVOT back to long
+    * form — the reshaping pair of the relational envelope. Money sums go
+    * through DECIMAL(18,2) internally (exact, order-independent) and cross
+    * the result as DOUBLE; PIVOT yields NULL for empty (nation, priority)
+    * combos where the oracle's FILTERed aggregates yield 0/NULL, so the
+    * final projection coalesces both.
+    *
+    * Scale: one shuffle on the groupBy key (PIVOT is a HashAggregate with
+    * per-pivot-value branches, map-side combined); UNPIVOT is a map-side
+    * Expand. Dim joins broadcast. */
+  def q33Pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT n_name, o_orderpriority AS prio, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), p AS (
+        |  SELECT * FROM base
+        |  PIVOT (
+        |    COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+        |    FOR prio IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium)
+        |  )
+        |), wide AS (
+        |  SELECT n_name,
+        |    CAST(urgent_n AS DOUBLE) AS urgent_n,
+        |    CAST(high_n AS DOUBLE) AS high_n,
+        |    CAST(medium_n AS DOUBLE) AS medium_n,
+        |    CAST(urgent_amt AS DOUBLE) AS urgent_amt,
+        |    CAST(high_amt AS DOUBLE) AS high_amt,
+        |    CAST(medium_amt AS DOUBLE) AS medium_amt
+        |  FROM p
+        |)
+        |SELECT n_name, metric, COALESCE(v, 0.0) + 0.0 AS val
+        |FROM wide UNPIVOT INCLUDE NULLS (
+        |  v FOR metric IN (urgent_n, high_n, medium_n, urgent_amt, high_amt, medium_amt)
+        |)
+        |ORDER BY n_name, metric""".stripMargin)
+  }
+
+  val q33Sql: String = {
+    val prios = Seq("urgent" -> "1-URGENT", "high" -> "2-HIGH", "medium" -> "3-MEDIUM")
+    val aggCols = prios.map { case (a, p) =>
+      s"""CAST(COUNT(*) FILTER (prio = '$p') AS DOUBLE) AS ${a}_n,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (prio = '$p') AS DOUBLE) AS ${a}_amt""".stripMargin
+    }.mkString(",\n    ")
+    val branches = prios.flatMap { case (a, _) => Seq(s"${a}_n", s"${a}_amt") }
+      .map(c => s"SELECT n_name, '$c' AS metric, COALESCE($c, 0.0) + 0.0 AS val FROM g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT n_name, o_orderpriority AS prio, o_totalprice
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |), g AS (
+       |  SELECT n_name,
+       |    $aggCols
+       |  FROM base GROUP BY n_name
+       |)
+       |$branches
+       |ORDER BY n_name, metric""".stripMargin
+  }
+
+  // --------------------------------------- q34: recursive CTE (WITH RECURSIVE)
+  /** Recursive month-calendar walk joined back to the fact table — the
+    * canonical recursion a plain GROUP BY can't express (months with zero
+    * orders still appear). Spark 4 plans WITH RECURSIVE as UnionLoop;
+    * DuckDB runs the same statement verbatim.
+    *
+    * Scale: the recursion generates O(months) rows (model-state-sized),
+    * then one broadcast-able join against the fact table and one
+    * map-combined aggregation. */
+  def q34Rcte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months WHERE m < hi
+        |)
+        |SELECT m AS month_start, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  val q34Sql: String =
+    """WITH RECURSIVE months(m, hi) AS (
+      |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+      |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+      |)
+      |SELECT m AS month_start, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -923,6 +1025,8 @@ object RelationalQueries {
     "q30_grouping_fns" -> (q30GroupingFns _),
     "q31_unnest_lateral" -> (q31UnnestLateral _),
     "q32_interval_fns" -> (q32IntervalFns _),
+    "q33_pivot" -> (q33Pivot _),
+    "q34_rcte" -> (q34Rcte _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -963,5 +1067,7 @@ object RelationalQueries {
     "q30_grouping_fns" -> q30Sql,
     "q31_unnest_lateral" -> q31Sql,
     "q32_interval_fns" -> q32Sql,
+    "q33_pivot" -> q33Sql,
+    "q34_rcte" -> q34Sql,
   )
 }
