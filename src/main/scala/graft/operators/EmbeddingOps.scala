@@ -241,7 +241,9 @@ object EmbeddingOps {
           (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     def withNorm(cs: DataFrame): DataFrame = cs.withColumn("cnrm", VF.norm(col("cv")))
-    var cents = withNorm(vecs.filter(col("vec_id") < k)
+    // seeds = the k lowest vec_ids PRESENT (TakeOrderedAndProject, k rows)
+    // — `vec_id < k` would silently under-seed on sparse/non-zero-based ids
+    var cents = withNorm(vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cluster"),
         transform(col("ve"), x => round(x, 6)).as("cv")))
     for (_ <- 1 until iters)
@@ -279,7 +281,7 @@ object EmbeddingOps {
       |  FROM embeddings
       |), c0 AS (
       |  SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv
-      |  FROM vn WHERE vec_id < 8
+      |  FROM vn ORDER BY vec_id LIMIT 8
       |), c0n AS (
       |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
       |), a1 AS (
@@ -311,14 +313,58 @@ object EmbeddingOps {
       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos
       |FROM a2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------- int8 quantization
+  /** Symmetric per-vector int8 quantization — the storage/serving
+    * compression step of an embedding pipeline: `scale = max|x| / 127`,
+    * `q_i = clamp(halfup(x_i / scale), ±127)`. Every arithmetic step is a
+    * single IEEE op with an identical spelling in the oracle (`FLOOR(x +
+    * 0.5)` HALF_UP, not `round()` — engine rounding rules diverge on .5
+    * boundaries), so the int arrays match bit-for-bit with no rounding
+    * slack. Zero vectors quantize to zeros (scale 0 guard).
+    *
+    * Scale: pure map-side projection — no shuffle at any corpus size; the
+    * two-projection split keeps `scale` out of the per-element lambda
+    * (an inlined aggregate re-evaluates per element). */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val scaled = emb(s, dir)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        (array_max(transform(col("ve"), x => abs(x))) / 127.0).as("scale"))
+    scaled.select(
+      col("vec_id"), col("scale"),
+      when(col("scale") === 0.0, transform(col("ve"), _ => lit(0)))
+        .otherwise(transform(col("ve"), x =>
+          greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5)))
+            .cast("int"))).as("q"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, ve,
+      |    list_aggregate(list_transform(ve, x -> abs(x)), 'max') / 127.0 AS scale
+      |  FROM v
+      |)
+      |SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN list_transform(ve, x -> CAST(0 AS INT))
+      |    ELSE list_transform(ve, x ->
+      |      CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS INT))
+      |  END AS q
+      |FROM m ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => embKmeans(s, d)),
     "emb_outliers" -> (embOutliers _),
+    "emb_quantize" -> (embQuantize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize" -> embQuantizeSql,
     "emb_centroids" -> embCentroidsSql,
     "emb_assign" -> embAssignSql,
     "emb_kmeans" -> embKmeansSql,

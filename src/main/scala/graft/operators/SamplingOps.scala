@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -189,11 +189,75 @@ object SamplingOps {
       |    AS epochs_1m
       |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // --------------------------------------- temperature-scaled mixing
+  /** Temperature sampling over source token shares — the multilingual /
+    * multi-source rebalancing rule (share^τ / Σ share^τ): τ=1 keeps the
+    * natural distribution, τ→0 flattens to uniform, upweighting small
+    * sources. Written as exp(τ·ln p) on BOTH engines (one libm op sequence
+    * — `pow` implementations may differ in the last ulp), and the
+    * normalizer sums through DECIMAL(30,15) so partial-aggregation order
+    * can't move it.
+    *
+    * Scale: one map-combined aggregation over the corpus, then model-sized
+    * (per-source) arithmetic with a broadcast scalar normalizer. */
+  def sampTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"))
+    def pTau(tau: Double): Column =
+      // p^tau as exp(tau·ln p), then ONE deterministic rounding to
+      // DECIMAL(30,15) — the same value feeds the numerator and the
+      // normalizer sum on both engines
+      exp(lit(tau) * log(col("n_tokens").cast("double") /
+        col("tot_tokens").cast("double"))).cast("decimal(30,15)")
+    val powed = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("share"),
+        pTau(0.7).as("p07"), pTau(0.5).as("p05"))
+    val z = powed.agg(sum(col("p07")).as("z07"), sum(col("p05")).as("z05"))
+    powed.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("token_share"),
+        (round(col("p07").cast("double") / col("z07").cast("double"), 6) + 0.0)
+          .as("w_tau07"),
+        (round(col("p05").cast("double") / col("z05").cast("double"), 6) + 0.0)
+          .as("w_tau05"))
+      .orderBy(col("source"))
+  }
+
+  val sampTemperatureSql: String =
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_src
+      |), powed AS (
+      |  SELECT source, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
+      |    CAST(exp(0.7 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)))
+      |      AS DECIMAL(30,15)) AS p07,
+      |    CAST(exp(0.5 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)))
+      |      AS DECIMAL(30,15)) AS p05
+      |  FROM per_src CROSS JOIN tot
+      |), z AS (
+      |  SELECT SUM(p07) AS z07, SUM(p05) AS z05 FROM powed
+      |)
+      |SELECT source, n_tokens,
+      |  ROUND(share, 6) AS token_share,
+      |  ROUND(CAST(p07 AS DOUBLE) / CAST(z07 AS DOUBLE), 6) + 0.0 AS w_tau07,
+      |  ROUND(CAST(p05 AS DOUBLE) / CAST(z05 AS DOUBLE), 6) + 0.0 AS w_tau05
+      |FROM powed CROSS JOIN z ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
     "mix_weights" -> (mixWeights _),
+    "samp_temperature" -> (sampTemperature _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +265,6 @@ object SamplingOps {
     "samp_fixed" -> sampFixedSql,
     "samp_weighted" -> sampWeightedSql,
     "mix_weights" -> mixWeightsSql,
+    "samp_temperature" -> sampTemperatureSql,
   )
 }
