@@ -706,6 +706,55 @@ object DedupOps {
       |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- bloom-filter decontamination
+  /** Bloom-filter pre-screen for decontamination — the single-pass scale
+    * path when the eval/benchmark shingle set is too large to broadcast as
+    * a hash table but fits a fixed-size sketch: build one bloom over the
+    * eval shingle hashes (partials bit-OR-merge, order-independent), then
+    * probe every training shingle map-side. `might_contain` has NO false
+    * negatives, so the screen can only over-flag (bounded FPR), never let
+    * contamination through — exactly the safe direction for this filter.
+    *
+    * The driver query is the correctness certificate of that contract:
+    * train shingles that exactly hit the eval set (join) but fail the
+    * bloom probe — provably empty (q21-style violation oracle). The
+    * production operator is the `flagged` branch (probe-only, no join);
+    * BloomDecontaminationSpec measures its FPR and asserts the superset
+    * relation vs the exact join.
+    *
+    * Scale: sketch size is a constant (`numBits`), independent of corpus
+    * size; the probe is a pure map-side predicate on a broadcast sketch —
+    * the train side never shuffles at all. Sizing is static by design
+    * (one pass); a production pipeline sizes `expectedItems` from the
+    * known benchmark-suite cardinality. */
+  def ddBloomDecontaminate(s: SparkSession, dir: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 24): DataFrame = {
+    import graft.functions.BloomSketch
+    // (doc_id, source, hs) distinct shingles, shared by all three branches
+    val sh = shingleSet(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
+    val bloom = evalSh.agg(
+      BloomSketch.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_doc"), col("hs"))
+    val exactHits = train.join(evalSh, Seq("hs"))
+    val violations = exactHits
+      .filter(!BloomSketch.mightContain(bloom, col("hs")))
+      .select(col("train_doc"), col("hs"))
+      .orderBy(col("train_doc"), col("hs"))
+      .localCheckpoint() // provably-empty report; release the shingle cache
+    sh.unpersist()
+    violations
+  }
+
+  /** No-false-negative law, so the violation set is empty by construction
+    * (DuckDB has no bloom probe; the oracle pins schema + emptiness). */
+  val ddBloomDecontaminateSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS train_doc, CAST(NULL AS BIGINT) AS hs
+      |WHERE FALSE""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
@@ -716,6 +765,7 @@ object DedupOps {
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_semdedup" -> (ddSemDedup _),
     "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
+    "dd_bloom" -> ((s: SparkSession, d: String) => ddBloomDecontaminate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -728,5 +778,6 @@ object DedupOps {
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_semdedup" -> ddSemDedupSql,
     "dd_decontaminate" -> ddDecontaminateSql,
+    "dd_bloom" -> ddBloomDecontaminateSql,
   )
 }

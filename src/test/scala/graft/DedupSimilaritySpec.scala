@@ -169,4 +169,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sql.map(_.getString(3)).toSet.subsetOf(
       Set("en", "de", "fr", "es", "und")))
   }
+
+  test("bloom sketch: zero false negatives, bounded false positives") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomSketch
+    val members = spark.range(0, 1000).select(xxhash64(col("id")).as("h"))
+    val bloom = members.agg(
+      BloomSketch.bloomAgg(col("h"), 1000L, 16L * 1000).as("bf"))
+    // every inserted key probes true — the law dd_bloom certifies
+    val fn = members
+      .filter(!BloomSketch.mightContain(bloom, col("h"))).count()
+    assert(fn == 0L, s"bloom false negatives: $fn")
+    // disjoint probe keys: FPR stays near the 16-bits/item design point
+    val outside = spark.range(1000000, 1020000)
+      .select(xxhash64(col("id")).as("h"))
+    val fp = outside
+      .filter(BloomSketch.mightContain(bloom, col("h"))).count()
+    assert(fp < 200L, s"bloom FPR ${fp / 20000.0} above 1%")
+  }
+
+  test("dd_bloom violation set is empty on testdata") {
+    assert(DedupOps.ddBloomDecontaminate(spark, dir).count() == 0L)
+  }
 }
