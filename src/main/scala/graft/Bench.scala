@@ -36,10 +36,19 @@ object Bench {
     val results = qs.map { case (name, _) =>
       name -> samples.collect { case (n, t) if n == name => t }.min
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Emission discipline: the driver captures a bounded stdout tail, and
+    // rounds 1-6 proved a full-precision line (~4 KB) outgrows it — every
+    // BENCH_r*.json shipped "parsed": null. So (a) round to ms (3 decimals,
+    // ~40% smaller → the whole line fits the window) and (b) order the
+    // queries map by descending cost so if truncation ever recurs it eats
+    // the cheap tail, never the heavy dd_* head.
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qjson = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

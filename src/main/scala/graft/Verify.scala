@@ -11,6 +11,14 @@ object Verify {
     // only compares what was dumped)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Fail fast on typo'd names — an unmatched filter would dump nothing
+    // and exit 0, which downstream reads as vacuous success.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")} — " +
+          s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()

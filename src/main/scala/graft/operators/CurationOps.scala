@@ -135,7 +135,9 @@ object CurationOps {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    // top-k report is k rows per doc — materialize it so the (doc, term)
+    // cache releases here rather than at clearCache/session end
+    val report = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw",
         col("tf").cast("double") *
@@ -144,6 +146,9 @@ object CurationOps {
       .select(col("doc_id"), col("term"), col("rank"),
         round(col("tfidf_raw"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("rank"))
+      .localCheckpoint()
+    tf.unpersist()
+    report
   }
 
   val txtTfidfSql: String =

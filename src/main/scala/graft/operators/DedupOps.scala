@@ -94,7 +94,9 @@ object DedupOps {
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    // the pair report is near-dup-sized, not corpus-sized — materialize it
+    // so the shingle cache releases here (ddDecontaminate discipline)
+    val pairs = inter
       .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
       .select(col("id_a"), col("id_b"), col("n_inter"),
@@ -102,6 +104,9 @@ object DedupOps {
         round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
+      .localCheckpoint()
+    sh.unpersist()
+    pairs
   }
 
   val ddNgramJaccardSql: String =
@@ -187,7 +192,9 @@ object DedupOps {
     val docsets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("hs")).as("shs"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    // report is |near-dup pairs| rows — materialize, then release all three
+    // corpus-scale caches (same discipline as ddDecontaminate/ddSemDedup)
+    val report = candidates
       .join(docsets.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(docsets.as("cb"), col("id_b") === col("cb.doc_id"))
       .select(col("id_a"), col("id_b"),
@@ -198,6 +205,11 @@ object DedupOps {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    docsets.unpersist()
+    banded.unpersist()
+    sh.unpersist()
+    report
   }
 
   // -------------------------------------------------------------- SimHash
@@ -210,9 +222,13 @@ object DedupOps {
     * the 28 keys. Exact candidate generation for maxHam ≤ 6 with 16-bit
     * keys (single 8-bit blocks would be quadratic in bucket size at
     * corpus scale; single 16-bit chunks only guarantee distance ≤ 3). */
-  def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame =
-    simHashPairsFrom(simHashSignatures(docs(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), maxHam)
+  def ddSimHashPairs(s: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
+    val sig = simHashSignatures(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val report = simHashPairsFrom(sig, maxHam).localCheckpoint()
+    sig.unpersist()
+    report
+  }
 
   /** Per-doc signature projection. Tokens are lowercased — the same
     * normalized stream fingerprint() uses, so exact duplicates provably
@@ -315,10 +331,18 @@ object DedupOps {
       .persist(lvl)
     val blocked = simHashPairsFrom(sig, maxHam).select(col("id_a"), col("id_b"))
       .persist(lvl)
-    exact.except(blocked).select(col("id_a"), col("id_b"), lit("missed").as("defect"))
+    // the diff is provably empty — materialize it, then release the three
+    // sample-sized caches rather than holding them to session end
+    val report = exact.except(blocked)
+      .select(col("id_a"), col("id_b"), lit("missed").as("defect"))
       .union(blocked.except(exact)
         .select(col("id_a"), col("id_b"), lit("spurious").as("defect")))
       .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    blocked.unpersist()
+    exact.unpersist()
+    sig.unpersist()
+    report
   }
 
   val ddSimHashPairsCheckSql: String =
@@ -558,22 +582,16 @@ object DedupOps {
     * inside [[connectedComponents]] bounds even adversarially deep chains
     * at O(log diameter) rounds. */
   def ddDedupGroups(s: SparkSession, dir: String): DataFrame = {
-    // persist the pair set BEFORE mirroring it: the union's two branches
-    // would otherwise each evaluate the whole jaccard pipeline
+    // ngramJaccardPairs returns a checkpointed pair set, so the union's two
+    // branches re-read materialized blocks, not the jaccard pipeline; the
+    // CC loop then checkpoints every round — nothing further to persist
     val pairs = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(edges)
-    // anti-join the localCheckpoint'd labels (keys = edge endpoints), not
-    // `edges`: after the unpersists below an edges-derived branch would
-    // re-run the whole jaccard pair detection when the result materializes
     val singletons = docs(s, dir).select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
-    edges.unpersist()
-    pairs.unpersist()
     labels.union(singletons)
       .select(col("doc_id"), col("label").as("group_rep"),
         (col("doc_id") === col("label")).as("is_canonical"))

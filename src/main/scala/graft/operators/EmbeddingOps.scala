@@ -324,7 +324,13 @@ object EmbeddingOps {
     *
     * Scale: pure map-side projection — no shuffle at any corpus size; the
     * two-projection split keeps `scale` out of the per-element lambda
-    * (an inlined aggregate re-evaluates per element). */
+    * (an inlined aggregate re-evaluates per element). The result is the
+    * LONG form `(vec_id, scale, dim, q_val)` — one row per quantized
+    * element — because the verification gate hashes scalar cells; an
+    * `ARRAY<INT>` column is unhashable downstream, and long form also
+    * gives a strictly stronger oracle (every element compared, not just
+    * the row count). A production consumer would keep the packed wide
+    * array; `posexplode` here is a map-side Generate, still shuffle-free. */
   def embQuantize(s: SparkSession, dir: String): DataFrame = {
     val scaled = emb(s, dir)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
@@ -336,7 +342,9 @@ object EmbeddingOps {
         .otherwise(transform(col("ve"), x =>
           greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5)))
             .cast("int"))).as("q"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("pos", "q_val")))
+      .select(col("vec_id"), col("scale"), col("pos").cast("long").as("dim"), col("q_val"))
+      .orderBy(col("vec_id"), col("dim"))
   }
 
   val embQuantizeSql: String =
@@ -347,13 +355,17 @@ object EmbeddingOps {
       |  SELECT vec_id, ve,
       |    list_aggregate(list_transform(ve, x -> abs(x)), 'max') / 127.0 AS scale
       |  FROM v
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(ve, x -> CAST(0 AS INT))
+      |      ELSE list_transform(ve, x ->
+      |        CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS INT))
+      |    END AS q
+      |  FROM m
       |)
-      |SELECT vec_id, scale,
-      |  CASE WHEN scale = 0 THEN list_transform(ve, x -> CAST(0 AS INT))
-      |    ELSE list_transform(ve, x ->
-      |      CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS INT))
-      |  END AS q
-      |FROM m ORDER BY vec_id""".stripMargin
+      |SELECT vec_id, scale, generate_subscripts(q, 1) - 1 AS dim,
+      |  unnest(q) AS q_val
+      |FROM q ORDER BY vec_id, dim""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> (embCentroids _),
