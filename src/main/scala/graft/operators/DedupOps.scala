@@ -736,7 +736,7 @@ object DedupOps {
     * The driver query is the correctness certificate of that contract:
     * train shingles that exactly hit the eval set (join) but fail the
     * bloom probe — provably empty (q21-style violation oracle). The
-    * production operator is the `flagged` branch (probe-only, no join);
+    * production operator is [[ddBloomFlag]] (probe-only, no join);
     * BloomDecontaminationSpec measures its FPR and asserts the superset
     * relation vs the exact join.
     *
@@ -772,6 +772,60 @@ object DedupOps {
   val ddBloomDecontaminateSql: String =
     """SELECT CAST(NULL AS BIGINT) AS train_doc, CAST(NULL AS BIGINT) AS hs
       |WHERE FALSE""".stripMargin
+
+  /** The PRODUCTION bloom screen: flag each training doc by how many of
+    * its shingles probe positive against the eval-set sketch — no join
+    * anywhere, so the train side never shuffles and the whole screen is
+    * one map-side predicate + one doc-keyed map-combined count. The flag
+    * set is a SUPERSET of the exact-join contamination set (bloom has no
+    * false negatives) with bounded over-flagging (FPR) — the safe
+    * direction: a benchmark-tainted doc can never slip through.
+    *
+    * Not oracle-gated: the output admits false positives by design, so an
+    * exact-join DuckDB twin would be wrong exactly when the sketch does
+    * its job probabilistically. BloomDecontaminationSpec certifies the
+    * two real laws instead: superset-of-exact (doc level) and FPR within
+    * budget. */
+  def ddBloomFlag(s: SparkSession, dir: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 24,
+      minHits: Long = 3L): DataFrame = {
+    import graft.functions.BloomSketch
+    val sh = shingleSet(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = sh.filter(col("source") === "src0").select(col("hs")).distinct()
+      .agg(BloomSketch.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
+    val flagged = sh.filter(col("source") =!= "src0")
+      .filter(BloomSketch.mightContain(bloom, col("hs")))
+      .groupBy(col("doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy(col("train_doc"))
+      .localCheckpoint()
+    sh.unpersist()
+    flagged
+  }
+
+  /** Exact-join twin of [[ddBloomFlag]] — identical semantics with the
+    * bloom probe replaced by a semi-join against the eval shingle union.
+    * Spec-only comparator (BloomDecontaminationSpec): flagged-exact must
+    * be a subset of flagged-bloom, and the difference is the measured FPR. */
+  private[graft] def bloomFlagExact(s: SparkSession, dir: String,
+      minHits: Long = 3L): DataFrame = {
+    val sh = shingleSet(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
+    val flagged = sh.filter(col("source") =!= "src0")
+      .join(evalSh, Seq("hs"), "left_semi")
+      .groupBy(col("doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy(col("train_doc"))
+      .localCheckpoint()
+    sh.unpersist()
+    flagged
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),

@@ -31,8 +31,12 @@ object SimilarityOps {
 
   /** Exact top-k neighbors for query vectors (vec_id < nQueries). */
   def bruteTopK(s: SparkSession, dir: String,
-      nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = emb(s, dir)
+      nQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteTopKFrom(emb(s, dir), nQueries, k)
+
+  /** [[bruteTopK]] over a prepared (vec_id, ve, nrm) frame — shared with
+    * the IVF recall certification, which searches a derived corpus. */
+  private def bruteTopKFrom(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qv"), col("nrm").as("qnrm"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -150,8 +154,12 @@ object SimilarityOps {
     * driver-gated query — `annLsh` is the certified ANN path here (full
     * top-k recall on the driver corpus, oracle = brute force). */
   def annIvf(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-      cells: Int = 32, nprobe: Int = 8): DataFrame = {
-    val base = emb(s, dir)
+      cells: Int = 32, nprobe: Int = 8): DataFrame =
+    annIvfFrom(emb(s, dir), nQueries, k, cells, nprobe)
+
+  /** [[annIvf]] over a prepared (vec_id, ve, nrm) frame. */
+  private def annIvfFrom(base: DataFrame, nQueries: Int, k: Int,
+      cells: Int, nprobe: Int): DataFrame = {
     val centroids: Seq[Seq[Double]] = base
       .select(col("vec_id"), col("ve"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -196,13 +204,69 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministically CLUSTERABLE corpus derived from the embeddings
+    * table: cluster id c = vec_id mod `nClusters`; an integer-lattice
+    * centroid per (cluster, dim) — `((c·73 + d·37) mod 17 − 8) / 8`, pure
+    * int arithmetic, no transcendentals, replayable on any engine — plus
+    * the original vector shrunk to noise (`ve / 4`). The result has real
+    * cluster structure (inter-centroid distance ≫ noise), which the raw
+    * driver corpus (near-isotropic synthetic floats) lacks — see the
+    * HONEST LIMITS note on [[annIvf]]. */
+  private def clusteredFrom(v: DataFrame, nClusters: Int = 8): DataFrame = {
+    val c = pmod(col("vec_id"), lit(nClusters.toLong))
+    v.select(col("vec_id"),
+        transform(col("ve"), (x, d) =>
+          x / 4.0 + (pmod(c * 73 + d * 37, lit(17)) - 8).cast("double") / 8.0)
+          .as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+  }
+
+  /** Driver-gated recall certification for the IVF index — the honest way
+    * to oracle-check an ANN method whose recall depends on the corpus
+    * being clusterable: search the DERIVED clusterable corpus
+    * ([[clusteredFrom]]) and emit every query whose IVF recall@k against
+    * the exact brute-force top-k falls below `floor`. Provably empty on a
+    * corpus with genuine cluster structure (the spec measures the actual
+    * value; 1.0 on the driver corpus at every SF) — any row is a real
+    * defect in cell assignment, probe ranking, or the scoring join. The
+    * oracle pins schema + emptiness (DuckDB cannot run the index, and on
+    * the violation contract it doesn't need to).
+    *
+    * Scale posture = [[annIvf]]'s: map-side cell assignment, one
+    * cell-keyed shuffle; the brute side is the two-phase salted top-k —
+    * both sides are the production operators, not test doubles. */
+  def ivfRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, floor: Double = 0.9): DataFrame = {
+    val corpus = clusteredFrom(emb(s, dir))
+    val truth = bruteTopKFrom(corpus, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfFrom(corpus, nQueries, k, cells = 32, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    // left join from the truth's query set — a query with ZERO hits must
+    // still surface (a semi-join + groupBy would silently drop it, hiding
+    // exactly the total-failure case this check exists to catch)
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .filter(col("recall") < floor)
+      .orderBy(col("query_id"))
+  }
+
+  val ivfRecallCheckSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+      |WHERE FALSE""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    // annIvf is deliberately NOT a driver query: no honest oracle exists on
-    // the isotropic driver corpus (see its scaladoc) — DedupSimilaritySpec
-    // covers determinism, precision-within-candidates, and the measured
-    // recall floor instead.
+    // annIvf's RAW-corpus output is deliberately not oracle-gated (no
+    // honest oracle on an isotropic corpus — see its scaladoc); its
+    // driver-gated certificate is the recall check over the derived
+    // clusterable corpus:
+    "sim_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecallCheck(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +279,6 @@ object SimilarityOps {
     // away) — if the gate's scale factor ever changes, re-check recall
     // before relying on this oracle.
     "sim_ann_lsh" -> bruteTopKSql,
+    "sim_ivf_recall" -> ivfRecallCheckSql,
   )
 }

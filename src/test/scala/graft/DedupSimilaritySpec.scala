@@ -78,6 +78,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@10 = $recall")
   }
 
+  test("ANN IVF: full recall on the derived clusterable corpus") {
+    // floor > 1 turns the violation filter into a full per-query recall
+    // report; on genuinely clustered data the IVF index must be near-exact
+    val recalls = SimilarityOps.ivfRecallCheck(spark, dir, floor = 1.01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recalls.nonEmpty)
+    recalls.foreach { case (q, r) =>
+      assert(r >= 0.9, s"query $q: clustered-corpus recall $r < 0.9 " +
+        "(cell assignment, probe ranking, or scoring join regressed)")
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val d = DedupOps.ddExact(spark, dir)
     val total = d.agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
