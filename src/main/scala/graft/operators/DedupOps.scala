@@ -827,6 +827,61 @@ object DedupOps {
     flagged
   }
 
+  // ------------------------------------------------- source overlap matrix
+  /** Cross-source shingle-overlap matrix — the corpus-level contamination
+    * diagnostic a mixture designer reads before weighting sources: for
+    * every source pair, how many DISTINCT word-3-gram shingles the two
+    * sources share, and each side's distinct-shingle universe size.
+    *
+    * Scale: the per-source shingle relation is one distinct aggregation;
+    * the pair join is keyed by shingle with bucket size ≤ |sources| (a
+    * shingle appears in at most every source), so pair rows are bounded by
+    * |shingles| · |sources|²/2 with |sources| a small constant — linear in
+    * data. Output is ≤ |sources|²/2 rows. */
+  def ddSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcSh = shingleSet(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("hs")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val report = srcSh.as("a").join(srcSh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes).as("sa"), col("src_a") === col("sa.source"))
+      .join(broadcast(sizes).as("sb"), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+      .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint() // |sources|²-row report; release the shingle cache
+    srcSh.unpersist()
+    report
+  }
+
+  val ddSourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), sizes AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b
+      |FROM inter
+      |JOIN sizes sa ON src_a = sa.source
+      |JOIN sizes sb ON src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
@@ -838,6 +893,7 @@ object DedupOps {
     "dd_semdedup" -> (ddSemDedup _),
     "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
     "dd_bloom" -> ((s: SparkSession, d: String) => ddBloomDecontaminate(s, d)),
+    "dd_source_overlap" -> (ddSourceOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -851,5 +907,6 @@ object DedupOps {
     "dd_semdedup" -> ddSemDedupSql,
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_bloom" -> ddBloomDecontaminateSql,
+    "dd_source_overlap" -> ddSourceOverlapSql,
   )
 }

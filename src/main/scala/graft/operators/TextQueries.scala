@@ -180,12 +180,218 @@ object TextQueries {
       |  md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ blocklist scrub
+  /** Blocklist term scrubbing — the sanitization step of a training-data
+    * pipeline (PII tokens, boilerplate markers, policy-blocked terms):
+    * drop every blocklisted token from the stream, report how many were
+    * removed, and fingerprint the scrubbed stream (md5 — same canonical
+    * form both engines) so downstream exact-dedup runs on the CLEANED
+    * text. Order-preserving token filter, NOT a set difference —
+    * `array_except` would dedupe the survivors and corrupt the stream.
+    *
+    * Scale: pure map-side projection (tokenize, filter, hash per row) —
+    * no shuffle at any corpus size. */
+  val Blocklist: Seq[String] = Seq("customer", "password", "secret")
+
+  def txtScrub(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val kept = filter(toks, t => !t.isin(Blocklist: _*))
+    docs(s, dir).select(
+      col("doc_id"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"),
+      size(kept).cast("long").as("n_kept"),
+      md5(array_join(kept, " ")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtScrubSql: String = {
+    val inList = Blocklist.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id, toks,
+       |    list_filter(toks, t -> t NOT IN ($inList)) AS kept
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  md5(array_to_string(kept, ' ')) AS scrubbed_fp
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ vocabulary stats
+  /** Corpus vocabulary head — the dataset-card numbers: for the `topK`
+    * highest-collection-frequency terms, the collection frequency (total
+    * occurrences), document frequency (docs containing), and rank.
+    *
+    * Scale: explode → map-combined (doc, term) counts → map-combined term
+    * rollup (cf = sum, df = count — the per-doc pre-aggregation makes the
+    * distinct-doc count a plain count, no count_distinct shuffle), then a
+    * TakeOrdered head. Two linear shuffles; the vocabulary relation is the
+    * only thing that survives, and the head is `topK` rows. */
+  def txtVocab(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cf"), count(lit(1)).as("df"))
+    vocab
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cf").desc, col("term"))))
+      .select(col("rank").cast("long").as("rank"), col("term"), col("cf"), col("df"))
+      .orderBy(col("rank"))
+  }
+
+  val txtVocabSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT term, CAST(SUM(cnt) AS BIGINT) AS cf,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY 1
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
+      |  term, cf, df
+      |FROM vocab ORDER BY cf DESC, term LIMIT 50""".stripMargin
+
+  // ------------------------------------------------- token-length histogram
+  /** Token-count histogram per source — the mixture diagnostic a curation
+    * run reads before setting length filters: bucket documents by
+    * floor(n_tokens / 16) · 16 and count per (source, bucket). Integer
+    * arithmetic end to end, so the oracle matches bit-for-bit.
+    *
+    * Scale: one map-combined aggregation keyed by (source, bucket) —
+    * output is |sources| × |buckets| rows, constant-ish at any corpus
+    * size. */
+  def txtLenHist(s: SparkSession, dir: String, bucketWidth: Int = 16): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        (floor(tokenCount(col("text")) / bucketWidth) * bucketWidth)
+          .cast("long").as("bucket"),
+        tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+      .orderBy(col("source"), col("bucket"))
+
+  val txtLenHistSql: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len($duckToks) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT source,
+       |  CAST(FLOOR(n_tokens / 16) * 16 AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+       |FROM d GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  // ------------------------------------------------------------------ BM25
+  /** Okapi BM25 ranking of the corpus against a fixed query-term set — the
+    * relevance scorer a retrieval/curation pipeline uses to pull topical
+    * slices out of a web corpus. Lucene's non-negative idf form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`; k1 = 1.2, b = 0.75. Per-term
+    * contributions are cast to DECIMAL(30,15) before the per-doc sum, so
+    * Spark's partial-aggregation order and the oracle's sequential scan
+    * agree exactly; the rank sorts on the ROUNDED score (identical both
+    * engines) with doc_id tiebreak, so the LIMIT boundary is stable.
+    *
+    * Scale: tokens filter to the query terms BEFORE the tf aggregation
+    * (the exploded stream shrinks to |Q| terms per doc), df and avgdl
+    * cross as broadcast relations (|Q| rows, 1 row), the score is one
+    * doc-keyed map-combined sum, and the head is a TakeOrdered — no
+    * corpus-sized shuffle anywhere. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "window")
+
+  def txtBm25(s: SparkSession, dir: String, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qtf = d.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = qtf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(30,15)")).as("raw"))
+      .select(col("doc_id"), (round(col("raw").cast("double"), 6) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val txtBm25Sql: String = {
+    val inList = Bm25Query.map("'" + _ + "'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS dl FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl
+       |), terms AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents
+       |), qtf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+       |  WHERE term IN ($inList) GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+       |), contrib AS (
+       |  SELECT qtf.doc_id,
+       |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(tf AS DOUBLE)
+       |        + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+       |  FROM qtf JOIN df ON qtf.term = df.term
+       |  JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN stats
+       |), scored AS (
+       |  SELECT doc_id,
+       |    ROUND(CAST(SUM(CAST(c AS DECIMAL(30,15))) AS DOUBLE), 6) + 0.0 AS score
+       |  FROM contrib GROUP BY 1
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_entropy" -> (txtEntropy _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_scrub" -> (txtScrub _),
+    "txt_vocab" -> ((s: SparkSession, d: String) => txtVocab(s, d)),
+    "txt_lenhist" -> ((s: SparkSession, d: String) => txtLenHist(s, d)),
+    "txt_bm25" -> ((s: SparkSession, d: String) => txtBm25(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +400,9 @@ object TextQueries {
     "txt_langid" -> txtLangIdSql,
     "txt_entropy" -> txtEntropySql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_scrub" -> txtScrubSql,
+    "txt_vocab" -> txtVocabSql,
+    "txt_lenhist" -> txtLenHistSql,
+    "txt_bm25" -> txtBm25Sql,
   )
 }
