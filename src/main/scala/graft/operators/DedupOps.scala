@@ -839,9 +839,14 @@ object DedupOps {
     * |shingles| · |sources|²/2 with |sources| a small constant — linear in
     * data. Output is ≤ |sources|²/2 rows. */
   def ddSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val srcSh = shingleSet(docs(s, dir))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("hs")).distinct()
+    // (source, hs) directly off the token stream — one distinct keyed by
+    // the OUTPUT grain. Routing through shingleSet would pay a doc-level
+    // distinct plus a corpus-keyed join just to throw the doc grain away.
+    val srcSh = docs(s, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(shingles(col("toks"), 3)).as("sg"))
+      .select(col("source"), xxhash64(col("sg")).as("hs"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val report = srcSh.as("a").join(srcSh.as("b"),

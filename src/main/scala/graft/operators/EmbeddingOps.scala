@@ -367,16 +367,72 @@ object EmbeddingOps {
       |  unnest(q) AS q_val
       |FROM q ORDER BY vec_id, dim""".stripMargin
 
+  // ------------------------------------------------- per-dimension stats
+  /** Per-dimension corpus statistics — the embedding-QA numbers (dead
+    * dimensions, scale drift, outlier ranges) read before trusting a
+    * similarity index: mean, population std, min, max per dim. Sums and
+    * sums-of-squares route through DECIMAL(30,15) (exact, order-free);
+    * variance is the identically-spelled `sxx/n − mean²` with a GREATEST
+    * 0 clamp for constant dims where float cancellation could dip
+    * epsilon-negative.
+    *
+    * Scale: posexplode emits n·d rows, but the (dim) aggregation is
+    * map-combined — each task ships d partials, and the output is d rows. */
+  def embDimStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").cast("long").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(30,15)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(30,15)")).as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"), col("n"),
+        (round(col("sx").cast("double") / col("n").cast("double"), 6) + 0.0).as("mean"),
+        (round(sqrt(greatest(
+          col("sxx").cast("double") / col("n").cast("double") -
+            (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double")),
+          lit(0.0))), 6) + 0.0).as("std"),
+        (round(col("mn"), 6) + 0.0).as("min_x"),
+        (round(col("mx"), 6) + 0.0).as("max_x"))
+      .orderBy(col("dim"))
+
+  val embDimStatsSql: String =
+    """WITH x AS (
+      |  SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), a AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(30,15))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(30,15))) AS sxx,
+      |    MIN(x) AS mn, MAX(x) AS mx
+      |  FROM x GROUP BY dim
+      |)
+      |SELECT dim, n,
+      |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean,
+      |  ROUND(sqrt(GREATEST(
+      |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+      |    0.0)), 6) + 0.0 AS std,
+      |  ROUND(mn, 6) + 0.0 AS min_x,
+      |  ROUND(mx, 6) + 0.0 AS max_x
+      |FROM a ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => embKmeans(s, d)),
     "emb_outliers" -> (embOutliers _),
     "emb_quantize" -> (embQuantize _),
+    "emb_dimstats" -> (embDimStats _),
   )
 
   val oracles: Map[String, String] = Map(
     "emb_quantize" -> embQuantizeSql,
+    "emb_dimstats" -> embDimStatsSql,
     "emb_centroids" -> embCentroidsSql,
     "emb_assign" -> embAssignSql,
     "emb_kmeans" -> embKmeansSql,
