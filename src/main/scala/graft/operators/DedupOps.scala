@@ -32,18 +32,25 @@ object DedupOps {
     * Shingles travel as xxhash64 longs: joins and minhash permutations
     * never touch the string again (collisions over 64 bits are negligible
     * for set-intersection counting at any corpus size). */
-  private def shingleSet(d: DataFrame, n: Int = 3): DataFrame =
-    d.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+  private def shingleSet(d: DataFrame, n: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns are functionally dependent on doc_id (e.g. source),
+    // so carrying them through the projection costs nothing and saves the
+    // consumers a corpus-keyed join back to documents just to re-fetch them
+    val keep = col("doc_id") +: carry.map(col)
+    d.select(keep :+ tokens(col("text")).as("toks"): _*)
+      .select(keep :+ explode(shingles(col("toks"), n)).as("s"): _*)
+      .select(keep :+ xxhash64(col("s")).as("hs"): _*)
       .distinct()
+  }
 
   /** shingleSet restricted to document frequency ≤ dfCap, computed with a
     * window count over the distinct set — one shuffle keyed by shingle
     * instead of a groupBy + join back. */
-  private def discriminativeShingles(d: DataFrame, dfCap: Int): DataFrame = {
+  private def discriminativeShingles(d: DataFrame, dfCap: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hs"))
-    shingleSet(d)
+    shingleSet(d, carry = carry)
       .withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= dfCap)
       .drop("__df")
@@ -472,8 +479,7 @@ object DedupOps {
       minShared: Int = 3, dfCap: Int = 50): DataFrame = {
     // the shingle subtree feeds BOTH join sides — persist it once, same as
     // ngramJaccardPairs, so the window df-count doesn't evaluate twice
-    val sh = discriminativeShingles(docs(s, dir), dfCap)
-      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval_ = sh.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_doc"), col("hs"))
@@ -749,8 +755,7 @@ object DedupOps {
       expectedItems: Long = 1L << 20, numBits: Long = 1L << 24): DataFrame = {
     import graft.functions.BloomSketch
     // (doc_id, source, hs) distinct shingles, shared by all three branches
-    val sh = shingleSet(docs(s, dir))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val sh = shingleSet(docs(s, dir), carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
     val bloom = evalSh.agg(
@@ -790,8 +795,7 @@ object DedupOps {
       expectedItems: Long = 1L << 20, numBits: Long = 1L << 24,
       minHits: Long = 3L): DataFrame = {
     import graft.functions.BloomSketch
-    val sh = shingleSet(docs(s, dir))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val sh = shingleSet(docs(s, dir), carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = sh.filter(col("source") === "src0").select(col("hs")).distinct()
       .agg(BloomSketch.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
@@ -812,8 +816,7 @@ object DedupOps {
     * be a subset of flagged-bloom, and the difference is the measured FPR. */
   private[graft] def bloomFlagExact(s: SparkSession, dir: String,
       minHits: Long = 3L): DataFrame = {
-    val sh = shingleSet(docs(s, dir))
-      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val sh = shingleSet(docs(s, dir), carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
     val flagged = sh.filter(col("source") =!= "src0")
