@@ -38,4 +38,21 @@ object BloomSketch {
     Bridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomDf.queryExecution.logical),
       Bridge.eagerExpression(hashedKey)))
+
+  /** Materialize a sketch to its serialized bytes — model state (a few MB
+    * at most, fixed by `numBits`), the dimension-table pattern: collect
+    * once, ship to executors as a literal. The form a STREAMING plan needs
+    * (a scalar subquery can't cross the micro-batch boundary). */
+  def buildSketch(keys: DataFrame, hashedKey: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] =
+    keys.agg(bloomAgg(hashedKey, expectedItems, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  /** Probe a pre-built sketch shipped as a binary literal — foldable, so
+    * it works anywhere an expression does, including inside higher-order
+    * function lambdas and streaming projections. */
+  def mightContainLit(sketch: Array[Byte], hashedKey: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      Bridge.eagerExpression(hashedKey)))
 }

@@ -187,4 +187,30 @@ object StreamOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("ham"))
   }
+
+  /** Decontamination-on-arrival: flag each arriving document whose distinct
+    * word-3-gram shingles hit a PRE-BUILT eval-set bloom sketch at least
+    * `minHits` times ([[graft.operators.DedupOps.ddBloomFlag]]'s streaming
+    * twin). The sketch ships as a binary literal
+    * ([[graft.functions.BloomSketch.mightContainLit]]) and the whole
+    * operator is ONE stateless projection — the per-doc hit count is an
+    * array fold inside the row (`array_distinct` + `filter` + `size`), so
+    * there is no explode, no shuffle, no state store, and append mode
+    * works trivially: throughput is scan-bound at any rate. Bloom has no
+    * false negatives, so a contaminated doc can never pass the stream
+    * unflagged — identical over-flagging bound as the batch screen.
+    *
+    * Batch/stream unified: the same transform runs on a `spark.read`
+    * frame; StreamingSpec asserts the streamed flags converge to the batch
+    * operator's exactly. */
+  def streamingBloomFlag(docs: DataFrame, sketch: Array[Byte],
+      minHits: Long = 3L): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import graft.functions.BloomSketch
+    docs.select(col("doc_id"),
+        size(filter(array_distinct(shingles(tokens(col("text")), 3)),
+          s => BloomSketch.mightContainLit(sketch, xxhash64(s))))
+          .cast("long").as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
 }

@@ -235,4 +235,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length, "duplicate pair emission")
     assert(pairs.nonEmpty)
   }
+
+  test("streaming bloom decontamination flags == batch flags (stateless append)") {
+    import graft.functions.{BloomSketch, TextFunctions}
+    // sketch over the eval side (src0), exactly as the batch screen builds it
+    val d = Tables.load(spark, dir, "documents")
+    val evalSh = d.filter(col("source") === "src0")
+      .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("s"))
+      .select(xxhash64(col("s")).as("hs")).distinct()
+    val sketch = BloomSketch.buildSketch(evalSh, col("hs"), 1L << 20, 1L << 24)
+    // stream the train docs through multiple micro-batches
+    val trainDir = Files.createTempDirectory("graft-bloom-stream").toString
+    val train = d.filter(col("source") =!= "src0")
+    train.repartition(4).write.mode("overwrite").parquet(trainDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingBloomFlag(
+        StreamOps.readParquetStream(spark, trainDir, d.schema), sketch),
+      "append", "bloomflag_out")
+    val batch = graft.operators.DedupOps.ddBloomFlag(spark, dir)
+      .select(col("train_doc").as("doc_id"), col("n_hits"))
+    assert(canon(streamed) == canon(batch),
+      s"streamed=${canon(streamed)} batch=${canon(batch)}")
+    assert(streamed.count() > 0, "testdata should contain contaminated train docs")
+  }
 }
