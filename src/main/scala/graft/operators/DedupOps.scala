@@ -830,6 +830,46 @@ object DedupOps {
     flagged
   }
 
+  // --------------------------------------------------- per-source dup rate
+  /** Per-source exact-duplicate rate — the dataset-card number a mixture
+    * designer reads next to [[ddSourceOverlap]]: corpus-wide canonical
+    * election by content fingerprint (min doc_id per group, exactly
+    * [[ddExact]]'s contract), then per source: how many docs are
+    * non-canonical copies and the resulting dup rate.
+    *
+    * Scale: one fingerprint-keyed window (same shuffle as ddExact's
+    * groupBy) + one map-combined per-source rollup; output is
+    * |sources| rows. */
+  def ddDupRate(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("long")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  val ddDupRateSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents
+      |), marked AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
+      |      THEN 1 ELSE 0 END AS is_dup
+      |  FROM f
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+      |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      |FROM marked GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- source overlap matrix
   /** Cross-source shingle-overlap matrix — the corpus-level contamination
     * diagnostic a mixture designer reads before weighting sources: for
@@ -902,6 +942,7 @@ object DedupOps {
     "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
     "dd_bloom" -> ((s: SparkSession, d: String) => ddBloomDecontaminate(s, d)),
     "dd_source_overlap" -> (ddSourceOverlap _),
+    "dd_dup_rate" -> (ddDupRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -916,5 +957,6 @@ object DedupOps {
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_bloom" -> ddBloomDecontaminateSql,
     "dd_source_overlap" -> ddSourceOverlapSql,
+    "dd_dup_rate" -> ddDupRateSql,
   )
 }
