@@ -70,4 +70,27 @@ class PropertySpec extends AnyFunSuite {
       assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "determinism")
     }
   }
+
+  test("scrub: order-preserving survivor stream, blocklist-free") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.TextQueries.Blocklist
+    // generated docs mixing blocklisted and clean tokens, with repeats —
+    // the invariants a set-difference implementation would violate
+    val word = Gen.oneOf(Blocklist ++ Seq("alpha", "beta", "alpha", "gamma", "x1"))
+    val doc = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docsSeq = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val df = docsSeq.toDF("doc_id", "text")
+    val kept = filter(tokens(lower(col("text"))), t => !t.isin(Blocklist: _*))
+    val out = df.select(col("doc_id"),
+        tokens(lower(col("text"))).as("toks"), kept.as("kept"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+    for ((id, toks, keptToks) <- out) {
+      val expected = toks.filterNot(Blocklist.contains)
+      assert(keptToks == expected, s"doc $id: survivor stream must preserve order/repeats")
+      assert(keptToks.forall(!Blocklist.contains(_)), s"doc $id: blocklist leak")
+    }
+  }
 }
