@@ -315,21 +315,44 @@ object CurationOps {
     * boundaries (the standard LLM pretraining packing). Reports each
     * document's first/last training sequence and span.
     *
-    * Scale note: the running offset is a global ordered prefix sum —
-    * correct but single-ordered-partition as written. The distributed form
-    * is two-phase (per-partition-range partial sums + broadcast partition
-    * offsets), same output; at report scale the op exists to pin the
-    * packing CONTRACT, which the two-phase rewrite must preserve. */
-  def txtPack(s: SparkSession, dir: String, budget: Int = 1024): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, dir)
+    * The running offset is a TWO-PHASE distributed prefix sum — the naive
+    * `Window.orderBy(doc_id)` form funnels the whole corpus through one
+    * ordered partition. Phase 1: range-partition by doc_id and prefix-sum
+    * WITHIN each partition (parallel across partitions). Phase 2: the
+    * per-partition totals — one long per partition, model state — collect,
+    * exclusive-scan on the driver, and rejoin as broadcast base offsets.
+    * base(pid) + local prefix ≡ the global prefix sum exactly, regardless
+    * of where the sampled range bounds fall, because range partitioning
+    * preserves the global doc_id order across partitions. The partitioned
+    * frame is computed once and persisted so both phases read the same
+    * pid assignment (re-running repartitionByRange could re-sample
+    * different bounds); report materialized, cache released. */
+  def txtPack(s: SparkSession, dir: String, budget: Int = 1024,
+      parts: Int = 32): DataFrame = {
+    val counts = docs(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid + 1, acc + tot)
+    }.init.zip(totals).map { case ((_, base), (pid, _)) => (pid, base) }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val report = counts
+      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(baseDf), Seq("pid"))
+      .withColumn("offset", col("local_off") + col("base"))
       .select(col("doc_id"), col("n_tokens"),
         floor(col("offset") / budget).as("start_seq"),
         floor((col("offset") + col("n_tokens") - 1) / budget).as("end_seq"))
       .orderBy(col("doc_id"))
+      .localCheckpoint()
+    counts.unpersist()
+    report
   }
 
   val txtPackSql: String =
