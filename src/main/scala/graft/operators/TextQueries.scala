@@ -382,6 +382,72 @@ object TextQueries {
        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------- unigram-LM perplexity
+  /** Unigram language-model perplexity per document — the CCNet-style
+    * quality signal: train the unigram model ON the corpus itself
+    * (`p(t) = cf(t) / total_tokens`), score each doc by its average
+    * negative log-likelihood and `ppl = exp(avg_nll)`. Documents built
+    * from rare tokens score high (gibberish / off-distribution); documents
+    * of common tokens score low. Per-token contributions are cast to
+    * DECIMAL(30,15) before the per-doc sum (exact, order-free — the
+    * entropy/BM25 discipline); ln/exp evaluate per element identically on
+    * both engines.
+    *
+    * Scale: (doc, term) tf is map-combined; the unigram table is
+    * vocabulary-sized (shuffle join keyed by term — broadcastable when the
+    * vocab fits, and Spark picks that automatically); the corpus total
+    * crosses as a broadcast scalar. One doc-keyed sum. */
+  def txtUnigramPpl(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val report = tf
+      .join(uni, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        log(col("cf").cast("double") / col("total").cast("double")).as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf").cast("double") * col("lnp")).cast("decimal(30,15)")).as("ll"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(-col("ll").cast("double") / col("n_tokens").cast("double"), 6) + 0.0)
+          .as("avg_nll"),
+        (round(exp(-col("ll").cast("double") / col("n_tokens").cast("double")), 6) + 0.0)
+          .as("ppl"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    tf.unpersist()
+    report
+  }
+
+  val txtUnigramPplSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf
+      |), ll AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(CAST(tf.tf AS DOUBLE)
+      |      * ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE)) AS DECIMAL(30,15)))
+      |      AS ll
+      |  FROM tf JOIN uni ON tf.term = uni.term CROSS JOIN tot
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens,
+      |  ROUND(-CAST(ll AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS avg_nll,
+      |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS ppl
+      |FROM ll ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -392,6 +458,7 @@ object TextQueries {
     "txt_vocab" -> ((s: SparkSession, d: String) => txtVocab(s, d)),
     "txt_lenhist" -> ((s: SparkSession, d: String) => txtLenHist(s, d)),
     "txt_bm25" -> ((s: SparkSession, d: String) => txtBm25(s, d)),
+    "txt_unigram_ppl" -> (txtUnigramPpl _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +471,6 @@ object TextQueries {
     "txt_vocab" -> txtVocabSql,
     "txt_lenhist" -> txtLenHistSql,
     "txt_bm25" -> txtBm25Sql,
+    "txt_unigram_ppl" -> txtUnigramPplSql,
   )
 }
