@@ -987,6 +987,57 @@ object RelationalQueries {
       |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
       |GROUP BY m ORDER BY m""".stripMargin
 
+  // ------------------------------ q35: mergeable-sketch (HLL union) laws
+  /** The distributed-sketch contract that makes approximate distinct
+    * counting work at 100 TB: per-group HLL sketches UNIONED must agree
+    * with sketching the whole corpus in one pass, and both estimates must
+    * sit within the sketch's error bound of the exact distinct count.
+    * Merge-vs-whole agreement is a BOUND, not equality — DataSketches HLL
+    * reports a directly-fed sketch through the order-dependent HIP
+    * estimator but a union result through the composite estimator, so the
+    * two legitimately differ by ~1-2% even over identical data (measured
+    * here: 1991 vs 2023 on ~2000 exact). Emits violation rows; the oracle
+    * pins schema + emptiness, deterministic on fixed data (q21 precedent).
+    *
+    * Scale: hll_sketch_agg is map-combined (each task ships one ~KB
+    * sketch); the union folds |groups| sketches; the exact twin exists
+    * only to certify and is itself two-phase distinct. */
+  def q35HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"))
+    val perGroup = keyed.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val whole = keyed.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("whole_est"))
+    val exact = keyed.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("ex"))
+    merged.crossJoin(whole).crossJoin(exact)
+      .select(explode(array(
+        struct(lit("merge_vs_whole_3pct").as("law"),
+          col("merged_est").cast(DoubleType).as("got"),
+          col("whole_est").cast(DoubleType).as("want"),
+          lit(0.03).as("bound")),
+        struct(lit("merged_vs_exact_4pct").as("law"),
+          col("merged_est").cast(DoubleType).as("got"),
+          col("ex").cast(DoubleType).as("want"),
+          lit(0.04).as("bound")),
+        struct(lit("whole_vs_exact_4pct").as("law"),
+          col("whole_est").cast(DoubleType).as("got"),
+          col("ex").cast(DoubleType).as("want"),
+          lit(0.04).as("bound")))).as("c"))
+      .filter(abs(col("c.got") - col("c.want")) >
+        col("c.bound") * greatest(col("c.want"), lit(1.0)))
+      .select(col("c.law").as("law"), col("c.got").as("got"),
+        col("c.want").as("want"))
+      .orderBy(col("law"))
+  }
+
+  val q35Sql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS law, CAST(NULL AS DOUBLE) AS got,
+      |  CAST(NULL AS DOUBLE) AS want WHERE FALSE""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -1027,6 +1078,7 @@ object RelationalQueries {
     "q32_interval_fns" -> (q32IntervalFns _),
     "q33_pivot" -> (q33Pivot _),
     "q34_rcte" -> (q34Rcte _),
+    "q35_hll_merge" -> (q35HllMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1069,5 +1121,6 @@ object RelationalQueries {
     "q32_interval_fns" -> q32Sql,
     "q33_pivot" -> q33Sql,
     "q34_rcte" -> q34Sql,
+    "q35_hll_merge" -> q35Sql,
   )
 }
