@@ -121,7 +121,7 @@ final class EngineSession(val spark: SparkSession) {
               // can't clobber the streaming views registered above
               materializeBounded(refs -- streams.map(_.name.toLowerCase))
               val df = spark.sql(query)
-              val store = new ResultStore(Seq("result"))
+              val store = new ResultStore(Seq("result"), columnTypes = Seq(("VARCHAR", true)))
               info.store = Some(store)
               info.isStreaming = true
               val q = df.writeStream
@@ -176,7 +176,7 @@ final class EngineSession(val spark: SparkSession) {
   // ------------------------------------------------------------- routing
   private def sync(sql: String)(body: OperationInfo => Unit): OperationHandle =
     ops.submit(sql) { info =>
-      val store = new ResultStore(Seq("result"))
+      val store = new ResultStore(Seq("result"), columnTypes = Seq(("VARCHAR", true)))
       info.store = Some(store)
       body(info)
       store.append(Seq("OK"))
@@ -292,6 +292,7 @@ final class EngineSession(val spark: SparkSession) {
     if (isDirectScan(sql, spec.name)) ops.submit(sql) { info =>
       val changelog = cdcChangelog(spec)
       val store = new ResultStore(spec.schema.fieldNames.toSeq,
+        columnTypes = FlinkDdl.logicalTypes(spec.schema),
         emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
       info.isStreaming = true
@@ -343,6 +344,7 @@ final class EngineSession(val spark: SparkSession) {
     val probe = spark.sql(rewritten) // plan once against the empty snapshot
     val keyIdx = aggKeyIndexes(probe).getOrElse(Nil)
     val store = new ResultStore(probe.schema.fieldNames.toSeq,
+      columnTypes = FlinkDdl.logicalTypes(probe.schema),
       emitUpdateBefore = protocolUpdateBefore)
     info.store = Some(store)
     info.isStreaming = true
@@ -449,6 +451,7 @@ final class EngineSession(val spark: SparkSession) {
     empty.createOrReplaceTempView(spec.name)
     val probe = spark.sql(sql) // plan once against the empty accumulator
     val store = new ResultStore(probe.schema.fieldNames.toSeq,
+      columnTypes = FlinkDdl.logicalTypes(probe.schema),
       emitUpdateBefore = protocolUpdateBefore)
     info.store = Some(store)
     info.isStreaming = true
@@ -556,7 +559,8 @@ final class EngineSession(val spark: SparkSession) {
   private def runBatch(sql: String, refs: Set[String]): OperationHandle = ops.submit(sql) { info =>
     materializeBounded(refs)
     val df = spark.sql(sql)
-    val store = new ResultStore(df.schema.fieldNames.toSeq)
+    val store = new ResultStore(df.schema.fieldNames.toSeq,
+      columnTypes = FlinkDdl.logicalTypes(df.schema))
     info.store = Some(store)
     // toLocalIterator: pages stream to the driver one partition at a time —
     // never a full collect (SURVEY §2.1 collect sink).
@@ -608,6 +612,7 @@ final class EngineSession(val spark: SparkSession) {
       val keys = aggKeyIndexes(df)
       val keyIdx = keys.getOrElse(Nil)
       val store = new ResultStore(df.schema.fieldNames.toSeq,
+        columnTypes = FlinkDdl.logicalTypes(df.schema),
         emitUpdateBefore = protocolUpdateBefore)
       info.store = Some(store)
       info.isStreaming = true

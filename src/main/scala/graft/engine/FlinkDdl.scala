@@ -149,4 +149,36 @@ object FlinkDdl {
     val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
     OptRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
   }
+
+  /** Spark type → Flink logical-type ROOT name (the gateway envelope's
+    * `logicalType.type` vocabulary) — the reverse of [[parseType]], so a
+    * declared envelope type round-trips to the same root. Lossy where the
+    * forward mapping is (TIME degrades to INTEGER, TIMESTAMP/TIMESTAMP_LTZ
+    * both land on TimestampType and reverse to the NTZ root — the session
+    * is pinned to UTC, where the two are indistinguishable). Container
+    * types report their root only (ARRAY/MAP/ROW), not nested element
+    * types — the reference client renders column names and ignores the
+    * type payload entirely (flinkNotebookController.ts:348-356). */
+  def flinkTypeRoot(dt: DataType): String = dt match {
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case StringType => "VARCHAR"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case _: DecimalType => "DECIMAL"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP_WITHOUT_TIME_ZONE"
+    case BinaryType => "VARBINARY"
+    case _: ArrayType => "ARRAY"
+    case _: MapType => "MAP"
+    case _: StructType => "ROW"
+    case other => other.typeName.toUpperCase
+  }
+
+  /** (root name, nullable) per field — the ResultStore/gateway shape. */
+  def logicalTypes(schema: StructType): Seq[(String, Boolean)] =
+    schema.fields.toSeq.map(f => (flinkTypeRoot(f.dataType), f.nullable))
 }

@@ -150,8 +150,9 @@ private[engine] final case class HttpError(code: Int, msg: String)
   * notebook-control-plane request rate (the reference polls at 500 ms).
   * Simplifications vs the real gateway, documented: `maxRows` is pinned to
   * the store's page size (the reference always sends 100 — its own
-  * constant), and column `logicalType`s are not round-tripped (the client
-  * renders `columns[].name` only, flinkNotebookController.ts:348-356).
+  * constant), and column `logicalType`s carry the ROOT name + nullability
+  * but not nested container element types (the client renders
+  * `columns[].name` only, flinkNotebookController.ts:348-356).
   */
 final class RestGateway(root: SparkSession,
     gatewayPort: Int = 0, monitorPort: Int = 0,
@@ -306,10 +307,16 @@ final class RestGateway(root: SparkSession,
         val tok = token.toLongOption
           .getOrElse(throw HttpError(400, s"malformed result token: $token"))
         val page = session.ops.fetch(OperationHandle(op), tok)
+        // real logical types when the store carries them (Engine populates
+        // them from the result schema); UNKNOWN only for store-only callers
+        val types = info.store.map(_.columnTypes).getOrElse(Nil)
         val results = Map(
-          "columns" -> page.columns.map(c =>
+          "columns" -> page.columns.zipWithIndex.map { case (c, i) =>
+            val (root, nullable) =
+              if (i < types.size) types(i) else ("UNKNOWN", true)
             Map("name" -> c,
-              "logicalType" -> Map("type" -> "UNKNOWN", "nullable" -> true))),
+              "logicalType" -> Map("type" -> root, "nullable" -> nullable))
+          },
           "rowFormat" -> "JSON",
           "data" -> page.rows.map(r =>
             Map("kind" -> kindString(r.kind), "fields" -> r.fields.map(jsonField))))

@@ -58,6 +58,10 @@ final class ResultStore(
     val columns: Seq[String],
     pageSize: Int = 100,
     maxRows: Int = 10000,
+    /** Flink logical-type ROOT name + nullability per column, for the
+      * gateway envelope's `logicalType` (empty ⇒ rendered as UNKNOWN —
+      * the pre-round-7 simplification, kept for store-only callers). */
+    val columnTypes: Seq[(String, Boolean)] = Nil,
     /** Flink-changelog parity: a keyed update to an already-served key is
       * delivered as an UpdateBefore(old)/UpdateAfter(new) PAIR (the
       * reference protocol's retraction shape, models/types.ts:24-27)

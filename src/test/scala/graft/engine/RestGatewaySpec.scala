@@ -76,6 +76,10 @@ class RestGatewaySpec extends AnyFunSuite {
     val results = obj(m("results"))
     val cols = arr(results("columns")).map(c => obj(c)("name").toString)
     assert(cols == Seq("x", "s"))
+    // logicalType carries the real Flink root, not UNKNOWN
+    val roots = arr(results("columns"))
+      .map(c => obj(obj(c)("logicalType"))("type").toString)
+    assert(roots == Seq("INTEGER", "VARCHAR"), s"got $roots")
     val rows = arr(results("data")).map(obj)
     assert(rows.size == 1)
     assert(rows.head("kind") == "INSERT")
