@@ -44,9 +44,16 @@ object BloomSketch {
     * once, ship to executors as a literal. The form a STREAMING plan needs
     * (a scalar subquery can't cross the micro-batch boundary). */
   def buildSketch(keys: DataFrame, hashedKey: Column,
-      expectedItems: Long, numBits: Long): Array[Byte] =
-    keys.agg(bloomAgg(hashedKey, expectedItems, numBits).as("bf"))
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val bf = keys.agg(bloomAgg(hashedKey, expectedItems, numBits).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
+    // an empty key frame aggregates to null; probing a null sketch yields
+    // null → every filter silently drops → a decontamination screen that
+    // flags NOTHING. Fail fast: an empty eval set is a caller bug (typo'd
+    // source filter), not a sketch to probe.
+    require(bf != null, "bloom sketch over an empty key set — check the filter")
+    bf
+  }
 
   /** Probe a pre-built sketch shipped as a binary literal — foldable, so
     * it works anywhere an expression does, including inside higher-order

@@ -795,12 +795,24 @@ object DedupOps {
       expectedItems: Long = 1L << 20, numBits: Long = 1L << 24,
       minHits: Long = 3L): DataFrame = {
     import graft.functions.BloomSketch
+    bloomFlagWith(s, dir, minHits) { (train, evalSh) =>
+      val bloom = evalSh
+        .agg(BloomSketch.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
+      train.filter(BloomSketch.mightContain(bloom, col("hs")))
+    }
+  }
+
+  /** Shared screen shape for [[ddBloomFlag]] and [[bloomFlagExact]]: only
+    * the membership step differs (bloom probe vs exact semi-join), so the
+    * shingle projection, hit counting, minHits filter, and cache
+    * discipline can't drift between the production operator and the spec
+    * comparator it's certified against. */
+  private def bloomFlagWith(s: SparkSession, dir: String, minHits: Long)(
+      member: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val sh = shingleSet(docs(s, dir), carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = sh.filter(col("source") === "src0").select(col("hs")).distinct()
-      .agg(BloomSketch.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
-    val flagged = sh.filter(col("source") =!= "src0")
-      .filter(BloomSketch.mightContain(bloom, col("hs")))
+    val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
+    val flagged = member(sh.filter(col("source") =!= "src0"), evalSh)
       .groupBy(col("doc_id").as("train_doc"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
@@ -815,20 +827,10 @@ object DedupOps {
     * Spec-only comparator (BloomDecontaminationSpec): flagged-exact must
     * be a subset of flagged-bloom, and the difference is the measured FPR. */
   private[graft] def bloomFlagExact(s: SparkSession, dir: String,
-      minHits: Long = 3L): DataFrame = {
-    val sh = shingleSet(docs(s, dir), carry = Seq("source"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val evalSh = sh.filter(col("source") === "src0").select(col("hs")).distinct()
-    val flagged = sh.filter(col("source") =!= "src0")
-      .join(evalSh, Seq("hs"), "left_semi")
-      .groupBy(col("doc_id").as("train_doc"))
-      .agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= minHits)
-      .orderBy(col("train_doc"))
-      .localCheckpoint()
-    sh.unpersist()
-    flagged
-  }
+      minHits: Long = 3L): DataFrame =
+    bloomFlagWith(s, dir, minHits) { (train, evalSh) =>
+      train.join(evalSh, Seq("hs"), "left_semi")
+    }
 
   // --------------------------------------------------- per-source dup rate
   /** Per-source exact-duplicate rate — the dataset-card number a mixture

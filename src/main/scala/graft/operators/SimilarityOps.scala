@@ -244,13 +244,18 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"))
     // left join from the truth's query set — a query with ZERO hits must
     // still surface (a semi-join + groupBy would silently drop it, hiding
-    // exactly the total-failure case this check exists to catch)
+    // exactly the total-failure case this check exists to catch). Recall
+    // divides by the ACTUAL truth-set size per query, not the constant k:
+    // a corpus with ≤ k vectors has fewer than k true neighbors, and a
+    // /k denominator would emit false violations on a perfect index.
+    val truthSize = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
     val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    truth.select(col("query_id")).distinct()
+    truthSize
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6).as("recall"))
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double"), 6).as("recall"))
       .filter(col("recall") < floor)
       .orderBy(col("query_id"))
   }

@@ -193,10 +193,17 @@ object TextQueries {
     * no shuffle at any corpus size. */
   val Blocklist: Seq[String] = Seq("customer", "password", "secret")
 
-  def txtScrub(s: SparkSession, dir: String): DataFrame = {
+  def txtScrub(s: SparkSession, dir: String): DataFrame =
+    txtScrubOf(docs(s, dir))
+
+  /** The scrub projection over any (doc_id, text) frame — the single
+    * expression both the driver query and PropertySpec run, so the spec's
+    * order/repeat invariants constrain the PRODUCTION operator (a local
+    * re-derivation in the test would pin nothing). */
+  private[graft] def txtScrubOf(d: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
     val kept = filter(toks, t => !t.isin(Blocklist: _*))
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       (size(toks) - size(kept)).cast("long").as("n_removed"),
       size(kept).cast("long").as("n_kept"),
@@ -305,27 +312,32 @@ object TextQueries {
     * engines) with doc_id tiebreak, so the LIMIT boundary is stable.
     *
     * Scale: tokens filter to the query terms BEFORE the tf aggregation
-    * (the exploded stream shrinks to |Q| terms per doc), df and avgdl
-    * cross as broadcast relations (|Q| rows, 1 row), the score is one
-    * doc-keyed map-combined sum, and the head is a TakeOrdered — no
-    * corpus-sized shuffle anywhere. */
+    * (the exploded stream shrinks to |Q| terms per doc) and the doc
+    * length rides ALONG the stream as a grouping key (functionally
+    * dependent on doc_id — the shingle-carry discipline), so there is no
+    * doc-keyed join back to the corpus; df and the corpus stats cross as
+    * broadcast relations (|Q| rows, 1 row), the score is one doc-keyed
+    * map-combined sum, and the head is a TakeOrdered. The one
+    * corpus-sized shuffle is the (doc, term) tf aggregation itself. */
   val Bm25Query: Seq[String] = Seq("spark", "join", "window")
 
   def txtBm25(s: SparkSession, dir: String, topK: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val d = docs(s, dir)
-    val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val qtf = d.select(col("doc_id"),
-        explode(tokens(lower(col("text")))).as("term"))
+    val stats = d.select(tokenCount(col("text")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // materialize tokens through a projection boundary so `size` and
+    // `explode` read the same array, then carry dl as a dependent group key
+    val qtf = d.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
       .filter(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = qtf
       .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)

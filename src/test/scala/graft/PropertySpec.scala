@@ -71,26 +71,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("scrub: order-preserving survivor stream, blocklist-free") {
-    import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions.tokens
-    import graft.operators.TextQueries.Blocklist
+  test("scrub: order-preserving survivor stream, blocklist-free (production op)") {
+    import graft.operators.TextQueries
+    import TextQueries.Blocklist
     // generated docs mixing blocklisted and clean tokens, with repeats —
-    // the invariants a set-difference implementation would violate
+    // the invariants a set-difference implementation would violate. Runs
+    // the PRODUCTION projection (txtScrubOf), and checks its fingerprint
+    // against a JVM-side reference scrub, so an order-corrupting or
+    // deduping rewrite of the operator fails here even if the SQL oracle
+    // were rewritten to match it.
     val word = Gen.oneOf(Blocklist ++ Seq("alpha", "beta", "alpha", "gamma", "x1"))
     val doc = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
     val docsSeq = samples(doc, 60).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     import spark.implicits._
-    val df = docsSeq.toDF("doc_id", "text")
-    val kept = filter(tokens(lower(col("text"))), t => !t.isin(Blocklist: _*))
-    val out = df.select(col("doc_id"),
-        tokens(lower(col("text"))).as("toks"), kept.as("kept"))
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
-    for ((id, toks, keptToks) <- out) {
-      val expected = toks.filterNot(Blocklist.contains)
-      assert(keptToks == expected, s"doc $id: survivor stream must preserve order/repeats")
-      assert(keptToks.forall(!Blocklist.contains(_)), s"doc $id: blocklist leak")
+    val out = TextQueries.txtScrubOf(docsSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, text) <- docsSeq) {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      val expectKept = toks.filterNot(Blocklist.contains)
+      val expectFp = md.digest(expectKept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val (nRemoved, nKept, fp) = out(id)
+      assert(nRemoved == toks.size - expectKept.size, s"doc $id: n_removed")
+      assert(nKept == expectKept.size, s"doc $id: n_kept")
+      assert(fp == expectFp, s"doc $id: survivor stream must preserve order/repeats")
     }
   }
 }
