@@ -105,6 +105,15 @@ object CurationOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
 
+  /** Per-doc split assignment over any frame with a doc_id — the
+    * stateless map a STREAMING ingest applies on arrival. The md5-bucket
+    * hash is the point: the assignment depends only on the id, never on
+    * arrival order, micro-batch boundaries, or partitioning, so batch and
+    * stream agree doc-for-doc (StreamingSpec) and a re-ingest lands every
+    * doc in the same split. [[dsSplit]] is its batch rollup. */
+  def dsSplitAssign(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+
   val dsSplitSql: String =
     """SELECT source,
       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'

@@ -236,6 +236,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("streaming split assignment == batch assignment doc-for-doc") {
+    // the hash-deterministic design claim made testable: whatever
+    // micro-batch a doc arrives in, it lands in the same split
+    val d = Tables.load(spark, dir, "documents")
+    val splitDocsDir = Files.createTempDirectory("graft-split-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(splitDocsDir)
+    val streamed = runToCompletion(
+      graft.operators.CurationOps.dsSplitAssign(
+        StreamOps.readParquetStream(spark, splitDocsDir, d.schema)),
+      "append", "split_out")
+    val batch = graft.operators.CurationOps.dsSplitAssign(d)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.select("split").distinct().count() == 3)
+  }
+
   test("streaming bloom decontamination flags == batch flags (stateless append)") {
     import graft.functions.{BloomSketch, TextFunctions}
     // sketch over the eval side (src0), exactly as the batch screen builds it
