@@ -191,7 +191,7 @@ object TextQueries {
     *
     * Scale: pure map-side projection (tokenize, filter, hash per row) —
     * no shuffle at any corpus size. */
-  val Blocklist: Seq[String] = Seq("customer", "password", "secret")
+  val Blocklist: Seq[String] = Seq("customer", "merge", "blockedterm")
 
   def txtScrub(s: SparkSession, dir: String): DataFrame =
     txtScrubOf(docs(s, dir))
