@@ -300,6 +300,55 @@ object CurationOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // ------------------------------------------------- chunk-level dup scan
+  /** Cross-document repeated-span detection over the [[txtChunks]] grid —
+    * the RefinedWeb-style signal that catches boilerplate and templated
+    * spans exact whole-doc dedup misses: per document, how many of its
+    * distinct chunks also appear (by content fingerprint) in at least one
+    * OTHER document, and the resulting dup fraction.
+    *
+    * Scale: one (doc, fp) distinct, one fp-keyed window count (bucket =
+    * docs sharing a span — boilerplate-bounded), one doc-keyed rollup —
+    * all linear, no joins. */
+  def ddChunkDups(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("chunk_fp"))
+    txtChunks(s, dir)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+      .withColumn("n_docs_with", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_distinct_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") /
+          col("n_distinct_chunks").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddChunkDupsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(generate_series(0,
+       |      CASE WHEN n <= 64 THEN 0
+       |           ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
+       |  FROM t
+       |), fps AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' '))
+       |      AS chunk_fp
+       |  FROM c
+       |), marked AS (
+       |  SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk_fp) AS n_docs_with
+       |  FROM fps
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ROUND(CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val txtChunksSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
@@ -449,6 +498,7 @@ object CurationOps {
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
     "txt_funnel" -> (txtFunnel _),
     "txt_chunks" -> ((s: SparkSession, d: String) => txtChunks(s, d)),
+    "dd_chunk_dups" -> (ddChunkDups _),
     "txt_pack" -> ((s: SparkSession, d: String) => txtPack(s, d)),
   )
 
@@ -459,6 +509,7 @@ object CurationOps {
     "txt_tfidf" -> txtTfidfSql,
     "txt_funnel" -> txtFunnelSql,
     "txt_chunks" -> txtChunksSql,
+    "dd_chunk_dups" -> ddChunkDupsSql,
     "txt_pack" -> txtPackSql,
   )
 }
