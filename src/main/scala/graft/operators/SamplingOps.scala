@@ -252,12 +252,92 @@ object SamplingOps {
       |  ROUND(CAST(p05 AS DOUBLE) / CAST(z05 AS DOUBLE), 6) + 0.0 AS w_tau05
       |FROM powed CROSS JOIN z ORDER BY source""".stripMargin
 
+  // ------------------------------------ temperature weights → resample
+  /** The step that closes the mixing loop: APPLY the τ=0.7 temperature
+    * weights ([[sampTemperature]]) to the corpus — per-source doc targets
+    * `w_s · (budgetFrac · N)`, keep rates `min(1, target/n_s)`, and a
+    * hash-gated per-doc selection, so the resampled corpus materializes
+    * deterministically (same md5-bucket machinery as the other samplers:
+    * replayable across runs, engines, and partitionings — no rand()).
+    * Reports per source: docs, rate, kept (expected kept ≈ rate·n with
+    * binomial noise from the hash buckets; both engines count the SAME
+    * docs, so the oracle matches exactly).
+    *
+    * Scale: the weight table is model-sized (per-source) and crosses as a
+    * broadcast join; the per-doc gate is one map-side compare; the report
+    * is one map-combined rollup. */
+  def sampBySource(s: SparkSession, dir: String,
+      tau: Double = 0.7, budgetFrac: Double = 0.3): DataFrame = {
+    val d = docs(s, dir)
+    val perSrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("n_src_docs")).as("tot_docs"))
+    val powed = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src_docs"), col("tot_docs"),
+        exp(lit(tau) * log(col("n_tokens").cast("double") /
+          col("tot_tokens").cast("double"))).cast("decimal(30,15)").as("p"))
+    val z = powed.agg(sum(col("p")).as("z"))
+    val rates = powed.crossJoin(broadcast(z))
+      .select(col("source"),
+        least(lit(1.0),
+          (col("p").cast("double") / col("z").cast("double")) *
+            (lit(budgetFrac) * col("tot_docs").cast("double")) /
+            col("n_src_docs").cast("double")).as("rate"))
+    val u = (conv(hexRange(StratStart, StratLen), 16, 10).cast("double") + 0.5) /
+      65536.0
+    d.select(col("source"), u.as("u"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(max(col("rate")), 6) + 0.0).as("rate"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val sampBySourceSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_docs,
+       |    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(SUM(n_src_docs) AS BIGINT) AS tot_docs
+       |  FROM per_src
+       |), powed AS (
+       |  SELECT source, n_src_docs, tot_docs,
+       |    CAST(exp(0.7 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)))
+       |      AS DECIMAL(30,15)) AS p
+       |  FROM per_src CROSS JOIN tot
+       |), z AS (
+       |  SELECT SUM(p) AS z FROM powed
+       |), rates AS (
+       |  SELECT source,
+       |    LEAST(1.0,
+       |      (CAST(p AS DOUBLE) / CAST(z AS DOUBLE))
+       |        * (0.3 * CAST(tot_docs AS DOUBLE)) / CAST(n_src_docs AS DOUBLE)) AS rate
+       |  FROM powed CROSS JOIN z
+       |), gated AS (
+       |  SELECT d.source,
+       |    (CAST(CAST('0x' || ${duckHex(StratStart, StratLen)} AS BIGINT) AS DOUBLE)
+       |      + 0.5) / 65536.0 AS u,
+       |    rate
+       |  FROM documents d JOIN rates ON d.source = rates.source
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ROUND(MAX(rate), 6) + 0.0 AS rate,
+       |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM gated GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
     "mix_weights" -> (mixWeights _),
     "samp_temperature" -> (sampTemperature _),
+    "samp_bysource" -> ((s: SparkSession, d: String) => sampBySource(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +346,6 @@ object SamplingOps {
     "samp_weighted" -> sampWeightedSql,
     "mix_weights" -> mixWeightsSql,
     "samp_temperature" -> sampTemperatureSql,
+    "samp_bysource" -> sampBySourceSql,
   )
 }
