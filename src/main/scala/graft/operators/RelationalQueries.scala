@@ -1038,6 +1038,69 @@ object RelationalQueries {
     """SELECT CAST(NULL AS VARCHAR) AS law, CAST(NULL AS DOUBLE) AS got,
       |  CAST(NULL AS DOUBLE) AS want WHERE FALSE""".stripMargin
 
+  // ----------------------------------- q36: behavioral funnel over events
+  /** Ordered event funnel — the product-analytics staple: of the users who
+    * VIEWed, how many went on to CLICK within 24 hours of their first
+    * view, and then PURCHASE within 24 hours of that first qualifying
+    * click. Stage k anchors at the user's EARLIEST qualifying event (min
+    * ts inside the window after the previous anchor) — the standard
+    * first-touch conversion-window rule, and the window is what makes the
+    * funnel DISCRIMINATE (an unbounded funnel over a long-lived corpus
+    * converges to "everyone did everything": 150/150/150 here, vs
+    * 150/60/25 windowed).
+    *
+    * Scale: each stage is filter → user-keyed map-combined min; stage
+    * joins are keyed by user_id — the funnel's inherent shuffle key, which
+    * AQE will broadcast when a stage's survivor set shrinks enough. The
+    * three stage counts reduce to single rows and union to a 3-row
+    * report. */
+  def q36EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val win = expr("INTERVAL 24 HOURS")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(n: Int, name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    stage(1, "view", s1)
+      .unionAll(stage(2, "click", s2))
+      .unionAll(stage(3, "purchase", s3))
+      .orderBy(col("stage"))
+  }
+
+  val q36Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+      |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      |UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+      |ORDER BY stage""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -1079,6 +1142,7 @@ object RelationalQueries {
     "q33_pivot" -> (q33Pivot _),
     "q34_rcte" -> (q34Rcte _),
     "q35_hll_merge" -> (q35HllMerge _),
+    "q36_event_funnel" -> (q36EventFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1122,5 +1186,6 @@ object RelationalQueries {
     "q33_pivot" -> q33Sql,
     "q34_rcte" -> q34Sql,
     "q35_hll_merge" -> q35Sql,
+    "q36_event_funnel" -> q36Sql,
   )
 }
