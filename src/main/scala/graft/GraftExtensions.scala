@@ -73,13 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     columnFn1(ext, "graft_quality")(TextFunctions.qualityScore)
     columnFn1(ext, "graft_langid")(TextFunctions.langId)
     columnFn1(ext, "graft_fingerprint")(TextFunctions.fingerprint)
-    // fingerprint of the blocklist-scrubbed token stream (txt_scrub's
-    // scrubbed_fp column) — lets a SQL-only user dedup on CLEANED text
-    columnFn1(ext, "graft_scrub_fp") { text =>
-      import org.apache.spark.sql.functions._
-      val kept = filter(TextFunctions.tokens(lower(text)),
-        t => !t.isin(graft.operators.TextQueries.Blocklist: _*))
-      md5(array_join(kept, " "))
-    }
+    // fingerprint of the blocklist-scrubbed token stream — the SAME
+    // expression txt_scrub emits as scrubbed_fp (shared definition, so the
+    // SQL surface can't drift from the driver query)
+    columnFn1(ext, "graft_scrub_fp")(graft.operators.TextQueries.scrubFp)
   }
 }

@@ -300,6 +300,24 @@ object CurationOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // One definition of the oracle-side chunk grid (64-token chunks, stride
+  // 48) and chunk fingerprint, interpolated by BOTH txtChunksSql and
+  // ddChunkDupsSql — retuning the constants in one oracle but not the
+  // other would silently give the dup scan a different grid than the
+  // chunker. Declared before first use (object vals initialize in order).
+  private val chunkGridCte: String =
+    s"""t AS (
+       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(generate_series(0,
+       |      CASE WHEN n <= 64 THEN 0
+       |           ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
+       |  FROM t
+       |)""".stripMargin
+  private val chunkFpExpr: String =
+    "md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' '))"
+
   // ------------------------------------------------- chunk-level dup scan
   /** Cross-document repeated-span detection over the [[txtChunks]] grid —
     * the RefinedWeb-style signal that catches boilerplate and templated
@@ -325,18 +343,8 @@ object CurationOps {
   }
 
   val ddChunkDupsSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
-       |), c AS (
-       |  SELECT doc_id, toks, n,
-       |    unnest(generate_series(0,
-       |      CASE WHEN n <= 64 THEN 0
-       |           ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
-       |  FROM t
-       |), fps AS (
-       |  SELECT DISTINCT doc_id,
-       |    md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' '))
-       |      AS chunk_fp
+    s"""WITH $chunkGridCte, fps AS (
+       |  SELECT DISTINCT doc_id, $chunkFpExpr AS chunk_fp
        |  FROM c
        |), marked AS (
        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk_fp) AS n_docs_with
@@ -350,21 +358,12 @@ object CurationOps {
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val txtChunksSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents
-       |), c AS (
-       |  SELECT doc_id, toks, n,
-       |    unnest(generate_series(0,
-       |      CASE WHEN n <= 64 THEN 0
-       |           ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END)) AS i
-       |  FROM t
-       |)
+    s"""WITH $chunkGridCte
        |SELECT doc_id,
        |  CAST(i AS BIGINT) AS chunk_id,
        |  CAST(i * 48 + 1 AS BIGINT) AS start_tok,
        |  CAST(LEAST(i * 48 + 64, n) - (i * 48 + 1) + 1 AS BIGINT) AS n_tok,
-       |  md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' '))
-       |    AS chunk_fp
+       |  $chunkFpExpr AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   // ------------------------------------------------------ sequence packing

@@ -23,13 +23,23 @@ object SamplingOps {
     * two operators (or ds_split in CurationOps) ever consume correlated
     * bits: char 1 = ds_split bucket, 2..5 = sampStratified rate bits,
     * 6..17 = sampWeighted 48-bit uniform, 18..32 = sampFixed order key.
-    * Lowercase-hex string comparison is numeric comparison (fixed width,
-    * '0'<'9'<'a'<'f'), and md5 is portable: any engine produces the
-    * identical digest for the identical string. */
+    * The budget is FULL — an operator needing more entropy takes a fresh
+    * SALTED digest (md5 of "doc_id:<salt>", independent of every range by
+    * avalanche) rather than re-reading someone's chars; see
+    * [[sampBySource]]. Lowercase-hex string comparison is numeric
+    * comparison (fixed width, '0'<'9'<'a'<'f'), and md5 is portable: any
+    * engine produces the identical digest for the identical string. */
   private def docMd5 = md5(col("doc_id").cast("string").cast("binary"))
   private def hexRange(start: Int, len: Int) = substring(docMd5, start, len)
   private def duckHex(start: Int, len: Int) =
     s"substr(md5(CAST(doc_id AS VARCHAR)), $start, $len)"
+  /** Fresh per-operator entropy when the shared digest is spent: the salt
+    * makes the digest independent of docMd5 and of any other salt. */
+  private def saltedHex(salt: String, start: Int, len: Int) =
+    substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+      .cast("binary")), start, len)
+  private def duckSaltedHex(salt: String, start: Int, len: Int) =
+    s"substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), $start, $len)"
   private val StratStart = 2; private val StratLen = 4
   private val WeightStart = 6; private val WeightLen = 12
   private val FixedStart = 18; private val FixedLen = 15
@@ -285,7 +295,10 @@ object SamplingOps {
           (col("p").cast("double") / col("z").cast("double")) *
             (lit(budgetFrac) * col("tot_docs").cast("double")) /
             col("n_src_docs").cast("double")).as("rate"))
-    val u = (conv(hexRange(StratStart, StratLen), 16, 10).cast("double") + 0.5) /
+    // SALTED digest — the shared md5's ranges are all spoken for, and
+    // reusing sampStratified's chars would correlate the two samplers'
+    // keep decisions (a composed pipeline would select a biased subset)
+    val u = (conv(saltedHex("bysource", 1, 4), 16, 10).cast("double") + 0.5) /
       65536.0
     d.select(col("source"), u.as("u"))
       .join(broadcast(rates), Seq("source"))
@@ -321,7 +334,7 @@ object SamplingOps {
        |  FROM powed CROSS JOIN z
        |), gated AS (
        |  SELECT d.source,
-       |    (CAST(CAST('0x' || ${duckHex(StratStart, StratLen)} AS BIGINT) AS DOUBLE)
+       |    (CAST(CAST('0x' || ${duckSaltedHex("bysource", 1, 4)} AS BIGINT) AS DOUBLE)
        |      + 0.5) / 65536.0 AS u,
        |    rate
        |  FROM documents d JOIN rates ON d.source = rates.source

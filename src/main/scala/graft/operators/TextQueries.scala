@@ -193,6 +193,17 @@ object TextQueries {
     * no shuffle at any corpus size. */
   val Blocklist: Seq[String] = Seq("customer", "merge", "blockedterm")
 
+  /** Order-preserving survivor stream after blocklist removal — THE scrub
+    * expression: every consumer (the driver query, the `graft_scrub_fp`
+    * SQL function, the specs) must build on this one definition, or the
+    * SQL surface silently drifts from txt_scrub's scrubbed_fp. */
+  def scrubKept(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(tokens(lower(text)), t => !t.isin(Blocklist: _*))
+
+  /** md5 fingerprint of the scrubbed stream (txt_scrub's `scrubbed_fp`). */
+  def scrubFp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(array_join(scrubKept(text), " "))
+
   def txtScrub(s: SparkSession, dir: String): DataFrame =
     txtScrubOf(docs(s, dir))
 
@@ -202,12 +213,12 @@ object TextQueries {
     * re-derivation in the test would pin nothing). */
   private[graft] def txtScrubOf(d: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
-    val kept = filter(toks, t => !t.isin(Blocklist: _*))
+    val kept = scrubKept(col("text"))
     d.select(
       col("doc_id"),
       (size(toks) - size(kept)).cast("long").as("n_removed"),
       size(kept).cast("long").as("n_kept"),
-      md5(array_join(kept, " ")).as("scrubbed_fp"))
+      scrubFp(col("text")).as("scrubbed_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -171,16 +171,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "graft_langid(text) AS lang, graft_fingerprint(text) AS fp, " +
         "graft_scrub_fp(text) AS sfp " +
         "FROM cur_docs ORDER BY doc_id").collect()
-    val scrubKept = filter(
-      TextFunctions.tokens(lower(col("text"))),
-      t => !t.isin(graft.operators.TextQueries.Blocklist: _*))
+    // sfp compares against the PRODUCTION scrub expression (TextQueries
+    // .scrubFp — the same definition txt_scrub and graft_scrub_fp share),
+    // not a local re-derivation that would pin nothing
     val api = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).as("n"),
         TextFunctions.qualityScore(col("text")).as("q"),
         TextFunctions.langId(col("text")).as("lang"),
         TextFunctions.fingerprint(col("text")).as("fp"),
-        md5(array_join(scrubKept, " ")).as("sfp"))
+        graft.operators.TextQueries.scrubFp(col("text")).as("sfp"))
       .orderBy("doc_id").collect()
     assert(sql.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
     assert(sql.map(_.getString(3)).toSet.subsetOf(
