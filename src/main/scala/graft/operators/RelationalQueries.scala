@@ -1101,6 +1101,60 @@ object RelationalQueries {
       |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
       |ORDER BY stage""".stripMargin
 
+  // --------------------------------------- q37: weekly retention cohorts
+  /** Cohort retention matrix — the second product-analytics staple next
+    * to the funnel: users cohort by the DAY of their first event; for
+    * each (cohort day, day offset) cell, how many of that cohort were
+    * active offset days later, and the retention rate against the cohort
+    * size. Days are epoch-day buckets (integer arithmetic — no calendar
+    * boundary semantics to disagree on). Daily grain is what makes the
+    * matrix discriminate on this corpus (weekly grain saturates at 1.0:
+    * every user is active every week).
+    *
+    * Scale: first-event day is one user-keyed map-combined min; the
+    * activity grid is one distinct over (user, day) joined back on
+    * user_id (the inherent key); the matrix aggregation is map-combined
+    * with cohorts·offsets output rows. */
+  def q37Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val active = ev.distinct()
+    val cells = active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firstDay.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("day_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val q37Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS day
+      |  FROM events
+      |), fw AS (
+      |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, day FROM ev
+      |), cells AS (
+      |  SELECT cohort, day - cohort AS day_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM active JOIN fw USING (user_id)
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM fw GROUP BY 1
+      |)
+      |SELECT cohort, day_offset, n_active, n_cohort,
+      |  ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
+      |FROM cells JOIN sizes USING (cohort)
+      |ORDER BY cohort, day_offset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -1143,6 +1197,7 @@ object RelationalQueries {
     "q34_rcte" -> (q34Rcte _),
     "q35_hll_merge" -> (q35HllMerge _),
     "q36_event_funnel" -> (q36EventFunnel _),
+    "q37_retention" -> (q37Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1187,5 +1242,6 @@ object RelationalQueries {
     "q34_rcte" -> q34Sql,
     "q35_hll_merge" -> q35Sql,
     "q36_event_funnel" -> q36Sql,
+    "q37_retention" -> q37Sql,
   )
 }
