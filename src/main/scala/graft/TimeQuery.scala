@@ -1,0 +1,21 @@
+package graft
+
+/** Scratch per-query timer: warm once, then min of 3 — the Bench
+  * discipline for a single operator during iteration.
+  * Usage: runMain graft.TimeQuery <sfDir> <queryName> */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val (dir, name) = (args(0), args(1))
+    val spark = GraftSession.local()
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).count() // warm
+    val times = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[time] $name min=${times.min}%.3f samples=${times.map(t => f"$t%.3f").mkString(",")}")
+    spark.stop()
+  }
+}

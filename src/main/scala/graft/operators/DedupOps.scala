@@ -882,7 +882,12 @@ object DedupOps {
     * the pair join is keyed by shingle with bucket size ≤ |sources| (a
     * shingle appears in at most every source), so pair rows are bounded by
     * |shingles| · |sources|²/2 with |sources| a small constant — linear in
-    * data. Output is ≤ |sources|²/2 rows. */
+    * data. Output is ≤ |sources|²/2 rows. The self-join does NOT shuffle
+    * the relation twice: both sides read one ReusedExchange. (Measured
+    * alternative, round 7: folding each shingle's source set with
+    * collect_set and expanding pairs map-side also shuffles once but runs
+    * ~25% SLOWER at sf0.1 — the codegen'd join beats the interpreted
+    * higher-order set expansion. Keep the join.) */
   def ddSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     // (source, hs) directly off the token stream — one distinct keyed by
     // the OUTPUT grain. Routing through shingleSet would pay a doc-level
