@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: derive a `factor`× corpus from sf0.1 and time the heavy
+  * operators on it — direct evidence for the linear-scaling claims in the
+  * operator scaladocs (a shape that is secretly quadratic in corpus size
+  * shows up immediately at 10×).
+  *
+  * Derivation: each copy k prefixes every document's text with a
+  * copy-unique token and offsets doc_id/vec_id by k·10⁹. The prefix kills
+  * cross-copy EXACT duplication but only shifts ~2 of ~300 shingles, so
+  * cross-copy jaccard stays ≈0.95 and every doc lands in a factor-sized
+  * near-dup clique — i.e. the derived corpus is a strictly HARDER problem
+  * than the original (×10 data AND a much denser pair graph: 515k pairs
+  * vs 25 at sf0.1). That's the point: the pair cores must survive both
+  * axes. Embeddings clone as-is (centroid/k-means math is
+  * duplicate-tolerant).
+  *
+  * Measured (local[32], 2026-08, 50k docs vs 5k): dd_exact 0.62 s (1.7×),
+  * dd_ngram_jaccard 3.75 s (~1.5×), dd_minhash_lsh 3.89 s (~1.3×),
+  * dd_source_overlap 2.61 s, dd_decontaminate 2.35 s, txt_tfidf 1.67 s,
+  * txt_entropy 1.97 s, emb_kmeans 1.32 s, txt_pack 0.79 s (all ~1×) —
+  * ten times the data for at most 1.7× the time; fixed per-job overhead
+  * still dominates, no shape blows up.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor] [query ...]
+  * Not part of the driver gate — a builder-side measurement tool. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
+        "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
+        "emb_kmeans", "txt_pack")
+    val spark = GraftSession.local()
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+
+    val docs = Tables.load(spark, src, "documents")
+    val emb = Tables.load(spark, src, "embeddings")
+    val copies = (0 until factor).map { k =>
+      val cols = (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id") +:
+        (docs.columns.filter(c => c != "doc_id" && c != "text").map(col).toSeq :+
+          concat(lit(s"cp$k "), col("text")).as("text"))
+      docs.select(cols: _*)
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until factor).map { k =>
+      val cols = (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id") +:
+        emb.columns.filter(_ != "vec_id").map(col).toSeq
+      emb.select(cols: _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale] derived ${factor}x corpus at $out")
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      val fn = SparkEntry.queries(name)
+      fn(spark, out).count() // warm (codegen, file listing)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = fn(spark, out).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}
