@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * Measured (local[32], 2026-08, 50k docs vs 5k): dd_exact 0.62 s (1.7×),
   * dd_ngram_jaccard 3.75 s (~1.5×), dd_minhash_lsh 3.89 s (~1.3×),
   * dd_source_overlap 2.61 s, dd_decontaminate 2.35 s, txt_tfidf 1.67 s,
-  * txt_entropy 1.97 s, emb_kmeans 1.32 s, txt_pack 0.79 s (all ~1×) —
+  * txt_entropy 1.97 s, emb_kmeans 1.32 s, txt_pack 0.79 s, dd_bloom
+  * 1.69 s, txt_unigram_ppl 2.30 s, dd_chunk_dups 0.37 s (all ~1×) —
   * ten times the data for at most 1.7× the time; fixed per-job overhead
-  * still dominates, no shape blows up.
+  * still dominates, no shape blows up. dd_dedup_groups: 13.6 s vs 3.4 —
+  * 4× time for 10× data on a 20,000×-denser pair graph (515k edges in
+  * 10-cliques vs 25): the clique-seeded min-label CC converges in its
+  * designed 1-2 rounds even when every doc is in a clique.
   *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
