@@ -40,13 +40,18 @@ import org.apache.spark.sql.functions._
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg is the factor ONLY if numeric — `ScaleSmoke dd_exact`
+    // (factor defaulted) must not throw NumberFormatException
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val rest = if (args.headOption.flatMap(_.toIntOption).isDefined)
+      args.drop(1).toSeq else args.toSeq
+    val names = if (rest.nonEmpty) rest
       else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
         "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
         "emb_kmeans", "txt_pack")
     val spark = GraftSession.local()
-    val src = "/root/testdata/sf0.1"
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = s"/tmp/graft_scale_x$factor"
 
     val docs = Tables.load(spark, src, "documents")

@@ -17,7 +17,9 @@ object SparkEntry {
       SamplingOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. EVERY query carries an oracle (ContractSpec
+    * pins key parity) — ops whose hashing isn't DuckDB-expressible get a
+    * violation-check form whose oracle is the empty relation. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ WindowQueries.oracles ++ MultimodalOps.oracles ++

@@ -1101,7 +1101,7 @@ object RelationalQueries {
       |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
       |ORDER BY stage""".stripMargin
 
-  // --------------------------------------- q37: weekly retention cohorts
+  // ---------------------------------------- q37: daily retention cohorts
   /** Cohort retention matrix — the second product-analytics staple next
     * to the funnel: users cohort by the DAY of their first event; for
     * each (cohort day, day offset) cell, how many of that cohort were
@@ -1116,7 +1116,11 @@ object RelationalQueries {
     * user_id (the inherent key); the matrix aggregation is map-combined
     * with cohorts·offsets output rows. */
   def q37Retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    // NULL-ts guard on BOTH engines: a NULL day would survive the joins
+    // as a NULL day_offset, and the engines disagree on NULL sort order
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST) — the gate hash is
+    // order-sensitive
+    val ev = t(s, dir, "events").filter(col("ts").isNotNull)
       .select(col("user_id"), datediff(col("ts").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
@@ -1137,7 +1141,7 @@ object RelationalQueries {
       |  SELECT user_id,
       |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
       |      AS day
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |), fw AS (
       |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id
       |), active AS (
