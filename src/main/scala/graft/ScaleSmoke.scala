@@ -50,6 +50,12 @@ object ScaleSmoke {
       else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
         "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
         "emb_kmeans", "txt_pack")
+    // fail fast on typo'd names BEFORE paying session startup + the corpus
+    // derivation write (same guard discipline as Verify's --only filter)
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — valid: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = GraftSession.local()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = s"/tmp/graft_scale_x$factor"

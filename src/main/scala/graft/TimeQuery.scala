@@ -6,6 +6,11 @@ package graft
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val (dir, name) = (args(0), args(1))
+    // fail fast on typo'd names BEFORE paying session startup (same guard
+    // discipline as Verify's --only filter)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query name: $name — valid: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = GraftSession.local()
     val fn = SparkEntry.queries(name)
     fn(spark, dir).count() // warm

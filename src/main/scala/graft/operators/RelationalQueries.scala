@@ -999,34 +999,43 @@ object RelationalQueries {
     * here: 1991 vs 2023 on ~2000 exact). Emits violation rows; the oracle
     * pins schema + emptiness, deterministic on fixed data (q21 precedent).
     *
+    * lgConfigK is PINNED (not Spark's default) and the bounds sit ~3× over
+    * the measured estimator gap: at lgK=12 the sketch's relative standard
+    * error is ~1.6%, so 5% ≈ 3σ — headroom against a testdata regen or a
+    * DataSketches upgrade shifting the error profile, while a real defect
+    * (a sketch that doesn't merge) still lands orders of magnitude out.
+    *
     * Scale: hll_sketch_agg is map-combined (each task ships one ~KB
     * sketch); the union folds |groups| sketches; the exact twin exists
     * only to certify and is itself two-phase distinct. */
   def q35HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val lgConfigK = 12 // explicit: an upstream default change must not
+                       // silently shift the error profile under the bounds
     val keyed = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_partkey"))
     val perGroup = keyed.groupBy(col("l_returnflag"))
-      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_agg(col("l_partkey"), lgConfigK).as("sk"))
     val merged = perGroup.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
     val whole = keyed.agg(
-      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("whole_est"))
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lgConfigK))
+        .as("whole_est"))
     val exact = keyed.select(col("l_partkey")).distinct()
       .agg(count(lit(1)).as("ex"))
     merged.crossJoin(whole).crossJoin(exact)
       .select(explode(array(
-        struct(lit("merge_vs_whole_3pct").as("law"),
+        struct(lit("merge_vs_whole_5pct").as("law"),
           col("merged_est").cast(DoubleType).as("got"),
           col("whole_est").cast(DoubleType).as("want"),
-          lit(0.03).as("bound")),
-        struct(lit("merged_vs_exact_4pct").as("law"),
+          lit(0.05).as("bound")),
+        struct(lit("merged_vs_exact_5pct").as("law"),
           col("merged_est").cast(DoubleType).as("got"),
           col("ex").cast(DoubleType).as("want"),
-          lit(0.04).as("bound")),
-        struct(lit("whole_vs_exact_4pct").as("law"),
+          lit(0.05).as("bound")),
+        struct(lit("whole_vs_exact_5pct").as("law"),
           col("whole_est").cast(DoubleType).as("got"),
           col("ex").cast(DoubleType).as("want"),
-          lit(0.04).as("bound")))).as("c"))
+          lit(0.05).as("bound")))).as("c"))
       .filter(abs(col("c.got") - col("c.want")) >
         col("c.bound") * greatest(col("c.want"), lit(1.0)))
       .select(col("c.law").as("law"), col("c.got").as("got"),

@@ -119,11 +119,12 @@ object StreamOps {
     * colliding in several buckets still reaches the sink exactly once.
     *
     * State: per-bucket signature list — memory is corpus-bounded like any
-    * exact dedup-on-arrival; production deployments bound it with a state
-    * TTL (`GroupStateTimeout`) at the same call site, trading recall
-    * against window age exactly like the reference's interval-scoped
-    * dedup. Per-arrival work is |bucket|, the same candidate-bounded cost
-    * as the batch operator's block-pair groups. */
+    * exact dedup-on-arrival. [[streamingNearDupTtl]] is the bounded-state
+    * form: a watermark-derived event-time TTL evicts bucket entries as the
+    * watermark passes them, trading recall against window age exactly like
+    * the reference's interval-scoped dedup. Per-arrival work is |bucket|,
+    * the same candidate-bounded cost as the batch operator's block-pair
+    * groups. */
   case class SigBlock(block: Int, key: Long, docId: Long, sig: Long)
   case class NearDupPair(id_a: Long, id_b: Long, ham: Int)
   case class BucketState(seen: List[(Long, Long)])
@@ -177,6 +178,80 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------- streaming near-dup, bounded state
+  /** [[streamingNearDup]] with BOUNDED state: entries carry their event
+    * time, and each invocation evicts entries the watermark has passed, so
+    * a bucket holds only the docs from the trailing watermark window —
+    * state is O(arrival rate × window), independent of stream length.
+    *
+    * Semantics on the in-window set are IDENTICAL to the unbounded form
+    * (same pigeonhole blocking, same first-agreeing-block exactly-once
+    * emission, same at-least-once re-delivery guard); the trade is recall
+    * across time — a pair whose two docs arrive more than the watermark
+    * delay apart is not reported, the same contract as the engine's
+    * interval-scoped dedup (`dropDuplicatesWithinWatermark`).
+    *
+    * Mechanics: the watermark is declared HERE, on the exploded per-block
+    * frame — event-time tags don't survive a caller-side object transform,
+    * and EventTimeTimeout requires one upstream of the stateful operator.
+    * Eviction uses `state.getCurrentWatermarkMs()`; each update arms an
+    * event-time timeout just past the NEWEST surviving entry, so a bucket
+    * that goes quiet is woken exactly once after its last entry expires
+    * and its state is REMOVED — idle buckets don't linger in the store. */
+  case class SigBlockTs(block: Int, key: Long, docId: Long, sig: Long,
+      ts: java.sql.Timestamp)
+  case class BucketStateTs(seen: List[(Long, Long, Long)])
+
+  def streamingNearDupTtl(sigs: Dataset[(Long, Long, java.sql.Timestamp)],
+      blocks: Int = 4, maxHam: Int = 3, ttl: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(maxHam < blocks, "pigeonhole recall needs maxHam < blocks")
+    val width = 64 / blocks
+    sigs.flatMap { case (id, sig, ts) =>
+      (0 until blocks).map { b =>
+        SigBlockTs(b, (sig >>> (b * width)) & ((1L << width) - 1), id, sig, ts)
+      }
+    }
+      .withWatermark("ts", ttl)
+      .groupByKey(r => (r.block, r.key))
+      .flatMapGroupsWithState[BucketStateTs, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[SigBlockTs],
+            state: GroupState[BucketStateTs]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val live = state.getOption.getOrElse(BucketStateTs(Nil)).seen
+            .filter(_._3 >= wm)
+          var seen = live
+          val out = List.newBuilder[NearDupPair]
+          rows.foreach { r =>
+            // drop late arrivals past the watermark (same contract as the
+            // engine's windowed aggregations) and re-deliveries of a doc
+            // already in state — see streamingNearDup
+            if (r.ts.getTime >= wm && !seen.exists(_._1 == r.docId)) {
+              seen.foreach { case (oid, osig, _) =>
+                val ham = java.lang.Long.bitCount(osig ^ r.sig)
+                if (ham <= maxHam &&
+                  firstAgreeingBlock(osig, r.sig, blocks) == key._1)
+                  out += NearDupPair(math.min(oid, r.docId),
+                    math.max(oid, r.docId), ham)
+              }
+              seen = (r.docId, r.sig, r.ts.getTime) :: seen
+            }
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(BucketStateTs(seen))
+            // wake this bucket once, just past its newest entry's expiry,
+            // so a quiet bucket is purged instead of lingering forever
+            // (surviving entries have ts >= wm, so this is > watermark —
+            // the precondition setTimeoutTimestamp enforces)
+            state.setTimeoutTimestamp(seen.map(_._3).max + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Batch reference: all near-dup pairs at Hamming ≤ maxHam. */
   def batchNearDup(sigs: Dataset[(Long, Long)], maxHam: Int = 3)(
       implicit spark: SparkSession): DataFrame = {
@@ -207,9 +282,15 @@ object StreamOps {
       minHits: Long = 3L): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokens}
     import graft.functions.BloomSketch
+    // hash FIRST, then dedup the hashes: the batch screen counts distinct
+    // 64-bit shingle hashes per doc (shingleSet distincts on xxhash64), so
+    // deduping the raw strings here would diverge from it on a within-doc
+    // hash collision — both paths must count the same set
     docs.select(col("doc_id"),
-        size(filter(array_distinct(shingles(tokens(col("text")), 3)),
-          s => BloomSketch.mightContainLit(sketch, xxhash64(s))))
+        size(filter(
+          array_distinct(transform(shingles(tokens(col("text")), 3),
+            s => xxhash64(s))),
+          h => BloomSketch.mightContainLit(sketch, h)))
           .cast("long").as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }

@@ -236,6 +236,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("streaming near-dup TTL: watermark evicts old docs, in-window pairs unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = 0x0123456789abcdefL
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.streamingNearDupTtl(mem.toDS(), ttl = "10 minutes").toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_ttl_out").start()
+    try {
+      // batch 1: identical sigs 10/11 at 12:00 → pair (10,11); watermark
+      // after the batch = 11:50
+      mem.addData((10L, base, t("2024-01-01 12:00:00")),
+        (11L, base, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 2: a far-away doc at 12:40 pairs with nothing but advances
+      // the watermark to 12:30 — PAST docs 10/11
+      mem.addData((14L, ~base, t("2024-01-01 12:40:00")))
+      q.processAllAvailable()
+      // batch 3: doc 12 is within ham 2 of 10/11 and doc 13 within ham 3
+      // of all of 10/11/12 — but 10/11 are evicted, so only the in-window
+      // pair (12,13) may emit
+      mem.addData((12L, base ^ 3L, t("2024-01-01 12:35:00")),
+        (13L, base ^ 3L ^ (1L << 40), t("2024-01-01 12:36:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("neardup_ttl_out")
+      .select("id_a", "id_b", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((10L, 11L, 0), (12L, 13L, 1)),
+      s"expected eviction of 10/11 before 12/13 arrived; got $pairs")
+  }
+
   test("streaming split assignment == batch assignment doc-for-doc") {
     // the hash-deterministic design claim made testable: whatever
     // micro-batch a doc arrives in, it lands in the same split
