@@ -50,7 +50,15 @@ object ChangelogOps {
     * `opCol` names the changelog-op column (DebeziumJson.flatten emits the
     * reserved `__op`, immune to payload-name collisions; ad-hoc changelogs
     * default to `op`). That column — and the engine-internal `__ord` order
-    * column when present — never reach the store. */
+    * column when present — never reach the store.
+    *
+    * The `toLocalIterator` drain below is the engine's ONE deliberate
+    * driver-side row loop, and it is BOUNDED by construction: the store is
+    * the notebook result protocol's keyed buffer, capped at the protocol's
+    * 10k-row limit (ResultStore evicts beyond it), and the iterator pulls
+    * one partition at a time rather than collecting the batch. A
+    * table-sized CDC snapshot is not this path's job — that's the batch
+    * [[latestSnapshot]], which stays fully distributed. */
   def mergeBatch(store: graft.engine.ResultStore, keyCols: Seq[String],
       ord: Column, opCol: String = "op")(batch: DataFrame, batchId: Long): Unit = {
     // Deterministic tie-break for equal `ord` values (same-millisecond

@@ -263,6 +263,112 @@ object StreamOps {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("ham"))
   }
 
+  // --------------------------------------- streaming funnel (q36's twin)
+  /** Funnel-on-arrival: per-user first-touch conversion stage, maintained
+    * incrementally ([[graft.operators.RelationalQueries.q36EventFunnel]]'s
+    * streaming twin). Each update emits the user's CURRENT stage (0-3);
+    * in update mode the sink's last row per user is the converged answer,
+    * which StreamingSpec asserts equals the batch funnel's stage counts.
+    *
+    * Anchors are RECOMPUTED from retained per-user history on every
+    * arrival, so arrival order cannot change the answer — a late-arriving
+    * earlier view re-anchors t1 and the downstream stages follow. The
+    * retention is pruned by the funnel's own geometry: t1 = min(view) only
+    * ever DECREASES, so clicks past t1+win and purchases past t1+2·win can
+    * never re-qualify and are dropped; what stays is one anchor plus the
+    * events inside a 2-window horizon (events before t1 stay against
+    * re-anchoring — a production deployment drops those below the
+    * watermark, the [[streamingNearDupTtl]] pattern, since a view that
+    * would re-anchor below the watermark can no longer arrive). */
+  case class FunnelState(minView: Long, clicks: List[Long],
+      purchases: List[Long])
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  private def funnelStage(st: FunnelState, winMs: Long): Int = {
+    if (st.minView == Long.MaxValue) 0
+    else {
+      val t1 = st.minView
+      val clicksIn = st.clicks.filter(c => c > t1 && c <= t1 + winMs)
+      if (clicksIn.isEmpty) 1
+      else {
+        val t2 = clicksIn.min
+        if (st.purchases.exists(p => p > t2 && p <= t2 + winMs)) 3 else 2
+      }
+    }
+  }
+
+  def streamingFunnel(events: DataFrame, winMs: Long = 24L * 3600 * 1000)(
+      implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase") &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+          rows.foreach { case (_, tpe, ts) =>
+            val t = ts.getTime
+            st = tpe match {
+              case "view"  => st.copy(minView = math.min(st.minView, t))
+              case "click" => st.copy(clicks = t :: st.clicks)
+              case _       => st.copy(purchases = t :: st.purchases)
+            }
+          }
+          if (st.minView != Long.MaxValue)
+            st = st.copy(
+              clicks = st.clicks.filter(_ <= st.minView + winMs).distinct,
+              purchases =
+                st.purchases.filter(_ <= st.minView + 2 * winMs).distinct)
+          state.update(st)
+          FunnelProgress(uid, funnelStage(st, winMs))
+      }
+  }
+
+  // ------------------------------------- streaming retention (q37's twin)
+  /** Retention-on-arrival: per-user cohort day + active-day offsets,
+    * maintained incrementally ([[graft.operators.RelationalQueries
+    * .q37Retention]]'s streaming twin). Each update emits the user's full
+    * corrected snapshot — cohort re-anchors if an EARLIER day arrives late,
+    * and every offset shifts with it, which is why the emission is the
+    * whole per-user row rather than per-cell deltas (a late cohort shift
+    * would strand already-emitted cells). The cohort matrix is a plain
+    * aggregation over the latest snapshot per user (spec-asserted equal to
+    * the batch matrix, cell for cell).
+    *
+    * State per user: the distinct active-day set — bounded by the corpus
+    * day span, and in production by the watermark horizon (days below the
+    * watermark are final: aggregate them out and drop them). */
+  case class RetentionState(days: List[Long])
+  case class RetentionSnapshot(user_id: Long, cohort: Long,
+      day_offsets: Seq[Long])
+
+  def streamingRetention(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[RetentionSnapshot] = {
+    import spark.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RetentionState, RetentionSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[RetentionState]) =>
+          val days = (state.getOption.map(_.days).getOrElse(Nil) ++
+            rows.map(_._2)).distinct
+          state.update(RetentionState(days))
+          val cohort = days.min
+          RetentionSnapshot(uid, cohort, days.map(_ - cohort).sorted)
+      }
+  }
+
   /** Decontamination-on-arrival: flag each arriving document whose distinct
     * word-3-gram shingles hit a PRE-BUILT eval-set bloom sketch at least
     * `minHits` times ([[graft.operators.DedupOps.ddBloomFlag]]'s streaming

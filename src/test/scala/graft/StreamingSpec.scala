@@ -270,6 +270,49 @@ class StreamingSpec extends AnyFunSuite {
       s"expected eviction of 10/11 before 12/13 arrived; got $pairs")
   }
 
+  /** Latest emission per user from an update-mode sink (the topN pattern:
+    * memory-sink row order tracks emission order). */
+  private def lastPerUser(sink: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("emit_order").desc)
+    sink.withColumn("emit_order", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  test("streaming funnel converges to the batch funnel stage counts") {
+    val streamed = runToCompletion(
+      StreamOps.streamingFunnel(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)).toDF(),
+      "update", "funnel_out")
+    val last = lastPerUser(streamed)
+    val counts = (1 to 3).map(s => last.filter(col("stage") >= s).count())
+    val batch = graft.operators.RelationalQueries.q36EventFunnel(spark, dir)
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    assert(counts == batch, s"streamed stage counts $counts != batch $batch")
+    assert(counts.head > 0)
+  }
+
+  test("streaming retention converges to the batch cohort matrix") {
+    val streamed = runToCompletion(
+      StreamOps.streamingRetention(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)).toDF(),
+      "update", "retention_out")
+    // materialized once: `last` feeds BOTH sides of the cells×sizes join,
+    // and monotonically_increasing_id must not be re-evaluated per branch
+    val last = lastPerUser(streamed).localCheckpoint()
+    val cells = last
+      .select(col("cohort"), explode(col("day_offsets")).as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = last.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    val matrix = cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("day_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+    val batch = graft.operators.RelationalQueries.q37Retention(spark, dir)
+    assert(canon(matrix) == canon(batch))
+  }
+
   test("streaming split assignment == batch assignment doc-for-doc") {
     // the hash-deterministic design claim made testable: whatever
     // micro-batch a doc arrives in, it lands in the same split
