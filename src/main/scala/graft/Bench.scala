@@ -43,12 +43,16 @@ object Bench {
     val total = results.map(_._2).sum
     // The complete per-query map goes to a FILE — the one channel no stdout
     // window can clip. The driver's artifact is the stdout line; the judge
-    // audits the file.
+    // audits the file. The path is ANCHORED (env override, repo default),
+    // never the launch cwd: a cwd-relative write from elsewhere would
+    // succeed silently and leave the repo copy stale.
     val fullJson = "{\"metric\":\"total\",\"value\":" + ms(total) +
       ",\"unit\":\"sec\",\"queries\":{" +
       entriesJson(results.sortBy(_._2)) + "},\"sf\":\"" + sfDir + "\"}"
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")

@@ -1065,7 +1065,10 @@ object RelationalQueries {
     * report. */
   def q36EventFunnel(s: SparkSession, dir: String): DataFrame = {
     val win = expr("INTERVAL 24 HOURS")
-    val ev = t(s, dir, "events")
+    // NULL-ts guard (q37 precedent), also keeping the batch form
+    // definitionally identical to StreamOps.streamingFunnel, which must
+    // drop NULL event times (no event-time, no window arithmetic)
+    val ev = t(s, dir, "events").filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"))
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -1088,17 +1091,19 @@ object RelationalQueries {
   }
 
   val q36Sql: String =
-    """WITH s1 AS (
-      |  SELECT user_id, MIN(ts) AS t1 FROM events
+    """WITH ev AS (
+      |  SELECT user_id, event_type, ts FROM events WHERE ts IS NOT NULL
+      |), s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM ev
       |  WHERE event_type = 'view' GROUP BY user_id
       |), s2 AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
       |  JOIN s1 ON e.user_id = s1.user_id
       |  WHERE e.event_type = 'click' AND e.ts > s1.t1
       |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
       |  GROUP BY e.user_id
       |), s3 AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
       |  JOIN s2 ON e.user_id = s2.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR

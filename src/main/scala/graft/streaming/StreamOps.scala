@@ -129,15 +129,19 @@ object StreamOps {
   case class NearDupPair(id_a: Long, id_b: Long, ham: Int)
   case class BucketState(seen: List[(Long, Long)])
 
+  /** One signature's (block index, block value) keys — the single place
+    * the block-split arithmetic lives, shared by both streaming forms. */
+  private def blockKeys(sig: Long, blocks: Int): Seq[(Int, Long)] = {
+    val width = 64 / blocks
+    (0 until blocks).map(b => b -> ((sig >>> (b * width)) & ((1L << width) - 1)))
+  }
+
   /** Explode (doc_id, sig) rows into per-block keys. */
   def sigBlocks(sigs: Dataset[(Long, Long)], blocks: Int)(
       implicit spark: SparkSession): Dataset[SigBlock] = {
     import spark.implicits._
-    val width = 64 / blocks
     sigs.flatMap { case (id, sig) =>
-      (0 until blocks).map { b =>
-        SigBlock(b, (sig >>> (b * width)) & ((1L << width) - 1), id, sig)
-      }
+      blockKeys(sig, blocks).map { case (b, k) => SigBlock(b, k, id, sig) }
     }
   }
 
@@ -146,6 +150,19 @@ object StreamOps {
     val mask = (1L << width) - 1
     (0 until blocks).indexWhere(i => ((a ^ b) >>> (i * width) & mask) == 0L)
   }
+
+  /** The pair-emission rule, shared by both streaming forms so the
+    * exactly-once contract can't drift between them: an arriving (id, sig)
+    * pairs with every in-state signature within maxHam, emitted only when
+    * THIS bucket's block index is the pair's first agreeing block. */
+  private def pairsAgainst(seen: Iterator[(Long, Long)], id: Long, sig: Long,
+      blockIdx: Int, blocks: Int, maxHam: Int): Iterator[NearDupPair] =
+    seen.flatMap { case (oid, osig) =>
+      val ham = java.lang.Long.bitCount(osig ^ sig)
+      if (ham <= maxHam && firstAgreeingBlock(osig, sig, blocks) == blockIdx)
+        Some(NearDupPair(math.min(oid, id), math.max(oid, id), ham))
+      else None
+    }
 
   def streamingNearDup(sigs: Dataset[(Long, Long)], blocks: Int = 4,
       maxHam: Int = 3)(implicit spark: SparkSession): Dataset[NearDupPair] = {
@@ -163,13 +180,8 @@ object StreamOps {
             // copy must neither re-emit its pairs nor grow state, or the
             // exactly-once pair contract breaks
             if (!seen.exists(_._1 == r.docId)) {
-              seen.foreach { case (oid, osig) =>
-                val ham = java.lang.Long.bitCount(osig ^ r.sig)
-                if (ham <= maxHam &&
-                  firstAgreeingBlock(osig, r.sig, blocks) == key._1)
-                  out += NearDupPair(math.min(oid, r.docId),
-                    math.max(oid, r.docId), ham)
-              }
+              out ++= pairsAgainst(seen.iterator, r.docId, r.sig,
+                key._1, blocks, maxHam)
               seen = (r.docId, r.sig) :: seen
             }
           }
@@ -207,11 +219,8 @@ object StreamOps {
       implicit spark: SparkSession): Dataset[NearDupPair] = {
     import spark.implicits._
     require(maxHam < blocks, "pigeonhole recall needs maxHam < blocks")
-    val width = 64 / blocks
     sigs.flatMap { case (id, sig, ts) =>
-      (0 until blocks).map { b =>
-        SigBlockTs(b, (sig >>> (b * width)) & ((1L << width) - 1), id, sig, ts)
-      }
+      blockKeys(sig, blocks).map { case (b, k) => SigBlockTs(b, k, id, sig, ts) }
     }
       .withWatermark("ts", ttl)
       .groupByKey(r => (r.block, r.key))
@@ -229,13 +238,8 @@ object StreamOps {
             // engine's windowed aggregations) and re-deliveries of a doc
             // already in state — see streamingNearDup
             if (r.ts.getTime >= wm && !seen.exists(_._1 == r.docId)) {
-              seen.foreach { case (oid, osig, _) =>
-                val ham = java.lang.Long.bitCount(osig ^ r.sig)
-                if (ham <= maxHam &&
-                  firstAgreeingBlock(osig, r.sig, blocks) == key._1)
-                  out += NearDupPair(math.min(oid, r.docId),
-                    math.max(oid, r.docId), ham)
-              }
+              out ++= pairsAgainst(seen.iterator.map(e => (e._1, e._2)),
+                r.docId, r.sig, key._1, blocks, maxHam)
               seen = (r.docId, r.sig, r.ts.getTime) :: seen
             }
           }
@@ -273,13 +277,16 @@ object StreamOps {
     * Anchors are RECOMPUTED from retained per-user history on every
     * arrival, so arrival order cannot change the answer — a late-arriving
     * earlier view re-anchors t1 and the downstream stages follow. The
-    * retention is pruned by the funnel's own geometry: t1 = min(view) only
-    * ever DECREASES, so clicks past t1+win and purchases past t1+2·win can
-    * never re-qualify and are dropped; what stays is one anchor plus the
-    * events inside a 2-window horizon (events before t1 stay against
-    * re-anchoring — a production deployment drops those below the
-    * watermark, the [[streamingNearDupTtl]] pattern, since a view that
-    * would re-anchor below the watermark can no longer arrive). */
+    * retention is deduplicated every update (at-least-once re-deliveries
+    * never grow it) and pruned by the funnel's own geometry once a view
+    * exists: t1 = min(view) only ever DECREASES, so clicks past t1+win and
+    * purchases past t1+2·win can never re-qualify and are dropped; what
+    * stays is one anchor plus the events inside a 2-window horizon. Two
+    * shapes the geometry can't bound — a user with no view yet (any click
+    * could qualify against a future earlier view) and events before t1 —
+    * are the watermark's job in production (the [[streamingNearDupTtl]]
+    * pattern): below the watermark no re-anchoring view can arrive, so
+    * both sets become prunable there. */
   case class FunnelState(minView: Long, clicks: List[Long],
       purchases: List[Long])
   case class FunnelProgress(user_id: Long, stage: Int)
@@ -320,11 +327,17 @@ object StreamOps {
               case _       => st.copy(purchases = t :: st.purchases)
             }
           }
-          if (st.minView != Long.MaxValue)
-            st = st.copy(
-              clicks = st.clicks.filter(_ <= st.minView + winMs).distinct,
-              purchases =
-                st.purchases.filter(_ <= st.minView + 2 * winMs).distinct)
+          // dedup UNCONDITIONALLY (re-deliveries must not grow state even
+          // before the first view); the geometry prune needs an anchor
+          st =
+            if (st.minView == Long.MaxValue)
+              st.copy(clicks = st.clicks.distinct,
+                purchases = st.purchases.distinct)
+            else
+              st.copy(
+                clicks = st.clicks.filter(_ <= st.minView + winMs).distinct,
+                purchases =
+                  st.purchases.filter(_ <= st.minView + 2 * winMs).distinct)
           state.update(st)
           FunnelProgress(uid, funnelStage(st, winMs))
       }
