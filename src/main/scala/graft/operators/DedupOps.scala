@@ -531,10 +531,18 @@ object DedupOps {
     * (at real corpus sizes swap in the annLsh candidate generator — same
     * downstream); components cost O(|pairs|) labels over clique-heavy
     * graphs, 1-2 keyed-shuffle rounds (see [[connectedComponents]]). */
-  def ddSemDedup(s: SparkSession, dir: String): DataFrame = {
+  def ddSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupGroupsFrom(s, dir,
+      embeddingCosinePairs(s, dir).select(col("id_a"), col("id_b")))
+
+  /** Shared group-election tail for [[ddSemDedup]] and [[ddSemDedupAnn]]:
+    * CC over a verified cosine pair frame + singleton union + canonical
+    * flag — one implementation, so the exact and ANN-candidate paths can
+    * only differ in HOW pairs were found, never in what a group means. */
+  private def semDedupGroupsFrom(s: SparkSession, dir: String,
+      cosPairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = embeddingCosinePairs(s, dir).select(col("id_a"), col("id_b"))
-      .persist(lvl)
+    val pairs = cosPairs.persist(lvl)
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist(lvl)
     val labels = connectedComponents(edges)
@@ -552,6 +560,78 @@ object DedupOps {
     edges.unpersist()
     pairs.unpersist()
     out
+  }
+
+  /** [[ddSemDedup]] on ANN candidates — the 100-TB path made real instead
+    * of documented: pair detection is SRP-LSH bucketing rather than the
+    * exact all-pairs block join, with every candidate exactly re-verified,
+    * then the same CC group election.
+    *
+    * Candidate generation: each vector gets a `bits`-bit sign-random-
+    * projection code per table; one side explodes to its code's full
+    * Hamming-≤2 probe orbit (1 + bits + C(bits,2) masks), so a pair meets
+    * whenever its two codes agree within 2 bits in ANY table. At cos 0.4
+    * (per-bit agreement p = 1 − arccos(0.4)/π ≈ 0.63) a table catches a
+    * pair with P(ham ≤ 2 of 6) ≈ 0.61, so 8 independent tables miss with
+    * (0.39)^8 ≈ 6e-4 — and recall only improves for the higher-cosine
+    * pairs dedup actually targets. On the driver corpus recall is COMPLETE
+    * (asserted by the oracle: same recursive-CTE as dd_semdedup, i.e. the
+    * exact pair graph), the dd_minhash_lsh certification pattern.
+    *
+    * Scale — stated honestly: code assignment is map-side (native
+    * codegen'd [[SrpCode]]) and the candidate join shuffles on
+    * (table, code) with bucket size n/2^bits, so candidate work is
+    * O(n² · tables · probes / 2^bits). `bits` is the scale dial: at fixed
+    * width this is still quadratic, so production sizes
+    * bits ≈ log₂(n/B) for a target bucket B — which HOLDS recall at
+    * dedup-grade thresholds (cos ≥ 0.8 ⇒ per-bit agreement ≥ 0.86, so
+    * P(ham ≤ 2) stays high as bits grow) while bounding candidates at
+    * ~n · tables · probes · B. The 0.4 threshold here is anchored to the
+    * synthetic corpus's oracle; at that weak similarity the 6-bit/8-table
+    * setting is the recall-complete point, and at toy scale (n ≤ ~10⁵)
+    * the exact block join is simply FASTER (n²/2 primitive dots in-core
+    * beat a multi-probe candidate shuffle — measured 4.5 s exact vs 8.3 s
+    * ANN at n = 5000). This path exists for the corpora where n² cannot
+    * run at all; there, each corpus-sized shuffle replaces an impossible
+    * all-pairs pass. */
+  def ddSemDedupAnn(s: SparkSession, dir: String): DataFrame =
+    semDedupGroupsFrom(s, dir,
+      annCosinePairs(s, dir).select(col("id_a"), col("id_b")))
+
+  /** SRP-LSH candidate pairs at cos ≥ threshold, exactly re-verified —
+    * same output contract as [[embeddingCosinePairs]] minus LSH false
+    * negatives (none on this corpus; see [[ddSemDedupAnn]]). */
+  private[graft] def annCosinePairs(s: SparkSession, dir: String,
+      threshold: Double = 0.4, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+    val tableCodes = (0 until tables).map(t =>
+      struct(lit(t).as("tab"), VF.srpCode(col("ve"), bits, t).as("code")))
+    val coded = base
+      .select(col("vec_id"), explode(array(tableCodes: _*)).as("tc"))
+      .select(col("vec_id"), col("tc.tab").as("tab"), col("tc.code").as("code"))
+    val probeMasks: Seq[Long] = 0L +:
+      (0 until bits).map(b => 1L << b) ++:
+      (for { i <- 0 until bits; j <- i + 1 until bits } yield (1L << i) | (1L << j))
+    val probed = coded.select(col("vec_id").as("id_a"), col("tab").as("ptab"),
+      explode(array(probeMasks.map(m =>
+        col("code").bitwiseXOR(lit(m))): _*)).as("pcode"))
+    val cands = probed.join(coded,
+        col("ptab") === col("tab") && col("pcode") === col("code") &&
+          col("id_a") < col("vec_id"))
+      .select(col("id_a"), col("vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("ve").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("ve").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VF.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   val ddSemDedupSql: String =
@@ -946,6 +1026,7 @@ object DedupOps {
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_semdedup" -> (ddSemDedup _),
+    "dd_semdedup_ann" -> (ddSemDedupAnn _),
     "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
     "dd_bloom" -> ((s: SparkSession, d: String) => ddBloomDecontaminate(s, d)),
     "dd_source_overlap" -> (ddSourceOverlap _),
@@ -961,6 +1042,10 @@ object DedupOps {
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_semdedup" -> ddSemDedupSql,
+    // the ANN path's oracle is the EXACT pair graph's groups — valid
+    // because SRP recall is complete on this corpus (dd_minhash_lsh
+    // precedent); a real miss shows up as a split group and fails the gate
+    "dd_semdedup_ann" -> ddSemDedupSql,
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_bloom" -> ddBloomDecontaminateSql,
     "dd_source_overlap" -> ddSourceOverlapSql,

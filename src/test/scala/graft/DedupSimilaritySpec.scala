@@ -90,6 +90,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN cosine pairs == exact cosine pairs (complete recall, verified precision)") {
+    // the law dd_semdedup_ann's oracle rests on: SRP multi-probe candidates,
+    // exactly re-verified, recover EXACTLY the cos >= 0.4 pair set on this
+    // corpus — no false negatives (8 tables x ham<=2 probing), and false
+    // positives are impossible by construction (exact re-verification)
+    val exact = pairs(DedupOps.ddEmbeddingCosine(spark, dir))
+    val ann = pairs(DedupOps.annCosinePairs(spark, dir))
+    assert(exact.nonEmpty, "testdata should contain cos >= 0.4 pairs")
+    assert(ann == exact,
+      s"missed=${(exact -- ann).take(5)} spurious=${(ann -- exact).take(5)}")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val d = DedupOps.ddExact(spark, dir)
     val total = d.agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
