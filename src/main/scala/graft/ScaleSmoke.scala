@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * absorbs the growth; the per-row work is what a 1000-executor cluster
   * distributes).
   *
+  * Semantic-dedup point at 3× (6k vectors; embeddings clone as-is, so
+  * every vector gains factor−1 exact duplicates and the cos-pair graph
+  * grows ~factor² ≈ 9×): dd_semdedup 5.9 s (1.4× its 4.3 s sf0.1 time —
+  * the exact block join absorbs 9× pairs nearly free in-core) vs
+  * dd_semdedup_ann 19.9 s (2.9× its 6.9 s — the candidate SHUFFLE carries
+  * the 9× pair multiset explicitly, so the ANN path scales with OUTPUT
+  * size, its designed behavior; its win is corpora where n² candidate
+  * GENERATION can't run, not corpora where the output itself is dense).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

@@ -204,6 +204,249 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate NN via IVF-PQ: a coarse quantizer assigns each vector to
+    * one of `cells` inverted lists, and product quantization encodes the
+    * RESIDUAL (vector − cell centroid) as `m` small codes; queries scan
+    * only their `nprobe` nearest cells, rank candidates by asymmetric
+    * distance computation (ADC) over the codes alone, and exactly re-rank
+    * the top `k·overfetch` survivors. This is the standard compressed-
+    * domain index for corpora whose raw vectors don't fit storage/memory
+    * budgets: each vector is stored as one cell id + m sub-byte codes
+    * instead of `dims` floats — ~30× compression at dims=64/m=8.
+    *
+    * Residual encoding is the load-bearing choice, not a refinement: PQ on
+    * WHOLE vectors collapses every member of a tight cluster to the same
+    * codeword, ADC ties across the entire cluster, and candidate selection
+    * degenerates to the tie-break order — measured at chance-level recall
+    * on the derived clustered corpus. Subtracting the cell centroid first
+    * makes the codes encode the within-cell geometry, which is exactly
+    * what the final ranking needs (the original IVFADC construction).
+    *
+    * Determinism: the coarse centroids are a deterministic corpus sample
+    * (smallest id-hashes, the [[annIvf]] argument), the residual codebooks
+    * are a deterministic sample of residual sub-vectors, and every argmin/
+    * ranking tie breaks on ids. A k-means refinement of either codebook
+    * would add order-dependent float sums that break replayability; at
+    * 100 TB you'd swap in trained codebooks — model state of identical
+    * shape, same plan.
+    *
+    * Scale: cell assignment + residual + PQ codes are ONE map-side
+    * projection against literal codebooks (cells·dims + m·kCent·(dims/m)
+    * doubles — a few KB of model state, the dimension-table pattern); the
+    * ADC scan is map-side with broadcast queries (each query scores only
+    * its probed cells, ~nprobe/cells of the corpus); candidate
+    * top-(k·overfetch) is two-phase salted so no reducer sees a cell's
+    * full list; only ~k·overfetch rows per query rejoin raw vectors for
+    * the exact re-rank. No shuffle in the plan ever carries the corpus —
+    * the one corpus-wide exchange is the candidate top-k's salt
+    * partitioning of ADC-scored rows, which AQE coalesces.
+    *
+    * HONEST LIMITS: ADC ranking quality still depends on residual
+    * distortion vs the corpus's similarity structure; on the raw
+    * near-isotropic driver corpus there is no honest recall oracle (the
+    * [[annIvf]] situation), so the raw-corpus output is spec-tested API
+    * and the driver-gated certificate is [[pqRecallCheck]] over the
+    * derived clusterable corpus. */
+  def annPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      cells: Int = 32, nprobe: Int = 8, m: Int = 16, kCent: Int = 16,
+      overfetch: Int = 5): DataFrame =
+    annPqFrom(emb(s, dir), nQueries, k, cells, nprobe, m, kCent, overfetch)
+
+  private def arrLit(a: Any, tpe: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a, tpe))
+
+  /** [[annPq]] over a prepared (vec_id, ve, nrm) frame — shared with the
+    * PQ recall certification, which searches a derived corpus. */
+  private def annPqFrom(base: DataFrame, nQueries: Int, k: Int, cells: Int,
+      nprobe: Int, m: Int, kCent: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = base.select(size(col("ve"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    // model state 1: coarse centroids — `cells` sampled corpus vectors
+    // (smallest id-hashes); model state 2: residual codebooks — the NEXT
+    // kCent sampled vectors (disjoint from the centroid sample, so their
+    // residuals aren't trivially zero), each reduced to its residual
+    // against its nearest centroid, split into per-subspace sub-vectors
+    val sampled: Array[Array[Double]] = base
+      .select(col("vec_id"), col("ve"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells + kCent).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cents: Array[Array[Double]] = sampled.take(cells)
+    def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val resSample: Array[Array[Double]] = sampled.drop(cells).map { v =>
+      val best = cents.minBy(l2sqLocal(_, v))
+      v.zip(best).map { case (x, c) => x - c }
+    }
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { mi =>
+      resSample.map(_.slice(mi * subDim, (mi + 1) * subDim))
+    }
+    val arr1 = ArrayType(DoubleType, containsNull = false)
+    val arr2 = ArrayType(arr1, containsNull = false)
+    val centsLit = arrLit(cents, arr2)
+    val bookLit: Seq[org.apache.spark.sql.Column] = books.map(arrLit(_, arr2))
+    def sub(v: org.apache.spark.sql.Column, mi: Int) =
+      slice(v, mi * subDim + 1, subDim)
+    // All argmin-by-L2 comparisons go through the native compact VecDot
+    // with the identity argmin ‖v−e‖² = argmin (‖e‖² − 2·v·e): the ‖v‖²
+    // term is constant across entries and drops out, ‖e‖² folds into a
+    // literal. The naive aggregate(zip_with(...)) formulation builds a
+    // ~10× larger expression tree (cells + m·kCent copies of it), and at
+    // toy scale Catalyst analysis + codegen of that tree dominated the
+    // whole query (9.3 s → see BASELINE row) — plan size is a scale axis
+    // too: it's paid per job on the driver, serialized to every executor.
+    def sqNorm(a: Array[Double]): Double = a.map(x => x * x).sum
+    // cells ranked by L2 distance, ties on cell id — shared by corpus
+    // assignment (item 0) and query probing (first nprobe items)
+    def cellsRankedL2(v: org.apache.spark.sql.Column) =
+      sort_array(array((0 until cells).map { c =>
+        struct((lit(sqNorm(cents(c))) - VF.dot(v, arrLit(cents(c), arr1)) * 2)
+          .as("d"), lit(c).as("c"))
+      }: _*))
+    // encode: cell, residual, then argmin codebook entry per subspace
+    // (struct sort ties on entry id) — one map-side projection chain
+    val codeCols = (0 until m).map { mi =>
+      sort_array(array((0 until kCent).map { c =>
+        struct((lit(sqNorm(books(mi)(c))) -
+          VF.dot(sub(col("res"), mi), arrLit(books(mi)(c), arr1)) * 2).as("d"),
+          lit(c).as("c"))
+      }: _*)).getItem(0).getField("c")
+    }
+    val coded = base
+      .select(col("vec_id"),
+        cellsRankedL2(col("ve")).getItem(0).getField("c").as("cell"), col("ve"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x - c).as("res"))
+      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+    // queries probe their nprobe nearest cells; the query residual is PER
+    // PROBED CELL (ADC compares q − cell_centroid against that cell's codes)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        explode(slice(cellsRankedL2(col("ve")), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("pc.c").as("pcell"),
+        zip_with(col("qv"), element_at(centsLit, col("pc.c") + 1),
+          (x, c) => x - c).as("qres"))
+    // ADC scan inside the probed cells: approx dist from codes alone —
+    // Σ_mi ‖qres_mi − e_mi‖² = ‖qres‖² + Σ_mi (‖e_mi‖² − 2·qres_mi·e_mi);
+    // ‖qres‖² must stay (it varies across a query's probed cells), ‖e‖²
+    // is a literal lookup per code
+    val n2Lit: Seq[org.apache.spark.sql.Column] =
+      books.map(b => arrLit(b.map(sqNorm), arr1))
+    val approxDist = VF.dot(col("qres"), col("qres")) +
+      (0 until m).map { mi =>
+        element_at(n2Lit(mi), col("codes").getItem(mi) + 1) -
+          VF.dot(sub(col("qres"), mi),
+            element_at(bookLit(mi), col("codes").getItem(mi) + 1)) * 2
+      }.reduce(_ + _)
+    val nCand = k * overfetch
+    val scanned = coded.join(broadcast(queries),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), approxDist.as("adist"))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cands = scanned.withColumn("salt", pmod(col("vec_id"), lit(64)))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= nCand)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= nCand)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the candidate set only
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    cands
+      .join(base.select(col("vec_id"), col("ve"), col("nrm")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-level deterministically clusterable corpus for the PQ
+    * certification: coarse cluster c1 = vec_id mod `nC1` (integer-lattice
+    * centroid, amplitude ~1 — what the coarse quantizer must recover),
+    * sub-cluster c2 = (vec_id / nC1) mod `nC2` (a second lattice at 1/4
+    * amplitude — what the RESIDUAL codes must resolve), plus the original
+    * vector shrunk to 1/32 as tie-breaking noise.
+    *
+    * Why two levels: [[clusteredFrom]]'s within-cluster structure is pure
+    * isotropic noise, and isotropic high-dim distances CONCENTRATE — the
+    * margin between the true 10th and 50th neighbor is below any
+    * quantizer's resolution, so no PQ (no matter how trained) can rank
+    * them and a recall floor there would certify nothing. Here the
+    * neighbor structure is resolvable at codebook resolution by
+    * construction: a query's true top-k live in its sub-cluster,
+    * sub-lattice separation (~0.25) dwarfs both the noise (~0.03) and the
+    * achievable ADC distortion, and the sub-lattice depends ONLY on c2 —
+    * so the residual codebooks see `nC2` repeated patterns they can cover.
+    * A recall violation therefore isolates a real defect in encoding, the
+    * ADC scan, or the re-rank join, not an unresolvable corpus. */
+  private[graft] def hierClusteredFrom(v: DataFrame, nC1: Int = 8,
+      nC2: Int = 8): DataFrame = {
+    val c1 = pmod(col("vec_id"), lit(nC1.toLong))
+    val c2 = pmod(floor_div_col(col("vec_id"), nC1), lit(nC2.toLong))
+    v.select(col("vec_id"),
+        transform(col("ve"), (x, d) =>
+          x / 32.0 +
+            (pmod(c1 * 73 + d * 37, lit(17)) - 8).cast("double") / 8.0 +
+            (pmod(c2 * 53 + d * 29, lit(17)) - 8).cast("double") / 32.0)
+          .as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+  }
+
+  /** Integer division as a column op (Spark's `/` on longs is fractional). */
+  private def floor_div_col(c: org.apache.spark.sql.Column, by: Int) =
+    floor(c / by).cast("long")
+
+  /** Driver-gated recall certification for the IVF-PQ index, mirroring
+    * [[ivfRecallCheck]]: search the derived two-level clusterable corpus
+    * ([[hierClusteredFrom]]) and emit every query whose PQ recall@k
+    * against the exact brute-force top-k falls below `floor`. Provably
+    * empty when coarse assignment recovers the cluster and ADC ranking
+    * plus overfetch+re-rank recover the sub-cluster neighbors; any row is
+    * a real defect in encoding, the ADC scan, or the re-rank join. */
+  def pqRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, floor: Double = 0.9): DataFrame = {
+    val corpus = hierClusteredFrom(emb(s, dir))
+    val truth = bruteTopKFrom(corpus, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annPqFrom(corpus, nQueries, k, cells = 32, nprobe = 8,
+      m = 16, kCent = 16, overfetch = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    recallViolations(truth, approx, floor)
+  }
+
+  /** Shared recall-vs-floor violation tail for the IVF and PQ
+    * certifications: per-query recall of `approx` against `truth`, rows
+    * where it falls below `floor`. Left join from the truth side so a
+    * query with ZERO hits still surfaces; denominator is the ACTUAL
+    * per-query truth-set size, not the constant k (see [[ivfRecallCheck]]
+    * scaladoc for both traps). */
+  private def recallViolations(truth: DataFrame, approx: DataFrame,
+      floor: Double): DataFrame = {
+    val truthSize = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truthSize
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double"), 6).as("recall"))
+      .filter(col("recall") < floor)
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministically CLUSTERABLE corpus derived from the embeddings
     * table: cluster id c = vec_id mod `nClusters`; an integer-lattice
     * centroid per (cluster, dim) — `((c·73 + d·37) mod 17 − 8) / 8`, pure
@@ -248,16 +491,7 @@ object SimilarityOps {
     // divides by the ACTUAL truth-set size per query, not the constant k:
     // a corpus with ≤ k vectors has fewer than k true neighbors, and a
     // /k denominator would emit false violations on a perfect index.
-    val truthSize = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
-    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    truthSize
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_true").cast("double"), 6).as("recall"))
-      .filter(col("recall") < floor)
-      .orderBy(col("query_id"))
+    recallViolations(truth, approx, floor)
   }
 
   val ivfRecallCheckSql: String =
@@ -272,6 +506,9 @@ object SimilarityOps {
     // driver-gated certificate is the recall check over the derived
     // clusterable corpus:
     "sim_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecallCheck(s, d)),
+    // annPq's raw-corpus output is spec-tested API (same reasoning as
+    // annIvf); its driver-gated certificate is the recall check:
+    "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecallCheck(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -285,5 +522,6 @@ object SimilarityOps {
     // before relying on this oracle.
     "sim_ann_lsh" -> bruteTopKSql,
     "sim_ivf_recall" -> ivfRecallCheckSql,
+    "sim_pq_recall" -> ivfRecallCheckSql,
   )
 }

@@ -90,6 +90,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: deterministic, exact scores within candidates, full recall on clustered corpus") {
+    val pq1 = SimilarityOps.annPq(spark, dir).collect().map(_.toSeq).toSeq
+    val pq2 = SimilarityOps.annPq(spark, dir).collect().map(_.toSeq).toSeq
+    assert(pq1 == pq2, "sampled codebooks + tie-broken ADC ranking must replay identically")
+    // precision: PQ approximates WHICH candidates survive the ADC scan;
+    // the re-rank is exact, so every emitted cos must match brute force
+    val brute = SimilarityOps.bruteTopK(spark, dir, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val got = pq1.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+    got.foreach { case (q, n, c) =>
+      assert(brute.get((q, n)).contains(c), s"PQ cos for ($q,$n) diverges from brute")
+    }
+    // on the derived clusterable corpus the overfetch+re-rank must be
+    // near-exact — same bar as the IVF certification
+    val recalls = SimilarityOps.pqRecallCheck(spark, dir, floor = 1.01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recalls.nonEmpty)
+    recalls.foreach { case (q, r) =>
+      assert(r >= 0.9, s"query $q: clustered-corpus PQ recall $r < 0.9 " +
+        "(encoding, ADC scan, or re-rank join regressed)")
+    }
+  }
+
   test("ANN cosine pairs == exact cosine pairs (complete recall, verified precision)") {
     // the law dd_semdedup_ann's oracle rests on: SRP multi-probe candidates,
     // exactly re-verified, recover EXACTLY the cos >= 0.4 pair set on this
