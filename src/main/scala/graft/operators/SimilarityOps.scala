@@ -257,6 +257,42 @@ object SimilarityOps {
     org.apache.spark.sql.graftbridge.Bridge.column(
       org.apache.spark.sql.catalyst.expressions.Literal.create(a, tpe))
 
+  /** IVF-PQ model state, deterministic and ORACLE-PORTABLE: coarse
+    * centroids are the `cells` corpus vectors with the smallest
+    * md5(vec_id) (md5 of the decimal string — computable identically in
+    * any engine, the ds_split precedent; xxhash64 is Spark-specific);
+    * residual codebooks come from the NEXT `kCent` sampled vectors
+    * (disjoint from the centroid sample, so their residuals aren't
+    * trivially zero), each reduced to its residual against its nearest
+    * centroid and split into per-subspace sub-vectors. All driver-side
+    * arithmetic is sequential left-to-right folds over the same doubles an
+    * engine-side `list_dot_product` walks, so every distance a mirroring
+    * SQL oracle computes is bit-identical. */
+  private def pqModel(base: DataFrame, cells: Int, kCent: Int, m: Int,
+      subDim: Int): (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
+    val sampled: Array[Array[Double]] = base
+      .select(col("vec_id"), col("ve"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(cells + kCent).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cents: Array[Array[Double]] = sampled.take(cells)
+    // nearest centroid via the same constant-dropped form the engines use:
+    // argmin ‖v−c‖² = argmin (c·c − 2·v·c), sequential dots, ties on index
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val resSample: Array[Array[Double]] = sampled.drop(cells).map { v =>
+      val best = cents.minBy(c => dotSeq(c, c) - 2 * dotSeq(v, c))
+      v.zip(best).map { case (x, c) => x - c }
+    }
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { mi =>
+      resSample.map(_.slice(mi * subDim, (mi + 1) * subDim))
+    }
+    (cents, books)
+  }
+
   /** [[annPq]] over a prepared (vec_id, ve, nrm) frame — shared with the
     * PQ recall certification, which searches a derived corpus. */
   private def annPqFrom(base: DataFrame, nQueries: Int, k: Int, cells: Int,
@@ -265,29 +301,7 @@ object SimilarityOps {
     val dims = base.select(size(col("ve"))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    // model state 1: coarse centroids — `cells` sampled corpus vectors
-    // (smallest id-hashes); model state 2: residual codebooks — the NEXT
-    // kCent sampled vectors (disjoint from the centroid sample, so their
-    // residuals aren't trivially zero), each reduced to its residual
-    // against its nearest centroid, split into per-subspace sub-vectors
-    val sampled: Array[Array[Double]] = base
-      .select(col("vec_id"), col("ve"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(cells + kCent).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cents: Array[Array[Double]] = sampled.take(cells)
-    def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val resSample: Array[Array[Double]] = sampled.drop(cells).map { v =>
-      val best = cents.minBy(l2sqLocal(_, v))
-      v.zip(best).map { case (x, c) => x - c }
-    }
-    val books: Seq[Array[Array[Double]]] = (0 until m).map { mi =>
-      resSample.map(_.slice(mi * subDim, (mi + 1) * subDim))
-    }
+    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
     val arr1 = ArrayType(DoubleType, containsNull = false)
     val arr2 = ArrayType(arr1, containsNull = false)
     val centsLit = arrLit(cents, arr2)
@@ -494,6 +508,114 @@ object SimilarityOps {
     recallViolations(truth, approx, floor)
   }
 
+  /** The IVF-PQ ENCODE as a first-class output: `(vec_id, cell, codes)` —
+    * the compressed representation you'd persist at corpus scale (one
+    * cell id + m sub-byte codes per vector instead of dims floats). Unlike
+    * the recall certifications (empty-violation-set contracts), this query
+    * is value-compared: the DuckDB oracle re-derives the SAME model
+    * (md5-sampled centroids, residual codebooks) and re-runs the SAME
+    * argmins, and the driver hash-compares every code. That works because
+    * every distance on both sides is the identical IEEE op sequence:
+    * constant-dropped form ‖e‖² − 2·v·e (+ 2·c·e for the residual's
+    * expansion (v−c)·e = v·e − c·e, avoiding engine-specific list-zip
+    * subtraction order), all dots sequential left-to-right folds, ties on
+    * index. Near-tie bit divergence would need two codebook entries within
+    * ~1e-15 of each other — measured margins are ~1e-2.
+    *
+    * Scale: the model is a few KB of literals; encoding is ONE map-side
+    * projection over the corpus — no shuffle, no UDF, fully codegen'd; the
+    * output is the only corpus-sized thing and it's ~30× smaller than its
+    * input. */
+  def pqCodes(s: SparkSession, dir: String, cells: Int = 32,
+      kCent: Int = 16, m: Int = 16): DataFrame = {
+    val base = emb(s, dir)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = base.select(size(col("ve"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val arr1 = ArrayType(DoubleType, containsNull = false)
+    def sub(v: org.apache.spark.sql.Column, mi: Int) =
+      slice(v, mi * subDim + 1, subDim)
+    val cellCol =
+      sort_array(array((0 until cells).map { c =>
+        struct((lit(dotSeq(cents(c), cents(c))) -
+          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
+          lit(c).as("c"))
+      }: _*)).getItem(0).getField("c")
+    // per (mi, entry): d = ‖b‖² − 2·(v_mi·b) + 2·(c_mi·b); the c_mi·b term
+    // depends on the row's cell, so it's a literal-vector lookup indexed
+    // by cell (cbDots(mi)(e)(cell) — model state, a few KB)
+    val cbDots: Seq[Seq[Array[Double]]] = (0 until m).map { mi =>
+      (0 until kCent).map { e =>
+        cents.map(c =>
+          dotSeq(c.slice(mi * subDim, (mi + 1) * subDim), books(mi)(e)))
+      }
+    }
+    val codeCols = (0 until m).map { mi =>
+      sort_array(array((0 until kCent).map { e =>
+        struct((lit(dotSeq(books(mi)(e), books(mi)(e))) -
+          VF.dot(sub(col("ve"), mi), arrLit(books(mi)(e), arr1)) * 2 +
+          element_at(arrLit(cbDots(mi)(e), arr1), col("cell") + 1) * 2).as("d"),
+          lit(e).as("c"))
+      }: _*)).getItem(0).getField("c")
+    }
+    base
+      .select(col("vec_id"), col("ve"), cellCol.as("cell"))
+      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pqCodesSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), samp AS (
+      |  SELECT ve, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |  FROM v
+      |), cents AS (
+      |  SELECT rn - 1 AS cid, ve AS cve FROM samp WHERE rn <= 32
+      |), rsamp AS (
+      |  SELECT rn - 33 AS rid, ve AS rve FROM samp WHERE rn > 32 AND rn <= 48
+      |), rnear AS (
+      |  SELECT rid, rve, cve,
+      |    row_number() OVER (PARTITION BY rid ORDER BY
+      |      list_dot_product(cve, cve) - 2*list_dot_product(rve, cve), cid) AS rnk
+      |  FROM rsamp CROSS JOIN cents
+      |), books AS (
+      |  SELECT rid, list_transform(range(1, 65), i -> rve[i] - cve[i]) AS be
+      |  FROM rnear WHERE rnk = 1
+      |), acell AS (
+      |  SELECT vec_id, ve, cid, cve,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(cve, cve) - 2*list_dot_product(ve, cve), cid) AS rnk
+      |  FROM v CROSS JOIN cents
+      |), assigned AS (
+      |  SELECT vec_id, ve, cid AS cell, cve FROM acell WHERE rnk = 1
+      |), sub AS (
+      |  SELECT a.vec_id, a.cell, g.mi, b.rid,
+      |    list_dot_product(b.be[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4])
+      |      - 2*list_dot_product(a.ve[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4])
+      |      + 2*list_dot_product(a.cve[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4]) AS d
+      |  FROM assigned a
+      |  CROSS JOIN (SELECT unnest(range(0,16)) AS mi) g
+      |  CROSS JOIN books b
+      |), coderank AS (
+      |  SELECT vec_id, cell, mi, rid,
+      |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, rid) AS rnk
+      |  FROM sub
+      |)
+      |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+      |  array_agg(CAST(rid AS INTEGER) ORDER BY mi) AS codes
+      |FROM coderank WHERE rnk = 1
+      |GROUP BY vec_id, cell
+      |ORDER BY vec_id""".stripMargin
+
   val ivfRecallCheckSql: String =
     """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
       |WHERE FALSE""".stripMargin
@@ -509,6 +631,7 @@ object SimilarityOps {
     // annPq's raw-corpus output is spec-tested API (same reasoning as
     // annIvf); its driver-gated certificate is the recall check:
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecallCheck(s, d)),
+    "sim_pq_codes" -> ((s: SparkSession, d: String) => pqCodes(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,5 +646,6 @@ object SimilarityOps {
     "sim_ann_lsh" -> bruteTopKSql,
     "sim_ivf_recall" -> ivfRecallCheckSql,
     "sim_pq_recall" -> ivfRecallCheckSql,
+    "sim_pq_codes" -> pqCodesSql,
   )
 }

@@ -113,6 +113,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ codes: deterministic, in range, and not degenerate") {
+    val c1 = SimilarityOps.pqCodes(spark, dir).collect().map(_.toSeq).toSeq
+    val c2 = SimilarityOps.pqCodes(spark, dir).collect().map(_.toSeq).toSeq
+    assert(c1 == c2, "md5-sampled model + tie-broken argmins must replay identically")
+    val cellsSeen = c1.map(_(1).asInstanceOf[Int]).toSet
+    assert(cellsSeen.forall(c => c >= 0 && c < 32))
+    val codes = c1.flatMap(_(2).asInstanceOf[scala.collection.Seq[Int]])
+    assert(codes.forall(e => e >= 0 && e < 16))
+    // degenerate encodings (all vectors sharing one codeword) are how the
+    // whole-vector-PQ failure mode would resurface — require real spread
+    assert(codes.toSet.size > 8, s"only ${codes.toSet.size} distinct codes used")
+    assert(cellsSeen.size > 4, s"only ${cellsSeen.size} distinct cells used")
+  }
+
   test("ANN cosine pairs == exact cosine pairs (complete recall, verified precision)") {
     // the law dd_semdedup_ann's oracle rests on: SRP multi-probe candidates,
     // exactly re-verified, recover EXACTLY the cos >= 0.4 pair set on this
