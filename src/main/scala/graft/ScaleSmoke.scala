@@ -45,6 +45,21 @@ import org.apache.spark.sql.functions._
   * size, its designed behavior; its win is corpora where n² candidate
   * GENERATION can't run, not corpora where the output itself is dense).
   *
+  * PQ points at 10× (20k vectors): sim_pq_codes 0.54 s — FLAT vs 0.57 s
+  * at 1× (map-side encode; the cost is plan constants, not data);
+  * sim_pq_recall 4.8 s vs 4.1 s isolated at 1×, with ONE violation row
+  * (query 2 recall 0.5, others 1.0): the cloned corpus puts 10
+  * bit-identical copies of every vector in one sub-cluster, hundreds of
+  * members collapse to the same ADC codeword, and candidate selection
+  * among exact-tie adists (deterministic by vec_id) excludes the
+  * large-offset clones. That is the designed resolution limit of a
+  * quantized index — members of one codeword are indistinguishable until
+  * re-rank, and no tie-break can know which tied code-sharer is the true
+  * neighbor. The production posture for clone-saturated corpora is dedup
+  * BEFORE indexing (dd_semdedup exists for exactly this), or more
+  * bits/overfetch; the driver-corpus certification is unaffected (margins
+  * resolve, recall 1.0 at every SF — PqProbe).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

@@ -296,12 +296,22 @@ object SimilarityOps {
   /** [[annPq]] over a prepared (vec_id, ve, nrm) frame — shared with the
     * PQ recall certification, which searches a derived corpus. */
   private def annPqFrom(base: DataFrame, nQueries: Int, k: Int, cells: Int,
-      nprobe: Int, m: Int, kCent: Int, overfetch: Int): DataFrame = {
+      nprobe: Int, m: Int, kCent: Int, overfetch: Int,
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val dims = base.select(size(col("ve"))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
+    val (cents, books0) = pqModel(base, cells, kCent, m, subDim)
+    val books = if (trainIters > 0)
+      trainedBooks(base, cents, books0, m, subDim, trainIters) else books0
+    // toy-corpus guard: when the corpus has fewer than 8 rows per cell the
+    // coarse quantizer is mostly singleton cells and pruning certifies
+    // sampling luck, not the index — probe everything (the PQ-specific
+    // parts, ADC ranking + re-rank, are still exercised in full). At real
+    // cell occupancy the configured nprobe prunes as designed.
+    val effNprobe =
+      if (base.count() < 8L * cells) cells else nprobe
     val arr1 = ArrayType(DoubleType, containsNull = false)
     val arr2 = ArrayType(arr1, containsNull = false)
     val centsLit = arrLit(cents, arr2)
@@ -344,7 +354,7 @@ object SimilarityOps {
     // PROBED CELL (ADC compares q − cell_centroid against that cell's codes)
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qv"),
-        explode(slice(cellsRankedL2(col("ve")), 1, nprobe)).as("pc"))
+        explode(slice(cellsRankedL2(col("ve")), 1, effNprobe)).as("pc"))
       .select(col("query_id"), col("pc.c").as("pcell"),
         zip_with(col("qv"), element_at(centsLit, col("pc.c") + 1),
           (x, c) => x - c).as("qres"))
@@ -429,16 +439,72 @@ object SimilarityOps {
     * against the exact brute-force top-k falls below `floor`. Provably
     * empty when coarse assignment recovers the cluster and ADC ranking
     * plus overfetch+re-rank recover the sub-cluster neighbors; any row is
-    * a real defect in encoding, the ADC scan, or the re-rank join. */
+    * a real defect in encoding, the ADC scan, or the re-rank join.
+    *
+    * Cert geometry — the two knobs that make "provably" honest rather
+    * than lucky: `nC2 = 4` sizes every sub-cluster to ≥ k+1 members at
+    * every gate SF (500-row corpora → ~15/group), so the ENTIRE true
+    * top-k lies inside the query's own sub-cluster — near-identical
+    * vectors whose coarse cells the query necessarily ranks first
+    * (cross-sub-cluster neighbors would instead sit in cells the pruned
+    * probe list may skip, which certifies sampling luck, not the index;
+    * measured: nC2=8 at 500 rows → groups of ~8 < k+1 → recall 0.8 on one
+    * query). `overfetch = 8` sizes the candidate budget k·overfetch = 80
+    * above the largest gate-SF sub-group (62 at sf0.1), so exact-tie ADC
+    * codewords inside a group can't crowd a true neighbor out of the
+    * re-rank set. */
   def pqRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 10, floor: Double = 0.9): DataFrame = {
-    val corpus = hierClusteredFrom(emb(s, dir))
+      k: Int = 10, floor: Double = 0.9, trainIters: Int = 0): DataFrame = {
+    val corpus = hierClusteredFrom(emb(s, dir), nC2 = 4)
     val truth = bruteTopKFrom(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annPqFrom(corpus, nQueries, k, cells = 32, nprobe = 8,
-      m = 16, kCent = 16, overfetch = 5)
+      m = 16, kCent = 16, overfetch = 8, trainIters = trainIters)
       .select(col("query_id"), col("neighbor_id"))
     recallViolations(truth, approx, floor)
+  }
+
+  /** Spec-side distortion measure: corpus mean of Σ_mi min_e d(mi,e) in
+    * the constant-dropped metric (offset from true quantization error by
+    * the books-independent Σ‖res‖², so COMPARISONS between codebooks on
+    * the same corpus are exact). Used to assert the Lloyd step actually
+    * reduces distortion. */
+  private[graft] def pqMeanAssignD(s: SparkSession, dir: String,
+      trainIters: Int, cells: Int = 32, kCent: Int = 16, m: Int = 16): Double = {
+    val base = emb(s, dir)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = base.select(size(col("ve"))).head().getInt(0)
+    val subDim = dims / m
+    val (cents, books0) = pqModel(base, cells, kCent, m, subDim)
+    val books = if (trainIters > 0)
+      trainedBooks(base, cents, books0, m, subDim, trainIters) else books0
+    val arr1 = ArrayType(DoubleType, containsNull = false)
+    val arr2 = ArrayType(arr1, containsNull = false)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def sub(v: org.apache.spark.sql.Column, mi: Int) =
+      slice(v, mi * subDim + 1, subDim)
+    val centsLit = arrLit(cents, arr2)
+    val cellCol =
+      sort_array(array((0 until cells).map { c =>
+        struct((lit(dotSeq(cents(c), cents(c))) -
+          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
+          lit(c).as("c"))
+      }: _*)).getItem(0).getField("c")
+    val dSum = (0 until m).map { mi =>
+      least((0 until kCent).map { e =>
+        lit(dotSeq(books(mi)(e), books(mi)(e))) -
+          VF.dot(sub(col("res"), mi), arrLit(books(mi)(e), arr1)) * 2
+      }: _*)
+    }.reduce(_ + _)
+    base
+      .select(col("ve"), cellCol.as("cell"))
+      .select(zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+        (x, c) => x - c).as("res"))
+      .agg(avg(dSum)).head().getDouble(0)
   }
 
   /** Shared recall-vs-floor violation tail for the IVF and PQ
@@ -571,6 +637,118 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** One deterministic Lloyd refinement of the residual codebooks — the
+    * "at 100 TB you'd swap in trained codebooks" promise made runnable
+    * instead of documented. E-step: every corpus residual sub-vector goes
+    * to its nearest codebook entry (the same constant-dropped VecDot
+    * argmin the encode uses). M-step: each entry moves to the DECIMAL-
+    * exact per-dimension mean of its assigned sub-vectors (the
+    * [[EmbeddingOps]] discipline: double→DECIMAL(30,15) partial sums are
+    * order-independent, so Spark's aggregation order can't perturb a bit;
+    * the mean is then rounded to 6 decimals on both engines before reuse).
+    * Entries that attract no sub-vectors keep their sampled value — the
+    * standard empty-cluster fallback, mirrored in the oracle.
+    *
+    * Output (mi, code, entry) is MODEL-shaped (m·kCent rows) and
+    * value-compared: the DuckDB oracle re-derives the sampled model,
+    * re-runs the E-step argmins and the exact means, and the driver
+    * hash-compares every trained component.
+    *
+    * Scale: the E-step is one map-side projection (no shuffle); the
+    * M-step's posexplode emits n·dims rows but the (mi, code, dim)
+    * aggregation map-side combines, so the shuffle carries
+    * m·kCent·subDim partial sums per task, not the corpus. Iterating
+    * costs one such pass per round. */
+  def pqTrainBooks(s: SparkSession, dir: String, cells: Int = 32,
+      kCent: Int = 16, m: Int = 16): DataFrame = {
+    val base = emb(s, dir)
+    val dims = base.select(size(col("ve"))).head().getInt(0)
+    val subDim = dims / m
+    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
+    trainedBookRows(base, cents, books, m, subDim)
+      .select(col("mi"), col("code"), col("entry"))
+      .orderBy(col("mi"), col("code"))
+  }
+
+  /** The Lloyd-step frame behind [[pqTrainBooks]]: (mi, code, entry). */
+  private def trainedBookRows(base: DataFrame,
+      cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+      m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr1 = ArrayType(DoubleType, containsNull = false)
+    val arr2 = ArrayType(arr1, containsNull = false)
+    val cells = cents.length
+    val kCent = books.head.length
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def sub(v: org.apache.spark.sql.Column, mi: Int) =
+      slice(v, mi * subDim + 1, subDim)
+    val centsLit = arrLit(cents, arr2)
+    val cellCol =
+      sort_array(array((0 until cells).map { c =>
+        struct((lit(dotSeq(cents(c), cents(c))) -
+          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
+          lit(c).as("c"))
+      }: _*)).getItem(0).getField("c")
+    val withRes = base
+      .select(col("vec_id"), col("ve"), cellCol.as("cell"))
+      .select(col("vec_id"),
+        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x - c).as("res"))
+    // E-step: per-subspace nearest entry (direct residual form — the same
+    // arithmetic the ADC encode uses), then explode to (mi, code, subvec)
+    def codeCol(mi: Int) =
+      sort_array(array((0 until kCent).map { e =>
+        struct((lit(dotSeq(books(mi)(e), books(mi)(e))) -
+          VF.dot(sub(col("res"), mi), arrLit(books(mi)(e), arr1)) * 2).as("d"),
+          lit(e).as("c"))
+      }: _*)).getItem(0).getField("c")
+    val assigned = withRes
+      .select(explode(array((0 until m).map { mi =>
+        struct(lit(mi).as("mi"), codeCol(mi).as("code"),
+          sub(col("res"), mi).as("sv"))
+      }: _*)).as("s"))
+      .select(col("s.mi").as("mi"), col("s.code").as("code"), col("s.sv").as("sv"))
+    // M-step: DECIMAL-exact per-dim mean, rounded to 6 on both engines
+    val trained = assigned
+      .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("mi"), col("code"), col("dim"))
+      .agg((sum(col("x").cast("decimal(30,15)")).cast("double") /
+        count(lit(1)).cast("double")).as("c_raw"))
+      .select(col("mi"), col("code"), col("dim"), round(col("c_raw"), 6).as("c"))
+      .groupBy(col("mi"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("entry"))
+    // empty-cluster fallback: entries nothing chose keep their sampled value
+    val sess = base.sparkSession
+    import sess.implicits._
+    val orig = (0 until m).flatMap(mi => (0 until kCent).map(e =>
+      (mi, e, books(mi)(e).toSeq))).toDF("mi", "code", "orig")
+    broadcast(orig).join(trained, Seq("mi", "code"), "left")
+      .select(col("mi"), col("code"),
+        coalesce(col("entry"), col("orig")).as("entry"))
+  }
+
+  /** [[trainedBookRows]] collected back to model state (m·kCent·subDim
+    * doubles) for use by the search path — `iters` Lloyd rounds. */
+  private def trainedBooks(base: DataFrame,
+      cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+      m: Int, subDim: Int, iters: Int): Seq[Array[Array[Double]]] = {
+    var cur = books
+    for (_ <- 0 until iters) {
+      val rows = trainedBookRows(base, cents, cur, m, subDim)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).toArray)).toMap
+      cur = (0 until m).map { mi =>
+        (0 until cur(mi).length).map(e => rows((mi, e))).toArray
+      }
+    }
+    cur
+  }
+
   val pqCodesSql: String =
     """WITH v AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -616,6 +794,66 @@ object SimilarityOps {
       |GROUP BY vec_id, cell
       |ORDER BY vec_id""".stripMargin
 
+  val pqTrainSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), samp AS (
+      |  SELECT ve, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |  FROM v
+      |), cents AS (
+      |  SELECT rn - 1 AS cid, ve AS cve FROM samp WHERE rn <= 32
+      |), rsamp AS (
+      |  SELECT rn - 33 AS rid, ve AS rve FROM samp WHERE rn > 32 AND rn <= 48
+      |), rnear AS (
+      |  SELECT rid, rve, cve,
+      |    row_number() OVER (PARTITION BY rid ORDER BY
+      |      list_dot_product(cve, cve) - 2*list_dot_product(rve, cve), cid) AS rnk
+      |  FROM rsamp CROSS JOIN cents
+      |), books AS (
+      |  SELECT rid, list_transform(range(1, 65), i -> rve[i] - cve[i]) AS be
+      |  FROM rnear WHERE rnk = 1
+      |), acell AS (
+      |  SELECT vec_id, ve, cid, cve,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(cve, cve) - 2*list_dot_product(ve, cve), cid) AS rnk
+      |  FROM v CROSS JOIN cents
+      |), res AS (
+      |  SELECT vec_id, list_transform(range(1, 65), i -> ve[i] - cve[i]) AS res
+      |  FROM acell WHERE rnk = 1
+      |), sub AS (
+      |  SELECT r.vec_id, g.mi, b.rid,
+      |    list_dot_product(b.be[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4])
+      |      - 2*list_dot_product(r.res[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4]) AS d
+      |  FROM res r
+      |  CROSS JOIN (SELECT unnest(range(0,16)) AS mi) g
+      |  CROSS JOIN books b
+      |), coderank AS (
+      |  SELECT vec_id, mi, rid,
+      |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, rid) AS rnk
+      |  FROM sub
+      |), xs AS (
+      |  SELECT c.mi, c.rid AS code, gd.d AS dim, r.res[c.mi*4 + gd.d + 1] AS x
+      |  FROM coderank c
+      |  JOIN res r USING (vec_id)
+      |  CROSS JOIN (SELECT unnest(range(0,4)) AS d) gd
+      |  WHERE c.rnk = 1
+      |), means AS (
+      |  SELECT mi, code, dim,
+      |    ROUND(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM xs GROUP BY mi, code, dim
+      |), trained AS (
+      |  SELECT mi, code, array_agg(c ORDER BY dim) AS entry
+      |  FROM means GROUP BY mi, code
+      |), origs AS (
+      |  SELECT g.mi, b.rid AS code, b.be[g.mi*4+1 : g.mi*4+4] AS orig
+      |  FROM books b CROSS JOIN (SELECT unnest(range(0,16)) AS mi) g
+      |)
+      |SELECT o.mi, o.code, COALESCE(t.entry, o.orig) AS entry
+      |FROM origs o LEFT JOIN trained t USING (mi, code)
+      |ORDER BY mi, code""".stripMargin
+
   val ivfRecallCheckSql: String =
     """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
       |WHERE FALSE""".stripMargin
@@ -632,6 +870,7 @@ object SimilarityOps {
     // annIvf); its driver-gated certificate is the recall check:
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecallCheck(s, d)),
     "sim_pq_codes" -> ((s: SparkSession, d: String) => pqCodes(s, d)),
+    "sim_pq_train" -> ((s: SparkSession, d: String) => pqTrainBooks(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -647,5 +886,6 @@ object SimilarityOps {
     "sim_ivf_recall" -> ivfRecallCheckSql,
     "sim_pq_recall" -> ivfRecallCheckSql,
     "sim_pq_codes" -> pqCodesSql,
+    "sim_pq_train" -> pqTrainSql,
   )
 }

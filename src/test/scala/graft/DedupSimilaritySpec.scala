@@ -127,6 +127,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cellsSeen.size > 4, s"only ${cellsSeen.size} distinct cells used")
   }
 
+  test("PQ training: deterministic, distortion drops, recall preserved") {
+    val t1 = SimilarityOps.pqTrainBooks(spark, dir).collect().map(_.toSeq).toSeq
+    val t2 = SimilarityOps.pqTrainBooks(spark, dir).collect().map(_.toSeq).toSeq
+    assert(t1 == t2, "DECIMAL-exact means must replay identically")
+    assert(t1.size == 256, s"expected 16x16 model rows, got ${t1.size}")
+    // the Lloyd step must actually help: corpus mean assignment distance
+    // (constant-dropped metric — offsets cancel between codebooks) drops
+    val d0 = SimilarityOps.pqMeanAssignD(spark, dir, trainIters = 0)
+    val d1 = SimilarityOps.pqMeanAssignD(spark, dir, trainIters = 1)
+    assert(d1 < d0, s"trained distortion $d1 not below sampled $d0")
+    // and searching with trained books keeps the certification bar
+    val recalls = SimilarityOps.pqRecallCheck(spark, dir, floor = 1.01,
+      trainIters = 1).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recalls.nonEmpty)
+    recalls.foreach { case (q, r) =>
+      assert(r >= 0.9, s"query $q: trained-books recall $r < 0.9")
+    }
+  }
+
   test("ANN cosine pairs == exact cosine pairs (complete recall, verified precision)") {
     // the law dd_semdedup_ann's oracle rests on: SRP multi-probe candidates,
     // exactly re-verified, recover EXACTLY the cos >= 0.4 pair set on this
