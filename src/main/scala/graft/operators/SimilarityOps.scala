@@ -343,32 +343,49 @@ object SimilarityOps {
           lit(c).as("c"))
       }: _*)).getItem(0).getField("c")
     }
+    // codes stay 16 SEPARATE columns (code0..code15) through the scan, not
+    // one array(...) expression: a single giant expression can't be split
+    // by Spark's per-expression method splitter, and the partial
+    // WindowGroupLimit below fuses a Sort into this stage — the combined
+    // method blew the JVM's 64 KB limit and dropped the WHOLE encode+scan
+    // stage to interpreted eval (observed as janino "Code grows beyond
+    // 64 KB" in the r8 bench). Separate top-level columns split cleanly.
     val coded = base
       .select(col("vec_id"),
         cellsRankedL2(col("ve")).getItem(0).getField("c").as("cell"), col("ve"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
           (x, c) => x - c).as("res"))
-      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
-    // queries probe their nprobe nearest cells; the query residual is PER
-    // PROBED CELL (ADC compares q − cell_centroid against that cell's codes)
+      .select(col("vec_id") +: col("cell") +:
+        codeCols.zipWithIndex.map { case (c, mi) => c.as(s"code$mi") }: _*)
+    // queries probe their nprobe nearest cells and PRECOMPUTE the ADC
+    // distance table per probed cell (the original IVFADC design):
+    // dtab[mi][e] = ‖e‖² − 2·qres_mi·e for every codebook entry, plus the
+    // cell-dependent ‖qres‖² term. The m·kCent table computation — the
+    // expensive, literal-heavy expression — runs on the BROADCAST side
+    // (nQueries·nprobe rows), in its own stage; the corpus-side scan is
+    // then m table lookups per row, so the stage that fuses with the
+    // partial-top-k Sort stays far under the JVM method limit (the inline
+    // formulation blew 64 KB there and fell back to interpreted eval).
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qv"),
         explode(slice(cellsRankedL2(col("ve")), 1, effNprobe)).as("pc"))
       .select(col("query_id"), col("pc.c").as("pcell"),
         zip_with(col("qv"), element_at(centsLit, col("pc.c") + 1),
           (x, c) => x - c).as("qres"))
+      .select(col("query_id"), col("pcell"),
+        VF.dot(col("qres"), col("qres")).as("qn2"),
+        array((0 until m).map { mi =>
+          array((0 until kCent).map { e =>
+            lit(sqNorm(books(mi)(e))) -
+              VF.dot(sub(col("qres"), mi), arrLit(books(mi)(e), arr1)) * 2
+          }: _*)
+        }: _*).as("dtab"))
     // ADC scan inside the probed cells: approx dist from codes alone —
-    // Σ_mi ‖qres_mi − e_mi‖² = ‖qres‖² + Σ_mi (‖e_mi‖² − 2·qres_mi·e_mi);
-    // ‖qres‖² must stay (it varies across a query's probed cells), ‖e‖²
-    // is a literal lookup per code
-    val n2Lit: Seq[org.apache.spark.sql.Column] =
-      books.map(b => arrLit(b.map(sqNorm), arr1))
-    val approxDist = VF.dot(col("qres"), col("qres")) +
+    // ‖qres‖² + Σ_mi dtab[mi][code_mi]
+    val approxDist = col("qn2") +
       (0 until m).map { mi =>
-        element_at(n2Lit(mi), col("codes").getItem(mi) + 1) -
-          VF.dot(sub(col("qres"), mi),
-            element_at(bookLit(mi), col("codes").getItem(mi) + 1)) * 2
+        element_at(element_at(col("dtab"), mi + 1), col(s"code$mi") + 1)
       }.reduce(_ + _)
     val nCand = k * overfetch
     val scanned = coded.join(broadcast(queries),
@@ -631,10 +648,15 @@ object SimilarityOps {
           lit(e).as("c"))
       }: _*)).getItem(0).getField("c")
     }
+    // no final orderBy: the driver's hash compare sorts rows itself, and
+    // with a single input partition a sort has no exchange boundary — the
+    // 256-entry encode projection would FUSE into the sort stage, push the
+    // generated sort_addToSorter past the JVM's 64 KB method limit, and
+    // silently drop the whole stage to interpreted eval (observed in the
+    // r8 bench logs). Without it the encode is one codegen'd map stage.
     base
       .select(col("vec_id"), col("ve"), cellCol.as("cell"))
       .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
-      .orderBy(col("vec_id"))
   }
 
   /** One deterministic Lloyd refinement of the residual codebooks — the
