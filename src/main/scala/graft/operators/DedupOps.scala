@@ -952,6 +952,169 @@ object DedupOps {
       |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
       |FROM marked GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- exact duplicated-substring spans
+  /** Exact-substring duplication spans — the passage-level dedup axis of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), which cuts repeated PASSAGES rather than dropping whole
+    * near-duplicate documents. For each document: the maximal token spans
+    * in which every token is covered by some k-token window that occurs at
+    * ≥2 sites (doc, pos) corpus-wide. A duplicated substring of ≥ k tokens
+    * is detected exactly (all of its k-windows are duplicated, so the span
+    * covers it fully); substrings shorter than k are invisible by design —
+    * k is the minimum match length, the same role it plays in the paper's
+    * suffix-array formulation (50 BPE tokens there; 8 word tokens here,
+    * sized to the synthetic corpus's short docs). Overlapping duplicated
+    * windows merge into one span; merely adjacent ones stay separate
+    * (each is a distinct duplicated substring that happens to abut).
+    *
+    * Scale (why not a suffix array): the paper's SA needs the corpus bytes
+    * in one address space. This k-gram anchor scan is one map pass
+    * emitting ≈1 window per corpus token, one shuffle keyed by the 64-bit
+    * window hash for the ≥2-sites decision (window-count idiom of
+    * [[discriminativeShingles]] — no groupBy + join-back), and one
+    * doc_id-keyed shuffle for the span merge whose per-key state is only
+    * that document's duplicated sites. Nothing quadratic, nothing
+    * collects. Windows travel as xxhash64 longs (collision note on
+    * [[shingleSet]] applies).
+    */
+  def ddSubstringSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringSpanTable(s, dir, k).orderBy(col("doc_id"), col("span_start"))
+
+  /** Span table without the presentation sort (shared with the rate query).
+    * Tokens cross a projection boundary before the window transform for
+    * the same reason as [[shingleSet]] (inlined `split` re-evaluates per
+    * `element_at`). */
+  private def substringSpanTable(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val sites = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)), i =>
+          xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("hg"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("hg"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    sites
+      .withColumn("__sites", count(lit(1)).over(wh))
+      .filter(col("__sites") >= 2)
+      .drop("__sites")
+      // a window at pos covers [pos, pos+k-1]; a site opens a new span iff
+      // it does not overlap the previous site's window (gap ≥ k)
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1, Long.MinValue / 2).over(wd) >= k,
+          1).otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(wd))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__maxp"))
+      .select(col("doc_id"), col("span_start"),
+        (col("__maxp") + (k - 1)).as("span_end"),
+        (col("__maxp") + (k - 1) - col("span_start") + 1).as("span_tokens"))
+  }
+
+  val ddSubstringSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sites AS (
+      |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM sites
+      |), dupg AS (
+      |  SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g JOIN dupg USING (g)
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |      -1000000) >= 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, pos,
+      |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM flagged
+      |)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+      |FROM spans GROUP BY doc_id, span_id
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Per-source duplicated-token budget: what fraction of each source's
+    * tokens sit inside a duplicated span — the number the paper's cut step
+    * would remove, and the statistic a mixture designer reads next to
+    * [[ddDupRate]] (doc-level) to see whether a source's duplication is
+    * whole-document or boilerplate-passage shaped.
+    *
+    * Scale: the span table per-doc aggregate and the doc token counts are
+    * both keyed by doc_id, so the left join co-partitions; output is
+    * |sources| rows. */
+  def ddSubstringRate(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val perDoc = substringSpanTable(s, dir, k)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_toks"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_toks").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        coalesce(sum(col("dup_toks")), lit(0L)).as("dup_tokens"),
+        sum(col("n_toks")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("dup_tokens"), col("total_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val ddSubstringRateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sites AS (
+      |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM sites
+      |), dupg AS (
+      |  SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g JOIN dupg USING (g)
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |      -1000000) >= 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, pos,
+      |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM flagged
+      |), span_tab AS (
+      |  SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+      |  FROM spans GROUP BY doc_id, span_id
+      |), per_doc AS (
+      |  SELECT doc_id, SUM(span_tokens) AS dup_toks FROM span_tab GROUP BY doc_id
+      |), dtoks AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |  FROM documents
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN dup_toks IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(COALESCE(SUM(dup_toks), 0) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |  ROUND(CAST(COALESCE(SUM(dup_toks), 0) AS DOUBLE) /
+      |    CAST(SUM(n_toks) AS DOUBLE), 6) AS dup_frac
+      |FROM dtoks LEFT JOIN per_doc USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- source overlap matrix
   /** Cross-source shingle-overlap matrix — the corpus-level contamination
     * diagnostic a mixture designer reads before weighting sources: for
@@ -1031,6 +1194,8 @@ object DedupOps {
     "dd_bloom" -> ((s: SparkSession, d: String) => ddBloomDecontaminate(s, d)),
     "dd_source_overlap" -> (ddSourceOverlap _),
     "dd_dup_rate" -> (ddDupRate _),
+    "dd_substring_spans" -> ((s: SparkSession, d: String) => ddSubstringSpans(s, d)),
+    "dd_substring_rate" -> ((s: SparkSession, d: String) => ddSubstringRate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1050,5 +1215,7 @@ object DedupOps {
     "dd_bloom" -> ddBloomDecontaminateSql,
     "dd_source_overlap" -> ddSourceOverlapSql,
     "dd_dup_rate" -> ddDupRateSql,
+    "dd_substring_spans" -> ddSubstringSpansSql,
+    "dd_substring_rate" -> ddSubstringRateSql,
   )
 }
