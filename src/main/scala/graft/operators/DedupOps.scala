@@ -984,9 +984,10 @@ object DedupOps {
     * Tokens cross a projection boundary before the window transform for
     * the same reason as [[shingleSet]] (inlined `split` re-evaluates per
     * `element_at`). */
-  private def substringSpanTable(s: SparkSession, dir: String,
-      k: Int): DataFrame = {
-    val sites = docs(s, dir)
+  /** One row per k-token window: (doc_id, pos [1-based], hg [xxhash64 of
+    * the space-joined window]). */
+  private def windowSites(s: SparkSession, dir: String, k: Int): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(
@@ -994,6 +995,26 @@ object DedupOps {
           xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("hg"))
+
+  /** Bloom sketch over the DISTINCT duplicated window hashes — the model
+    * state [[graft.streaming.StreamOps.streamingSubstringCut]] probes on
+    * arrival. Bloom direction is the safe one for dedup: no false
+    * negatives (a duplicated span can never survive the stream), false
+    * positives over-cut at the sketch's bounded rate. */
+  def substringDupSketch(s: SparkSession, dir: String, k: Int = 8,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 24): Array[Byte] = {
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("hg"))
+    val dupW = windowSites(s, dir, k)
+      .withColumn("__sites", count(lit(1)).over(wh))
+      .filter(col("__sites") >= 2)
+      .select(col("hg")).distinct()
+    graft.functions.BloomSketch.buildSketch(dupW, col("hg"),
+      expectedItems, numBits)
+  }
+
+  private def substringSpanTable(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val sites = windowSites(s, dir, k)
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("hg"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1071,6 +1092,79 @@ object DedupOps {
           col("total_tokens").cast("double"), 6).as("dup_frac"))
       .orderBy(col("source"))
   }
+
+  /** The cut step of exact-substring dedup: re-emit every document with
+    * its duplicated spans removed (the training-ready output — what Lee et
+    * al. actually train on). Contract ties to [[ddSubstringSpans]]:
+    * `n_removed` per doc = the sum of that doc's span_tokens; untouched
+    * docs pass through verbatim.
+    *
+    * Scale: the span table folds to a per-doc span LIST (bounded by the
+    * doc's own length, not the corpus), joins back doc_id-keyed, and the
+    * token filter is one partition-local higher-order projection — no
+    * per-token shuffle. */
+  def ddSubstringCut(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spanList = substringSpanTable(s, dir, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spanList, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("keep_idx", filter(sequence(lit(1), size(col("toks"))),
+        i => !exists(col("sp"),
+          x => x.getField("s") <= i && i <= x.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep_idx"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep_idx"), i => element_at(col("toks"), i)))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddSubstringCutSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sites AS (
+      |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM sites
+      |), dupg AS (
+      |  SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g JOIN dupg USING (g)
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |      -1000000) >= 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, pos,
+      |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM flagged
+      |), span_tab AS (
+      |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(MAX(pos) + 7 AS BIGINT) AS e
+      |  FROM spans GROUP BY doc_id, span_id
+      |), span_list AS (
+      |  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      |  FROM span_tab GROUP BY doc_id
+      |), kept AS (
+      |  SELECT t.doc_id, t.t,
+      |    list_filter(range(1, len(t.t) + 1),
+      |      i -> sp IS NULL OR len(list_filter(sp, x -> x.s <= i AND i <= x.e)) = 0) AS keep_idx
+      |  FROM toks t LEFT JOIN span_list USING (doc_id)
+      |)
+      |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(t) - len(keep_idx) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(list_transform(keep_idx, i -> t[i]), ' '), '') AS clean_text
+      |FROM kept ORDER BY doc_id""".stripMargin
 
   val ddSubstringRateSql: String =
     """WITH toks AS (
@@ -1196,6 +1290,7 @@ object DedupOps {
     "dd_dup_rate" -> (ddDupRate _),
     "dd_substring_spans" -> ((s: SparkSession, d: String) => ddSubstringSpans(s, d)),
     "dd_substring_rate" -> ((s: SparkSession, d: String) => ddSubstringRate(s, d)),
+    "dd_substring_cut" -> ((s: SparkSession, d: String) => ddSubstringCut(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1217,5 +1312,6 @@ object DedupOps {
     "dd_dup_rate" -> ddDupRateSql,
     "dd_substring_spans" -> ddSubstringSpansSql,
     "dd_substring_rate" -> ddSubstringRateSql,
+    "dd_substring_cut" -> ddSubstringCutSql,
   )
 }

@@ -471,6 +471,93 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- bigram-LM perplexity
+  /** Bigram language-model perplexity per document — the next step up from
+    * [[txtUnigramPpl]] on the same CCNet-style quality axis: a document of
+    * plausible words in IMPLAUSIBLE order (shuffled text, keyword stuffing)
+    * scores near-unigram under the unigram model but high here. Model
+    * trained on the corpus itself with add-k smoothing:
+    * `p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·|V|)`, k = 0.5, where
+    * `c(w1 ·)` counts w1 as a bigram context and |V| is the corpus
+    * vocabulary. Per-doc score = exp of the average negative log-likelihood
+    * over the doc's bigrams (docs shorter than 2 tokens drop out). The
+    * per-token ln contributions sum through DECIMAL(30,15) (exact,
+    * order-free — the entropy/BM25/unigram discipline).
+    *
+    * Scale: (doc, bigram) tf is map-combined; the bigram and context
+    * tables are model-sized shuffle joins keyed by bigram / context token
+    * (broadcastable when they fit — Spark picks that); |V| crosses as a
+    * broadcast scalar; one doc-keyed sum. No driver state. */
+  def txtBigramPpl(s: SparkSession, dir: String, kSmooth: Double = 0.5): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.b"))
+      .groupBy(col("doc_id"), col("w1"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = tf.groupBy(col("b")).agg(sum(col("tf")).as("c2"))
+    val c1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    val vocab = docs(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val report = tf
+      .join(c2, Seq("b")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"),
+        log((col("c2").cast("double") + kSmooth) /
+          (col("c1").cast("double") + col("v").cast("double") * kSmooth)).as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum((col("tf").cast("double") * col("lnp")).cast("decimal(30,15)")).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(-col("ll").cast("double") / col("n_bigrams").cast("double"), 6) + 0.0)
+          .as("avg_nll"),
+        (round(exp(-col("ll").cast("double") / col("n_bigrams").cast("double")), 6) + 0.0)
+          .as("ppl"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    tf.unpersist()
+    report
+  }
+
+  val txtBigramPplSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), bgsites AS (
+      |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+      |  FROM toks WHERE len(t) >= 2
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b FROM bgsites
+      |), tf AS (
+      |  SELECT doc_id, w1, b, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+      |), c2 AS (
+      |  SELECT b, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1
+      |), voc AS (
+      |  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      |  FROM (SELECT unnest(t) AS term FROM toks)
+      |), ll AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+      |    SUM(CAST(CAST(tf.tf AS DOUBLE)
+      |      * ln((CAST(c2 AS DOUBLE) + 0.5)
+      |          / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+      |      AS DECIMAL(30,15))) AS ll
+      |  FROM tf JOIN c2 USING (b) JOIN c1 USING (w1) CROSS JOIN voc
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  ROUND(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) + 0.0 AS avg_nll,
+      |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
+      |FROM ll ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -482,6 +569,7 @@ object TextQueries {
     "txt_lenhist" -> ((s: SparkSession, d: String) => txtLenHist(s, d)),
     "txt_bm25" -> ((s: SparkSession, d: String) => txtBm25(s, d)),
     "txt_unigram_ppl" -> (txtUnigramPpl _),
+    "txt_bigram_ppl" -> ((s: SparkSession, d: String) => txtBigramPpl(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +583,6 @@ object TextQueries {
     "txt_lenhist" -> txtLenHistSql,
     "txt_bm25" -> txtBm25Sql,
     "txt_unigram_ppl" -> txtUnigramPplSql,
+    "txt_bigram_ppl" -> txtBigramPplSql,
   )
 }

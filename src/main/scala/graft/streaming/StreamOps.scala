@@ -397,6 +397,44 @@ object StreamOps {
     * Batch/stream unified: the same transform runs on a `spark.read`
     * frame; StreamingSpec asserts the streamed flags converge to the batch
     * operator's exactly. */
+  /** Exact-substring cut on arrival — the streaming twin of
+    * [[graft.operators.DedupOps.ddSubstringCut]]: remove from each
+    * arriving document every token covered by a k-token window whose hash
+    * hits a PRE-BUILT duplicated-window bloom sketch
+    * ([[graft.operators.DedupOps.substringDupSketch]] — model state, a
+    * binary literal on the plan). The whole operator is ONE stateless
+    * projection: window hashing, sketch probes, and the covered-token
+    * filter are all higher-order folds inside the row, so there is no
+    * explode, no shuffle, no state store, and append mode is trivial.
+    * Bloom has no false negatives — a span duplicated in the reference
+    * corpus can never survive the stream; false positives over-cut at the
+    * sketch's bounded rate (the safe direction for dedup).
+    *
+    * Batch/stream unified: the same transform runs on a `spark.read`
+    * frame; StreamingSpec asserts streamed output == the batch cut. */
+  def streamingSubstringCut(docs: DataFrame, sketch: Array[Byte],
+      k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.BloomSketch
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dup_pos",
+        when(size(col("toks")) >= k,
+          filter(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => BloomSketch.mightContainLit(sketch,
+              xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
+          .otherwise(expr("CAST(array() AS array<int>)")))
+      .withColumn("keep_idx",
+        filter(sequence(lit(1), size(col("toks"))),
+          j => !exists(col("dup_pos"), p => p <= j && j <= p + (k - 1))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep_idx"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep_idx"), j => element_at(col("toks"), j)))
+          .as("clean_text"))
+  }
+
   def streamingBloomFlag(docs: DataFrame, sketch: Array[Byte],
       minHits: Long = 3L): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokens}

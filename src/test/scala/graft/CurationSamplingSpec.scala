@@ -194,6 +194,36 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_cov diagonal == dimstats variance; PCA eigenpair law holds") {
+    val cov = EmbeddingOps.embCov(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // the matrix's diagonal IS dimstats' variance (std²), same rounding
+    val stats = EmbeddingOps.embDimStats(spark, dir).collect()
+    stats.foreach { r =>
+      val (dim, std) = (r.getLong(0).toInt, r.getDouble(3))
+      assert(math.abs(cov((dim, dim)) - std * std) < 2e-6,
+        s"cov($dim,$dim)=${cov((dim, dim))} vs std²=${std * std}")
+    }
+    // eigenpair certification: empty violation set, and λ (recomputed the
+    // operator's way) must dominate every single-axis variance
+    assert(EmbeddingOps.embPcaCheck(spark, dir).collect().isEmpty,
+      "PCA eigen-residual violations at sf0.001")
+    val maxVar = stats.map(r => r.getDouble(3) * r.getDouble(3)).max
+    val d = stats.length
+    val c = Array.ofDim[Double](d, d)
+    cov.foreach { case ((i, j), v) => c(i)(j) = v; c(j)(i) = v }
+    var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d))
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nw)
+    }
+    val lambda = (0 until d).map(i =>
+      v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
+    assert(lambda >= maxVar - 1e-9,
+      s"top eigenvalue $lambda below max axis variance $maxVar")
+  }
+
   test("emb_kmeans conserves the corpus and a Lloyd step never hurts") {
     def objective(iters: Int): (Long, Double) = {
       val rows = EmbeddingOps.embKmeans(spark, dir, k = 8, iters = iters).collect()

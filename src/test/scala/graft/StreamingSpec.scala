@@ -328,6 +328,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("split").distinct().count() == 3)
   }
 
+  test("streaming substring cut == batch cut doc-for-doc (stateless append)") {
+    // sketch over the corpus's duplicated windows, as the batch side builds
+    // it; stream the same docs through multiple micro-batches. Sketch is
+    // oversized for the corpus (≪1 expected false positives), so exact
+    // equality with the batch cut is the honest assertion — any divergence
+    // is a logic bug, not bloom noise.
+    val d = Tables.load(spark, dir, "documents")
+    val sketch = graft.operators.DedupOps.substringDupSketch(spark, dir)
+    val cutDir = Files.createTempDirectory("graft-subcut-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(cutDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingSubstringCut(
+        StreamOps.readParquetStream(spark, cutDir, d.schema), sketch),
+      "append", "subcut_out")
+    val batch = graft.operators.DedupOps.ddSubstringCut(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("n_removed") > 0).count() > 0,
+      "testdata should contain duplicated spans")
+  }
+
   test("streaming bloom decontamination flags == batch flags (stateless append)") {
     import graft.functions.{BloomSketch, TextFunctions}
     // sketch over the eval side (src0), exactly as the batch screen builds it

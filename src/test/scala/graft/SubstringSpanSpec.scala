@@ -72,6 +72,22 @@ class SubstringSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("cut query removes exactly the span tokens and keeps the rest in order") {
+    val cut = DedupOps.ddSubstringCut(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val spanByDoc = spans.groupBy(_._1)
+    corpus.foreach { case (id, t) =>
+      val (nTok, nRemoved, clean) = cut(id)
+      assert(nTok == t.length, s"doc $id n_tokens")
+      val ss = spanByDoc.getOrElse(id, Nil)
+      assert(nRemoved == ss.map(_._4).sum, s"doc $id n_removed != span_tokens sum")
+      val expected = t.zipWithIndex.collect {
+        case (tok, i0) if !ss.exists { case (_, s0, e0, _) => s0 <= i0 + 1 && i0 + 1 <= e0 } => tok
+      }.mkString(" ")
+      assert(clean == expected, s"doc $id clean_text mismatch")
+    }
+  }
+
   test("rate query reconciles with the span table and raw token counts") {
     val rate = DedupOps.ddSubstringRate(spark, dir).collect()
     val srcOf = Tables.load(spark, dir, "documents")
