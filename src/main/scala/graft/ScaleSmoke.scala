@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   * absorbs the growth; the per-row work is what a 1000-executor cluster
   * distributes).
   *
+  * Round-8 additions at 10× (50k docs / 50k vectors): dd_substring_spans
+  * 2.25 s (1.7× its 1.33 s sf0.1 time — the window-hash shuffle carries
+  * 10× sites; every cloned doc gains a full-doc duplicated span, so the
+  * output is 50k spans, 1000× the 1× row count, and the span merge still
+  * holds at 1.7×), dd_substring_rate 0.43 s, dd_substring_cut 0.36 s,
+  * txt_bigram_ppl 3.60 s (FLAT vs 3.55 — the bigram/context model joins
+  * are vocabulary-shaped, and the corpus clone adds data without adding
+  * vocabulary), emb_pca_check 6.04 s (1.1× for 10× vectors — the pair-
+  * grain DECIMAL sum is the cost and local[32]'s slack absorbs it; the
+  * d-group model collect is size-invariant).
+  *
   * Semantic-dedup point at 3× (6k vectors; embeddings clone as-is, so
   * every vector gains factor−1 exact duplicates and the cos-pair graph
   * grows ~factor² ≈ 9×): dd_semdedup 5.9 s (1.4× its 4.3 s sf0.1 time —

@@ -1173,6 +1173,66 @@ object RelationalQueries {
       |FROM cells JOIN sizes USING (cohort)
       |ORDER BY cohort, day_offset""".stripMargin
 
+  // ------------------------------------------- q38: explicit sessionization
+  /** Gaps-and-islands sessionization — the event-analytics primitive under
+    * funnels and retention: assign every event to a per-user session (a
+    * new session opens when the gap to the previous event exceeds 30
+    * minutes) and emit per-session bounds, event count, and value sum.
+    * Unlike [[graft.operators.WindowQueries]]' `session_window` aggregate
+    * (which only yields the window bounds), this materializes the session
+    * IDENTITY, so downstream queries can join events back to sessions.
+    * Gap arithmetic runs on `unix_micros` (exact longs — no fractional-
+    * second float drift between engines); ordering ties break by event_id.
+    *
+    * Scale: one user-keyed window shuffle (per-key state = one user's
+    * events) + the same-keyed session rollup — the second aggregation
+    * reuses the window's partitioning, no extra exchange. */
+  def q38Sessionize(s: SparkSession, dir: String): DataFrame = {
+    // NULL-ts guard (q37 precedent)
+    val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("gap_us", unix_micros(col("ts"))
+        - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (round(sum(col("value").cast("decimal(30,15)")).cast("double"), 6) + 0.0)
+          .as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q38Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE ts IS NOT NULL
+      |), flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      OR epoch_us(ts) - LAG(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s,
+      |    event_id
+      |  FROM ev
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,15))) AS DOUBLE), 6) + 0.0
+      |    AS sum_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter" -> (q2Filter _),
@@ -1216,6 +1276,7 @@ object RelationalQueries {
     "q35_hll_merge" -> (q35HllMerge _),
     "q36_event_funnel" -> (q36EventFunnel _),
     "q37_retention" -> (q37Retention _),
+    "q38_sessionize" -> (q38Sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1261,5 +1322,6 @@ object RelationalQueries {
     "q35_hll_merge" -> q35Sql,
     "q36_event_funnel" -> q36Sql,
     "q37_retention" -> q37Sql,
+    "q38_sessionize" -> q38Sql,
   )
 }

@@ -471,6 +471,88 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- CCNet perplexity buckets
+  /** CCNet-style quality bucketing: split each source's documents into
+    * head / middle / tail thirds by LM perplexity (head = most fluent —
+    * the slice CCNet keeps for high-quality corpora; tail = the candidate
+    * discard). Perplexity is [[txtUnigramPpl]]'s corpus-trained score;
+    * tertiles are NTILE(3) within source ordered by (ppl, doc_id) — the
+    * doc_id tiebreak makes the assignment deterministic on both engines
+    * even when rounded ppl values tie.
+    *
+    * Scale: NTILE needs a per-source total order — one sort shuffle keyed
+    * by source, fine while every source fits a task spill budget. The
+    * 100-TB form swaps the window for two APPROX tertile thresholds per
+    * source (one `percentile_approx` pass → |sources|·2-row broadcast
+    * model → map-side bucket assignment), trading exact thirds for a
+    * one-pass mergeable sketch; the oracle-gated NTILE form is the exact
+    * reference that certifies it. */
+  def txtPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ppl"), col("doc_id"))
+    txtUnigramPpl(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("ppl"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 100-TB form of [[txtPplBuckets]]: per-source tertile THRESHOLDS
+    * from one mergeable `percentile_approx` pass (|sources|·2 doubles —
+    * broadcast model state), then map-side bucket assignment. No
+    * per-source sort shuffle; the trade is approximate thirds at the
+    * sketch's rank-error bound. Not driver-gated (the exact NTILE twin is
+    * the oracle-gated reference); the spec certifies ≥90% bucket agreement
+    * between the two forms. */
+  def txtPplBucketsApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ppl = txtUnigramPpl(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("ppl"))
+    val th = ppl.groupBy(col("source"))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("th"))
+    ppl.join(broadcast(th), Seq("source"))
+      .select(col("doc_id"), col("source"), col("ppl"),
+        when(col("ppl") <= element_at(col("th"), 1), "head")
+          .when(col("ppl") <= element_at(col("th"), 2), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtPplBucketsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf
+      |), ll AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(CAST(tf.tf AS DOUBLE)
+      |      * ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE)) AS DECIMAL(30,15)))
+      |      AS ll
+      |  FROM tf JOIN uni ON tf.term = uni.term CROSS JOIN tot
+      |  GROUP BY 1
+      |), ppl AS (
+      |  SELECT doc_id,
+      |    ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS ppl
+      |  FROM ll
+      |), ranked AS (
+      |  SELECT p.doc_id, d.source, p.ppl,
+      |    NTILE(3) OVER (PARTITION BY d.source ORDER BY p.ppl, p.doc_id) AS t
+      |  FROM ppl p JOIN documents d USING (doc_id)
+      |)
+      |SELECT doc_id, source, ppl,
+      |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- bigram-LM perplexity
   /** Bigram language-model perplexity per document — the next step up from
     * [[txtUnigramPpl]] on the same CCNet-style quality axis: a document of
@@ -570,6 +652,7 @@ object TextQueries {
     "txt_bm25" -> ((s: SparkSession, d: String) => txtBm25(s, d)),
     "txt_unigram_ppl" -> (txtUnigramPpl _),
     "txt_bigram_ppl" -> ((s: SparkSession, d: String) => txtBigramPpl(s, d)),
+    "txt_ppl_buckets" -> (txtPplBuckets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,5 +667,6 @@ object TextQueries {
     "txt_bm25" -> txtBm25Sql,
     "txt_unigram_ppl" -> txtUnigramPplSql,
     "txt_bigram_ppl" -> txtBigramPplSql,
+    "txt_ppl_buckets" -> txtPplBucketsSql,
   )
 }

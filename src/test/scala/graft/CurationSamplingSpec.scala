@@ -194,6 +194,21 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("ppl bucket approx (broadcast thresholds) agrees with exact NTILE ≥90%") {
+    import graft.operators.TextQueries
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val exact = buckets(TextQueries.txtPplBuckets(spark, dir))
+    val approx = buckets(TextQueries.txtPplBucketsApprox(spark, dir))
+    assert(exact.keySet == approx.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"approx bucket agreement ${agree.toDouble / exact.size}")
+    // within every source, the approx path still yields all three buckets
+    // non-degenerately (thresholds inside the ppl range)
+    assert(approx.values.toSet == Set("head", "middle", "tail"))
+  }
+
   test("emb_cov diagonal == dimstats variance; PCA eigenpair law holds") {
     val cov = EmbeddingOps.embCov(spark, dir).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
