@@ -490,8 +490,53 @@ object CurationOps {
        |FROM canon
        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  // ---------------------------------------------- corpus integrity audit
+  /** Docs↔embeddings key-alignment audit — the integrity gate a pipeline
+    * runs before training on a joined corpus: key cardinalities on both
+    * sides, matched keys, orphans in each direction, and duplicate-key
+    * counts. One summary row; any nonzero orphan/dup cell is the "stop the
+    * pipeline" signal.
+    *
+    * Scale: two distinct-ish aggregations keyed by id (map-combined
+    * counts) and one full-outer join of the per-key count tables — every
+    * stage shuffles on the key, per-key state is two longs. */
+  def pipeIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val dk = docs(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    val vk = Tables.load(s, dir, "embeddings")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("nv"))
+    dk.join(vk, dk("doc_id") === vk("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_doc_keys"),
+        sum(when(col("nv").isNotNull, 1L).otherwise(0L)).as("n_vec_keys"),
+        sum(when(col("nd").isNotNull && col("nv").isNotNull, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("nd").isNotNull && col("nv").isNull, 1L).otherwise(0L))
+          .as("docs_without_vec"),
+        sum(when(col("nd").isNull && col("nv").isNotNull, 1L).otherwise(0L))
+          .as("vecs_without_doc"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_doc_keys"),
+        sum(when(col("nv") > 1, 1L).otherwise(0L)).as("dup_vec_keys"))
+  }
+
+  val pipeIntegritySql: String =
+    """WITH dk AS (
+      |  SELECT doc_id, COUNT(*) AS nd FROM documents GROUP BY doc_id
+      |), vk AS (
+      |  SELECT vec_id, COUNT(*) AS nv FROM embeddings GROUP BY vec_id
+      |)
+      |SELECT
+      |  CAST(SUM(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_keys,
+      |  CAST(SUM(CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_keys,
+      |  CAST(SUM(CASE WHEN nd IS NOT NULL AND nv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN nd IS NOT NULL AND nv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_without_vec,
+      |  CAST(SUM(CASE WHEN nd IS NULL AND nv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vecs_without_doc,
+      |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_doc_keys,
+      |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_vec_keys
+      |FROM dk FULL OUTER JOIN vk ON dk.doc_id = vk.vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (pipeCurate _),
+    "pipe_integrity" -> (pipeIntegrity _),
     "txt_repetition" -> (txtRepetition _),
     "ds_split" -> (dsSplit _),
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
@@ -503,6 +548,7 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+    "pipe_integrity" -> pipeIntegritySql,
     "txt_repetition" -> txtRepetitionSql,
     "ds_split" -> dsSplitSql,
     "txt_tfidf" -> txtTfidfSql,

@@ -397,6 +397,69 @@ object StreamOps {
     * Batch/stream unified: the same transform runs on a `spark.read`
     * frame; StreamingSpec asserts the streamed flags converge to the batch
     * operator's exactly. */
+  // ---------------------------------- streaming sessionize (q38's twin)
+  case class SessionRow(session_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+  case class SessionState(events: List[(Long, Long, Double)])
+  case class SessionSnapshot(user_id: Long, sessions: Seq[SessionRow])
+
+  /** Sessionization-on-arrival —
+    * [[graft.operators.RelationalQueries.q38Sessionize]]'s streaming twin:
+    * per-user gaps-and-islands session assignment maintained incrementally.
+    * Each update emits the user's full corrected session table (the
+    * [[streamingRetention]] snapshot discipline): a late event can MERGE
+    * two previously separate sessions — or split none but renumber all of
+    * them — so per-session deltas would strand already-emitted rows, while
+    * the snapshot is always the batch answer over events-so-far.
+    *
+    * Value sums mirror the batch DECIMAL(30,15) discipline digit for digit
+    * (each double is scaled to 15 decimals HALF_UP, summed exactly, cast
+    * back) so convergence is value-exact, not just approximate.
+    *
+    * State per user: the distinct (ts, event_id, value) set — in
+    * production, bounded by the watermark horizon: sessions that END more
+    * than gap+watermark before the max seen time are FINAL (no admissible
+    * late event can touch or merge them), so they aggregate out of state
+    * and emit once. The corpus here spans days, so the spec drives the
+    * unbounded form. */
+  def streamingSessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L)(
+      implicit spark: SparkSession): Dataset[SessionSnapshot] = {
+    import spark.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[SessionState]) =>
+          val evs = (state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(r => (r._2, r._3, r._4))).distinct
+          state.update(SessionState(evs))
+          val sorted = evs.sortBy(e => (e._1, e._2))
+          val sessions = Seq.newBuilder[SessionRow]
+          var sid = 0L
+          var cur = List.empty[(Long, Long, Double)]
+          def flush(): Unit = if (cur.nonEmpty) {
+            sid += 1
+            val s = cur.reverse
+            val sum = s.iterator.map(e =>
+              BigDecimal(e._3).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+              .sum
+            sessions += SessionRow(sid, s.head._1, s.last._1, s.size.toLong,
+              BigDecimal(sum.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+          }
+          sorted.foreach { e =>
+            if (cur.nonEmpty && e._1 - cur.head._1 > gapUs) { flush(); cur = Nil }
+            cur = e :: cur
+          }
+          flush()
+          SessionSnapshot(uid, sessions.result())
+      }
+  }
+
   /** Exact-substring cut on arrival — the streaming twin of
     * [[graft.operators.DedupOps.ddSubstringCut]]: remove from each
     * arriving document every token covered by a k-token window whose hash

@@ -328,6 +328,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("split").distinct().count() == 3)
   }
 
+  test("streaming sessionize converges to the batch session table") {
+    val streamed = runToCompletion(
+      StreamOps.streamingSessionize(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)).toDF(),
+      "update", "sessionize_out")
+    val table = lastPerUser(streamed)
+      .select(col("user_id"), explode(col("sessions")).as("s"))
+      .select(col("user_id"), col("s.session_id"), col("s.start_us"),
+        col("s.end_us"), col("s.n_events"), col("s.sum_value"))
+    val batch = graft.operators.RelationalQueries.q38Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+    assert(canon(table) == canon(batch))
+    assert(table.filter(col("n_events") > 1).count() > 0,
+      "testdata should contain multi-event sessions")
+  }
+
   test("streaming substring cut == batch cut doc-for-doc (stateless append)") {
     // sketch over the corpus's duplicated windows, as the batch side builds
     // it; stream the same docs through multiple micro-batches. Sketch is
