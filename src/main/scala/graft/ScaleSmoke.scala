@@ -45,7 +45,13 @@ import org.apache.spark.sql.functions._
   * are vocabulary-shaped, and the corpus clone adds data without adding
   * vocabulary), emb_pca_check 6.04 s (1.1× for 10× vectors — the pair-
   * grain DECIMAL sum is the cost and local[32]'s slack absorbs it; the
-  * d-group model collect is size-invariant).
+  * d-group model collect is size-invariant). Second point at 30× (150k
+  * docs / 150k vectors): dd_substring_spans 4.49 s (3.4× for 30× data
+  * and a 150k-span output), dd_substring_rate 0.56 s, dd_substring_cut
+  * 0.36 s (flat), txt_bigram_ppl 5.59 s (1.6×), txt_ppl_buckets 3.64 s
+  * (2.0× — the per-source NTILE sort carries 30× rows; the approx-
+  * threshold twin is the form that dodges this), emb_pca_check 7.59 s
+  * (1.3× for 30× vectors). All sublinear in data.
   *
   * Semantic-dedup point at 3× (6k vectors; embeddings clone as-is, so
   * every vector gains factor−1 exact duplicates and the cos-pair graph

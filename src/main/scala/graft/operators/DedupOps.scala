@@ -1093,6 +1093,74 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** Passage-level decontamination — [[ddSubstringSpans]]' cross-corpus
+    * variant and [[ddDecontaminate]]'s sharper sibling: for every TRAIN
+    * document (source ≠ src0), the maximal token spans whose every k-gram
+    * occurs verbatim somewhere in the EVAL set (src0). Shingle-overlap
+    * decontamination scores doc pairs; this localizes the contamination to
+    * the exact copied passage, which is what a scrubbing pass actually
+    * removes (and GPT-3-style n-gram decontamination actually checks).
+    *
+    * Scale: identical shape to [[ddSubstringSpans]] except the duplicate
+    * decision is a left-semi join of train sites against the DISTINCT eval
+    * window-hash set — still keyed by the 64-bit window hash, and the eval
+    * side is the small one (broadcastable when the eval set fits, and
+    * Spark picks that automatically). */
+  def ddSubstringContamination(s: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val sites = windowSites(s, dir, k)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val tagged = sites.join(src, Seq("doc_id"))
+    val evalW = tagged.filter(col("source") === "src0")
+      .select(col("hg")).distinct()
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    tagged.filter(col("source") =!= "src0")
+      .join(evalW, Seq("hg"), "left_semi")
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1, Long.MinValue / 2).over(wd) >= k,
+          1).otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(wd))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__maxp"))
+      .select(col("doc_id"), col("span_start"),
+        (col("__maxp") + (k - 1)).as("span_end"),
+        (col("__maxp") + (k - 1) - col("span_start") + 1).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val ddSubstringContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sites AS (
+      |  SELECT doc_id, source, unnest(range(1, len(t) - 6)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8
+      |), g AS (
+      |  SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM sites
+      |), evw AS (
+      |  SELECT DISTINCT g FROM g WHERE source = 'src0'
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE source <> 'src0' AND g IN (SELECT g FROM evw)
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |      -1000000) >= 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, pos,
+      |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM flagged
+      |)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+      |FROM spans GROUP BY doc_id, span_id
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** The cut step of exact-substring dedup: re-emit every document with
     * its duplicated spans removed (the training-ready output — what Lee et
     * al. actually train on). Contract ties to [[ddSubstringSpans]]:
@@ -1291,6 +1359,7 @@ object DedupOps {
     "dd_substring_spans" -> ((s: SparkSession, d: String) => ddSubstringSpans(s, d)),
     "dd_substring_rate" -> ((s: SparkSession, d: String) => ddSubstringRate(s, d)),
     "dd_substring_cut" -> ((s: SparkSession, d: String) => ddSubstringCut(s, d)),
+    "dd_substring_contam" -> ((s: SparkSession, d: String) => ddSubstringContamination(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1313,5 +1382,6 @@ object DedupOps {
     "dd_substring_spans" -> ddSubstringSpansSql,
     "dd_substring_rate" -> ddSubstringRateSql,
     "dd_substring_cut" -> ddSubstringCutSql,
+    "dd_substring_contam" -> ddSubstringContaminationSql,
   )
 }

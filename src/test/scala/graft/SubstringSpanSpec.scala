@@ -72,6 +72,38 @@ class SubstringSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination spans cover exactly the train windows present in eval") {
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalGrams = corpus.collect { case (id, t) if srcOf(id) == "src0" =>
+      (0 to t.length - k).map(p => t.slice(p, p + k).mkString(" "))
+    }.flatten.toSet
+    val contamSites: Set[(Long, Long)] = corpus.toSeq.flatMap { case (id, t) =>
+      if (srcOf(id) == "src0") Nil
+      else (0 to t.length - k).collect {
+        case p if evalGrams(t.slice(p, p + k).mkString(" ")) => (id, p + 1L)
+      }
+    }.toSet
+    val spans = DedupOps.ddSubstringContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(spans.nonEmpty, "testdata plants eval near-dups in train sources")
+    assert(spans.forall { case (id, _, _, _) => srcOf(id) != "src0" })
+    // completeness: every eval-matching train window sits inside a span
+    val byDoc = spans.groupBy(_._1)
+    contamSites.foreach { case (id, p) =>
+      assert(byDoc.getOrElse(id, Nil)
+        .exists { case (_, s0, e0, _) => s0 <= p && p + k - 1 <= e0 },
+        s"contaminated window ($id,$p) not covered")
+    }
+    // soundness: span boundaries are extremes of eval-matching windows
+    spans.foreach { case (id, s0, e0, _) =>
+      val ps = contamSites.collect { case (i, p) if i == id && p >= s0 && p + k - 1 <= e0 => p }
+      assert(ps.nonEmpty && ps.min == s0 && ps.max == e0 - k + 1,
+        s"span ($id,$s0,$e0) does not match its contaminated windows")
+    }
+  }
+
   test("cut query removes exactly the span tokens and keeps the rest in order") {
     val cut = DedupOps.ddSubstringCut(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
