@@ -1105,7 +1105,13 @@ object DedupOps {
     * decision is a left-semi join of train sites against the DISTINCT eval
     * window-hash set — still keyed by the 64-bit window hash, and the eval
     * side is the small one (broadcastable when the eval set fits, and
-    * Spark picks that automatically). */
+    * Spark picks that automatically).
+    *
+    * Streaming form: build a bloom sketch over the eval window hashes
+    * (same recipe as [[substringDupSketch]], eval-filtered input) and pass
+    * it to [[graft.streaming.StreamOps.streamingSubstringCut]] — the cut
+    * operator is sketch-agnostic, so contamination-scrub-on-arrival is the
+    * identical stateless projection with a different model literal. */
   def ddSubstringContamination(s: SparkSession, dir: String,
       k: Int = 8): DataFrame = {
     val sites = windowSites(s, dir, k)
