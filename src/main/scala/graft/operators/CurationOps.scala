@@ -122,6 +122,75 @@ object CurationOps {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  // ------------------------------------------------- split-leakage audit
+  /** Cross-split near-duplicate leakage: every near-dup pair (the exact
+    * n-gram-Jaccard pair graph of [[DedupOps.ddNgramJaccard]]) whose two
+    * documents landed in DIFFERENT splits of [[dsSplit]]'s deterministic
+    * assignment. A random-by-id split dedupes nothing — near-identical
+    * documents straddle the train/val/test boundary and inflate held-out
+    * metrics (the standard argument for dedup-BEFORE-split, cf. Lee et al.
+    * 2022 §6). This audit makes the leak measurable: run it after any
+    * split rule, and drive it to zero by deduplicating first or by
+    * splitting on the near-dup component id instead of the doc id.
+    *
+    * Scale: the pair graph is near-dup-sized (not corpus-sized) and each
+    * join keys it against the O(1)/row split projection on doc_id — the
+    * pair side is the small one, broadcastable, and Spark picks that
+    * automatically. No new corpus-scale shuffle beyond the pair graph's
+    * own blocking. */
+  def dsSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(s, dir)
+    val assign = docs(s, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+    pairs
+      .join(assign.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(assign.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .select(col("id_a"), col("id_b"),
+        col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dsSplitLeakageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b, ROUND(n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+      |  FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id
+      |  JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), assign AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+      |FROM pairs
+      |JOIN assign sa ON id_a = sa.doc_id
+      |JOIN assign sb ON id_b = sb.doc_id
+      |WHERE sa.split <> sb.split
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------- TF-IDF
   /** Top-3 TF-IDF terms per document: tf(term, doc) · ln(N / df(term)),
     * ranked per doc with an alphabetic tiebreak.
@@ -539,6 +608,7 @@ object CurationOps {
     "pipe_integrity" -> (pipeIntegrity _),
     "txt_repetition" -> (txtRepetition _),
     "ds_split" -> (dsSplit _),
+    "ds_split_leakage" -> (dsSplitLeakage _),
     "txt_tfidf" -> ((s: SparkSession, d: String) => txtTfidf(s, d)),
     "txt_funnel" -> (txtFunnel _),
     "txt_chunks" -> ((s: SparkSession, d: String) => txtChunks(s, d)),
@@ -551,6 +621,7 @@ object CurationOps {
     "pipe_integrity" -> pipeIntegritySql,
     "txt_repetition" -> txtRepetitionSql,
     "ds_split" -> dsSplitSql,
+    "ds_split_leakage" -> dsSplitLeakageSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_funnel" -> txtFunnelSql,
     "txt_chunks" -> txtChunksSql,

@@ -344,6 +344,141 @@ object SamplingOps {
        |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM gated GROUP BY source ORDER BY source""".stripMargin
 
+  // ----------------------------------------- DSIR importance weighting
+  /** Data Selection via Importance Resampling (Xie et al. 2023), unigram
+    * form: treat one source's documents as the TARGET distribution (the
+    * high-quality slice a curator wants more of), the rest as RAW, fit
+    * add-1-smoothed unigram models to both over the joint vocabulary, and
+    * score every document by its log importance weight
+    * `Σ_t tf(t) · (ln p_tgt(t) − ln p_raw(t))` — documents whose token mix
+    * looks target-like score high. Reports the top-N candidates; the
+    * resample step itself is [[sampWeighted]]'s hash-Gumbel machinery
+    * applied to these weights (DSIR samples ∝ exp(log_w), which is exactly
+    * A-Res on `w = exp(log_w)` — composition, not new machinery). DSIR's
+    * full form hashes n-grams into a bounded feature space; with words as
+    * the features the shape is identical, and swapping `term` for
+    * `xxhash64(term) % B` bounds model state at any corpus size.
+    *
+    * Per-token contributions are cast to DECIMAL(30,15) before the per-doc
+    * sum (exact, order-free — the entropy/BM25 discipline); ln evaluates
+    * per element identically on both engines.
+    *
+    * Scale: (doc, term) tf is map-combined; both unigram models come from
+    * ONE conditional-sum pass over tf (never a second corpus scan); the
+    * count table is vocabulary-sized (shuffle join keyed by term,
+    * broadcastable when the vocab fits — Spark picks that automatically);
+    * totals cross as a broadcast scalar; the top-N is a k-row global
+    * sort. */
+  def sampDsir(s: SparkSession, dir: String, target: String = "src0",
+      topN: Int = 100): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = tf.groupBy(col("term")).agg(
+      sum(when(col("source") === target, col("tf")).otherwise(lit(0L)))
+        .as("c_tgt"),
+      sum(when(col("source") =!= target, col("tf")).otherwise(lit(0L)))
+        .as("c_raw"))
+    val tot = cnts.agg(sum(col("c_tgt")).as("n_tgt"),
+      sum(col("c_raw")).as("n_raw"), count(lit(1)).as("v"))
+    val llr =
+      log((col("c_tgt") + 1).cast("double") /
+          (col("n_tgt") + col("v")).cast("double")) -
+      log((col("c_raw") + 1).cast("double") /
+          (col("n_raw") + col("v")).cast("double"))
+    val report = tf
+      .join(cnts, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"), llr.as("llr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf").cast("double") * col("llr")).cast("decimal(30,15)"))
+          .as("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("w").cast("double"), 6) + 0.0).as("log_w"))
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .limit(topN)
+      .localCheckpoint()
+    tf.unpersist()
+    report
+  }
+
+  /** [[sampDsir]]'s hashed form — DSIR as published: terms hash into a
+    * FIXED feature space of `b` buckets, so the model is `b` doubles of
+    * llr regardless of corpus size (the property that lets the same model
+    * score an unbounded stream). Training is one map-combined count pass;
+    * the returned array is model state (the centroid-collect precedent:
+    * k-row, never corpus-row). */
+  def dsirLlrBuckets(s: SparkSession, dir: String, target: String = "src0",
+      b: Int = 4096): Array[Double] = {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .select(col("source"),
+        pmod(xxhash64(col("term")), lit(b.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("c_tgt"),
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("c_raw"))
+      .collect() // ≤ b rows — model state, not corpus rows
+    val cTgt = Array.fill(b)(0L)
+    val cRaw = Array.fill(b)(0L)
+    counts.foreach { r =>
+      val i = r.getLong(0).toInt
+      cTgt(i) = r.getLong(1); cRaw(i) = r.getLong(2)
+    }
+    val nTgt = cTgt.sum.toDouble
+    val nRaw = cRaw.sum.toDouble
+    Array.tabulate(b)(i =>
+      math.log((cTgt(i) + 1.0) / (nTgt + b)) -
+        math.log((cRaw(i) + 1.0) / (nRaw + b)))
+  }
+
+  /** Score any doc frame against a trained bucket model: ONE stateless
+    * projection (token array materialized first — the txtBoilerplate
+    * re-split lesson; per-token bucket lookup folds inside the row). No
+    * explode, no shuffle, no state — identical on batch and stream, which
+    * is what makes it [[graft.streaming.StreamOps.streamingDsirScore]]. */
+  def dsirScore(d: DataFrame, buckets: Array[Double]): DataFrame = {
+    val b = buckets.length
+    val lut = typedlit(buckets.toSeq)
+    d.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (round(aggregate(col("toks"), lit(0.0), (acc, t) =>
+          acc + element_at(lut,
+            (pmod(xxhash64(t), lit(b.toLong)) + lit(1L)).cast("int"))), 6)
+          + 0.0).as("log_w"))
+  }
+
+  val sampDsirSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2, 3
+      |), cnts AS (
+      |  SELECT term,
+      |    SUM(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS c_tgt,
+      |    SUM(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS c_raw
+      |  FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(c_tgt) AS n_tgt, SUM(c_raw) AS n_raw, COUNT(*) AS v FROM cnts
+      |), llr AS (
+      |  SELECT term,
+      |    ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE))
+      |      - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE)) AS llr
+      |  FROM cnts CROSS JOIN tot
+      |), scored AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(CAST(tf.tf AS DOUBLE) * llr AS DECIMAL(30,15))) AS w
+      |  FROM tf JOIN llr USING (term) GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, ROUND(CAST(w AS DOUBLE), 6) + 0.0 AS log_w
+      |FROM scored ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
@@ -351,6 +486,7 @@ object SamplingOps {
     "mix_weights" -> (mixWeights _),
     "samp_temperature" -> (sampTemperature _),
     "samp_bysource" -> ((s: SparkSession, d: String) => sampBySource(s, d)),
+    "samp_dsir" -> ((s: SparkSession, d: String) => sampDsir(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +496,6 @@ object SamplingOps {
     "mix_weights" -> mixWeightsSql,
     "samp_temperature" -> sampTemperatureSql,
     "samp_bysource" -> sampBySourceSql,
+    "samp_dsir" -> sampDsirSql,
   )
 }

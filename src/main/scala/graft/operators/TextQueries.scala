@@ -640,6 +640,83 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- boilerplate n-gram census
+  /** Corpus-wide boilerplate detector: the top-k word 5-grams by DOCUMENT
+    * frequency (distinct docs containing the phrase, not raw occurrences —
+    * a phrase repeated inside one spammy doc is repetition, [[graft.operators.CurationOps.txtRepetition]]'s
+    * job; a phrase repeated ACROSS docs is boilerplate: headers, footers,
+    * license blurbs, navigation chrome). CCNet/RefinedWeb-style pipelines
+    * strip such phrases before training; this census is the detection half,
+    * and the strip half is [[graft.operators.DedupOps]]' substring-cut
+    * machinery pointed at these n-grams.
+    *
+    * Scale: two-phase. Phase 1 counts df by the grams' 64-bit xxhash64
+    * fingerprint — explode to one gram per row FIRST and hash as a
+    * top-level column (whole-stage codegen; hashing inside a `transform`
+    * lambda runs interpreted per element and measured 2× slower than even
+    * the naive string census), then (doc, hash) distinct + count, so the
+    * corpus-scale shuffles carry 16-byte rows, never gram text. Phase 2
+    * re-derives TEXT only for the candidate set: the df cutoff is the
+    * k-th-ranked count (a k-row aggregate), every hash at-or-above it
+    * broadcasts back, and a second scan explodes grams but keeps only
+    * broadcast-set hits — candidate-sized, so the string shuffle is the
+    * report's size, not the corpus's. Ties at the cutoff are all retained
+    * before the final (df desc, ngram) k-row sort, so the two-phase answer
+    * is EXACTLY the single-phase one (spec pins this against a plain-Scala
+    * census). Gram identity by 64-bit fingerprint is the dd_exact
+    * assumption (collisions ~q²/2⁶⁵ — negligible, disclosed). */
+  def txtBoilerplate(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 20): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    // materialize the token ARRAY before shingling — handing shingles()
+    // the raw split() expression makes every element_at in the gram
+    // lambda re-split the text (O(grams·n) regex runs per doc; measured
+    // 20× slower). The explicit array_compact-free select is the
+    // shingleSet discipline (DedupOps.scala:35).
+    val toks = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val hdf = toks
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutoff = hdf.orderBy(col("df").desc, col("h")).limit(k)
+      .agg(min(col("df")).as("cut"))
+    val cand = hdf.crossJoin(broadcast(cutoff))
+      .filter(col("df") >= col("cut"))
+      .select(col("h"), col("df"))
+    val report = toks
+      .select(explode(shingles(col("toks"), n)).as("ngram"))
+      .withColumn("h", xxhash64(col("ngram")))
+      .join(broadcast(cand), Seq("h"))
+      .select(col("ngram"), col("df")).distinct()
+      .crossJoin(broadcast(nDocs))
+      .select(col("ngram"), col("df"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("doc_share"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+      .localCheckpoint()
+    hdf.unpersist()
+    report
+  }
+
+  val txtBoilerplateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(t) >= 5
+       |      THEN list_transform(range(1, len(t) - 3),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |      ELSE [] END) AS ngram
+       |  FROM toks
+       |)
+       |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df,
+       |  ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS doc_share
+       |FROM grams GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -653,6 +730,7 @@ object TextQueries {
     "txt_unigram_ppl" -> (txtUnigramPpl _),
     "txt_bigram_ppl" -> ((s: SparkSession, d: String) => txtBigramPpl(s, d)),
     "txt_ppl_buckets" -> (txtPplBuckets _),
+    "txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,5 +746,6 @@ object TextQueries {
     "txt_unigram_ppl" -> txtUnigramPplSql,
     "txt_bigram_ppl" -> txtBigramPplSql,
     "txt_ppl_buckets" -> txtPplBucketsSql,
+    "txt_boilerplate" -> txtBoilerplateSql,
   )
 }

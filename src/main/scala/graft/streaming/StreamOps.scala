@@ -498,6 +498,19 @@ object StreamOps {
           .as("clean_text"))
   }
 
+  /** DSIR importance scoring on arrival — the streaming twin of
+    * [[graft.operators.SamplingOps.sampDsir]] in its hashed form: the
+    * trained `b`-bucket llr model ([[graft.operators.SamplingOps.dsirLlrBuckets]])
+    * rides the plan as an array literal (model state, b doubles at ANY
+    * corpus size — DSIR's hashed feature space is exactly what makes the
+    * model stream-portable), and each arriving doc folds its tokens
+    * through the bucket lookup in one stateless projection. No explode,
+    * no shuffle, no state store; append mode is trivial. A curation
+    * pipeline composes this with a downstream threshold/weighted-sample
+    * stage the way batch DSIR composes with sampWeighted. */
+  def streamingDsirScore(docs: DataFrame, buckets: Array[Double]): DataFrame =
+    graft.operators.SamplingOps.dsirScore(docs, buckets)
+
   def streamingBloomFlag(docs: DataFrame, sketch: Array[Byte],
       minHits: Long = 3L): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokens}
@@ -505,10 +518,14 @@ object StreamOps {
     // hash FIRST, then dedup the hashes: the batch screen counts distinct
     // 64-bit shingle hashes per doc (shingleSet distincts on xxhash64), so
     // deduping the raw strings here would diverge from it on a within-doc
-    // hash collision — both paths must count the same set
-    docs.select(col("doc_id"),
+    // hash collision — both paths must count the same set. The token array
+    // materializes in its own projection: shingles()'s per-gram element_at
+    // would otherwise re-run the split regex O(grams·n) times per doc
+    // (the txtBoilerplate lesson, TextQueries.scala).
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
         size(filter(
-          array_distinct(transform(shingles(tokens(col("text")), 3),
+          array_distinct(transform(shingles(col("toks"), 3),
             s => xxhash64(s))),
           h => BloomSketch.mightContainLit(sketch, h)))
           .cast("long").as("n_hits"))

@@ -155,6 +155,71 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_split_leakage is exactly the cross-split subset of the pair graph") {
+    import graft.operators.DedupOps
+    def split(id: Long): String = {
+      val c = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (c < 'c') "train" else if (c < 'e') "val" else "test"
+    }
+    val pairs = DedupOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val want = pairs.collect { case (a, b, j) if split(a) != split(b) =>
+      (a, b, split(a), split(b), j)
+    }.toSet
+    val got = CurationOps.dsSplitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "sf0.001 is known to leak 8 pairs across splits — " +
+      "an empty report means the audit is broken, not the corpus clean")
+  }
+
+  test("samp_dsir enriches the target source and ranks monotonically") {
+    val r = SamplingOps.sampDsir(spark, dir)
+    val rows = r.collect()
+    assert(rows.length == 100)
+    val ws = rows.map(_.getDouble(2))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+      "log_w must be non-increasing down the report")
+    assert(r.collect().sameElements(rows), "selection must be replayable")
+    // the point of DSIR: target-like docs surface. src0 is 5% of the
+    // corpus; its share of the top-100 must beat that base rate.
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val topSrc0 = rows.count(x => srcOf(x.getLong(0)) == "src0")
+    val corpusSrc0 = srcOf.values.count(_ == "src0")
+    assert(topSrc0.toDouble / rows.length >
+      corpusSrc0.toDouble / srcOf.size,
+      s"top-100 src0 share $topSrc0/100 not above base rate " +
+        s"$corpusSrc0/${srcOf.size}")
+  }
+
+  test("txt_boilerplate matches a plain-Scala 5-gram document-frequency census") {
+    import graft.operators.TextQueries
+    val docsRaw = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docsRaw.foreach { t =>
+      val toks = t.trim.split("\\s+")
+      val grams = if (toks.length >= 5)
+        (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+      else Set.empty[String]
+      grams.foreach(g => df(g) = df.getOrElse(g, 0L) + 1)
+    }
+    val want = df.toSeq.sortBy { case (g, n) => (-n, g) }.take(20)
+      .map { case (g, n) =>
+        (g, n, BigDecimal(n.toDouble / docsRaw.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextQueries.txtBoilerplate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    assert(got.head._2 > 1, "top boilerplate gram must repeat across docs")
+  }
+
   test("emb_centroids emits labels x dims model-sized output") {
     val e = Tables.load(spark, dir, "embeddings")
     val labels = e.select("label").distinct().count()

@@ -367,6 +367,32 @@ class StreamingSpec extends AnyFunSuite {
       "testdata should contain duplicated spans")
   }
 
+  test("streaming DSIR scores == batch scores and enrich the target source") {
+    import graft.operators.SamplingOps
+    val d = Tables.load(spark, dir, "documents")
+    val buckets = SamplingOps.dsirLlrBuckets(spark, dir)
+    val streamDir = Files.createTempDirectory("graft-dsir-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingDsirScore(
+        StreamOps.readParquetStream(spark, streamDir, d.schema), buckets),
+      "append", "dsir_out")
+    val batch = SamplingOps.dsirScore(d, buckets)
+    assert(canon(streamed) == canon(batch),
+      "hashed-model scoring must agree doc-for-doc across batch and stream")
+    // the hashed model keeps DSIR's point: src0 docs surface. Top-100 by
+    // streamed score must beat src0's corpus base rate (the exact-form
+    // spec's law, now holding for the stream-portable model).
+    val srcOf = d.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val top = streamed.orderBy(col("log_w").desc, col("doc_id"))
+      .limit(100).collect()
+    val topSrc0 = top.count(r => srcOf(r.getLong(0)) == "src0")
+    assert(topSrc0.toDouble / top.length >
+      srcOf.values.count(_ == "src0").toDouble / srcOf.size,
+      s"top-100 src0 share $topSrc0/100 not above base rate")
+  }
+
   test("streaming bloom decontamination flags == batch flags (stateless append)") {
     import graft.functions.{BloomSketch, TextFunctions}
     // sketch over the eval side (src0), exactly as the batch screen builds it
