@@ -53,6 +53,18 @@ import org.apache.spark.sql.functions._
   * threshold twin is the form that dodges this), emb_pca_check 7.59 s
   * (1.3× for 30× vectors). All sublinear in data.
   *
+  * Round-8 curation additions at 10× / 30× (50k / 150k docs):
+  * txt_boilerplate 2.61 s / 4.64 s (1.2× / 2.0× its ~2.2 s sf0.1 time —
+  * phase 1's 16-byte hash shuffle carries the gram growth; the candidate
+  * string recovery stays report-sized at every factor), samp_dsir 2.66 s /
+  * 3.16 s (flat / 1.3× — the two unigram models are vocabulary-shaped and
+  * the clone adds data without vocabulary, the txt_bigram_ppl story),
+  * ds_split_leakage 3.86 s / 8.01 s with a 210k-row leaked-pair report
+  * (1.3× / 2.6× for a pair graph ~8,400× denser than sf0.1's — the
+  * clique-derived corpus puts nearly half of all 515k cross-copy pairs
+  * across split boundaries, and the audit's cost tracks the pair graph it
+  * inherits, not the corpus). All sublinear in data.
+  *
   * Semantic-dedup point at 3× (6k vectors; embeddings clone as-is, so
   * every vector gains factor−1 exact duplicates and the cos-pair graph
   * grows ~factor² ≈ 9×): dd_semdedup 5.9 s (1.4× its 4.3 s sf0.1 time —
