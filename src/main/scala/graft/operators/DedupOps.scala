@@ -667,7 +667,15 @@ object DedupOps {
     * keyed shuffles at any corpus size — and the pointer-jumping step
     * inside [[connectedComponents]] bounds even adversarially deep chains
     * at O(log diameter) rounds. */
-  def ddDedupGroups(s: SparkSession, dir: String): DataFrame = {
+  def ddDedupGroups(s: SparkSession, dir: String): DataFrame =
+    dedupLabels(s, dir)
+      .select(col("doc_id"), col("group_rep"),
+        (col("doc_id") === col("group_rep")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+
+  /** [[ddDedupGroups]]' label table without the report sort — shared with
+    * [[ddCanonical]], which destroys ordering in its own grouping. */
+  private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
     // ngramJaccardPairs returns a checkpointed pair set, so the union's two
     // branches re-read materialized blocks, not the jaccard pipeline; the
     // CC loop then checkpoints every round — nothing further to persist
@@ -679,10 +687,81 @@ object DedupOps {
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
     labels.union(singletons)
-      .select(col("doc_id"), col("label").as("group_rep"),
-        (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("label").as("group_rep"))
   }
+
+  // --------------------------------------- quality-aware canonical election
+  /** The keep decision a dedup pipeline actually ships: per near-dup
+    * component, elect the member to KEEP by content quality — here the
+    * longest-member heuristic (max n_chars, doc_id tiebreak), replacing
+    * [[ddDedupGroups]]' neutral min-id convention; near-identical copies
+    * routinely differ by truncation, and electing the longest keeps the
+    * most complete one. Output is group-grained: representative label,
+    * member count, elected canonical and its size — joined back against
+    * the corpus it yields the keep/drop set directly.
+    *
+    * Scale: the label table is O(pair graph) + singletons; the election
+    * window partitions on group_rep — component-sized partitions (clusters
+    * of copies, never corpus-scale), and WindowGroupLimit collapses the
+    * rank-1 filter map-side (the emb_kmeans argmax posture). */
+  def ddCanonical(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_rep"))
+    dedupLabels(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("group_rep"), col("n_members"),
+        col("doc_id").as("canonical_id"),
+        col("n_chars").as("canonical_chars"))
+      .orderBy(col("group_rep"))
+  }
+
+  val ddCanonicalSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS node, doc_id AS root FROM documents
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      |), labels AS (
+      |  SELECT node AS doc_id, MIN(root) AS group_rep FROM reach GROUP BY node
+      |), sized AS (
+      |  SELECT l.group_rep, l.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY l.group_rep
+      |      ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l.group_rep) AS n_members
+      |  FROM labels l JOIN documents d USING (doc_id)
+      |)
+      |SELECT group_rep, CAST(n_members AS BIGINT) AS n_members,
+      |  doc_id AS canonical_id, n_chars AS canonical_chars
+      |FROM sized WHERE rn = 1 ORDER BY group_rep""".stripMargin
 
   /** Min-label connected components over a SYMMETRIC (src, dst) edge frame.
     * Returns (doc_id, label) where label = min node id of the component,
@@ -1356,6 +1435,7 @@ object DedupOps {
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
+    "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
     "dd_semdedup_ann" -> (ddSemDedupAnn _),
     "dd_decontaminate" -> ((s: SparkSession, d: String) => ddDecontaminate(s, d)),
@@ -1376,6 +1456,7 @@ object DedupOps {
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
+    "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,
     // the ANN path's oracle is the EXACT pair graph's groups — valid
     // because SRP recall is complete on this corpus (dd_minhash_lsh

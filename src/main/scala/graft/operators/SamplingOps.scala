@@ -344,6 +344,80 @@ object SamplingOps {
        |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM gated GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- budget-constrained assembly
+  /** Token-budget corpus assembly — the step that turns mixture weights
+    * into an actual training set: give every source an equal slice of a
+    * global token budget (`frac` of the corpus, flattened across sources —
+    * [[mixWeights]]' uniform-mix posture) and fill each slice GREEDILY by
+    * document quality (stopword ratio, the classic natural-text signal,
+    * doc_id tiebreak) until the slice overflows; the crossing document is
+    * kept, so every non-exhausted source lands at or just past its budget.
+    * Reports per source what the assembly kept vs. its budget.
+    *
+    * Scale: one map-side projection per doc (token array materialized
+    * before the stopword fold — the re-split lesson); the greedy fill is a
+    * per-source ordered cumulative sum — source-sized sort partitions (the
+    * txt_ppl_buckets posture: sources are few and large; a skewed source
+    * sorts in parallel by range partitioning within the window shuffle);
+    * the budget scalar crosses as a broadcast. */
+  def mixBudget(s: SparkSession, dir: String, frac: Double = 0.3): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(stopwordCount(col("toks"), EnglishStops).cast("double") /
+          size(col("toks")).cast("double"), 6).as("q"))
+    val perSrc = scored.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens",
+        floor((lit(frac) * col("tot_tokens").cast("double")) /
+          col("n_sources").cast("double")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixBudgetSql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStops
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> t IN ($stops))) AS DOUBLE)
+       |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
+       |      6) AS q
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM scored
+       |), cum AS (
+       |  SELECT scored.*,
+       |    CAST(FLOOR((0.3 * CAST(tot_tokens AS DOUBLE))
+       |      / CAST(n_sources AS DOUBLE)) AS BIGINT) AS budget_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored CROSS JOIN tot
+       |)
+       |SELECT source, MAX(budget_tokens) AS budget_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+       |FROM cum WHERE cum - n_tokens < budget_tokens
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------- DSIR importance weighting
   /** Data Selection via Importance Resampling (Xie et al. 2023), unigram
     * form: treat one source's documents as the TARGET distribution (the
@@ -487,6 +561,7 @@ object SamplingOps {
     "samp_temperature" -> (sampTemperature _),
     "samp_bysource" -> ((s: SparkSession, d: String) => sampBySource(s, d)),
     "samp_dsir" -> ((s: SparkSession, d: String) => sampDsir(s, d)),
+    "mix_budget" -> ((s: SparkSession, d: String) => mixBudget(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,5 +572,6 @@ object SamplingOps {
     "samp_temperature" -> sampTemperatureSql,
     "samp_bysource" -> sampBySourceSql,
     "samp_dsir" -> sampDsirSql,
+    "mix_budget" -> mixBudgetSql,
   )
 }

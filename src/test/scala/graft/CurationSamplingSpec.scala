@@ -220,6 +220,57 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(got.head._2 > 1, "top boilerplate gram must repeat across docs")
   }
 
+  test("dd_canonical partitions the corpus and elects the longest member") {
+    import graft.operators.DedupOps
+    val groups = DedupOps.ddDedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = groups.groupBy(_._2).map { case (rep, members) =>
+      val elected = members.map(_._1)
+        .minBy(id => (-chars(id), id))
+      (rep, members.length.toLong, elected, chars(elected))
+    }.toSet
+    val got = DedupOps.ddCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._2).sum == nDocs, "members partition the corpus")
+    assert(got.exists(g => g._2 > 1 && g._3 != g._1),
+      "sf0.001 has a multi-doc group whose longest member is not the min-id " +
+        "rep — the election must actually move the canonical")
+  }
+
+  test("mix_budget greedy fill matches a plain-Scala recomputation") {
+    import graft.functions.TextFunctions.EnglishStops
+    val rows = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = rows.map { case (id, src, text) =>
+      val toks = text.trim.split("\\s+")
+      val q = BigDecimal(toks.count(EnglishStops.contains).toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, src, toks.length.toLong, q)
+    }
+    val totTokens = scored.map(_._3).sum
+    val nSources = scored.map(_._2).distinct.length
+    val budget = math.floor((0.3 * totTokens) / nSources).toLong
+    val want = scored.groupBy(_._2).map { case (src, ds) =>
+      var cum = 0L; var kept = 0L; var keptTok = 0L
+      ds.sortBy(d => (-d._4, d._1)).foreach { d =>
+        if (cum < budget) { kept += 1; keptTok += d._3 }
+        cum += d._3
+      }
+      (src, budget, kept, keptTok)
+    }.toSet
+    val got = SamplingOps.mixBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    got.foreach { case (src, b, _, keptTok) =>
+      assert(keptTok >= b || keptTok == scored.filter(_._2 == src).map(_._3).sum,
+        s"$src under budget without being exhausted") }
+  }
+
   test("emb_centroids emits labels x dims model-sized output") {
     val e = Tables.load(spark, dir, "embeddings")
     val labels = e.select("label").distinct().count()
