@@ -63,7 +63,13 @@ import org.apache.spark.sql.functions._
   * (1.3× / 2.6× for a pair graph ~8,400× denser than sf0.1's — the
   * clique-derived corpus puts nearly half of all 515k cross-copy pairs
   * across split boundaries, and the audit's cost tracks the pair graph it
-  * inherits, not the corpus). All sublinear in data.
+  * inherits, not the corpus). dd_canonical 16.2 s / 14.1 s (vs 4.4 s at
+  * 1× — the cost IS its dd_dedup_groups CC subtree, 13.6 s at 10× on the
+  * 20,000×-denser clique graph; the election window adds ~2 s at 826
+  * groups and the 30× point goes FLAT for the same reason ngram_jaccard
+  * does: the df≤50 cap prunes cross-copy shingles), mix_budget 0.71 s /
+  * 1.68 s (flat / 1.9× — map-side scoring plus a source-partitioned
+  * cumsum; 20 sources at every factor). All sublinear in data.
   *
   * Semantic-dedup point at 3× (6k vectors; embeddings clone as-is, so
   * every vector gains factor−1 exact duplicates and the cos-pair graph
