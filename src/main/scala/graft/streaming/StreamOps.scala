@@ -498,6 +498,55 @@ object StreamOps {
           .as("clean_text"))
   }
 
+  // -------------------------------- streaming budget fill (mix_budget twin)
+  /** Token-budget assembly on arrival — the streaming twin of
+    * [[graft.operators.SamplingOps.mixBudget]]: per source, admit arriving
+    * documents until the source's token budget is crossed, then stay
+    * closed forever. A stream cannot sort the future, so the twin is
+    * greedy per WAVE: within each micro-batch the group's rows are
+    * quality-sorted exactly like the batch assembly (stopword ratio desc,
+    * doc_id), and the budget counter carries across waves as keyed state —
+    * one long per source. Fed the whole corpus as a single wave it
+    * reproduces the batch assembly decision-for-decision (StreamingSpec);
+    * across waves it keeps the batch operator's closure law (the counter
+    * accumulates every seen doc, kept or not, so once a source crosses its
+    * budget no later arrival reopens it).
+    *
+    * State per source is ONE cumulative count — no doc retention, no TTL
+    * concern, unbounded arrival safe at any scale. */
+  case class BudgetState(cum: Long)
+  case class BudgetDecision(source: String, doc_id: Long, n_tokens: Long,
+      kept: Boolean)
+
+  def streamingMixBudget(docs: DataFrame, budgetTokens: Long)(
+      implicit spark: SparkSession): Dataset[BudgetDecision] = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, stopwordCount, EnglishStops}
+    docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(stopwordCount(col("toks"), EnglishStops).cast("double") /
+          size(col("toks")).cast("double"), 6).as("q"))
+      .as[(Long, String, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BudgetState, BudgetDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long, Double)],
+            state: GroupState[BudgetState]) =>
+          var cum = state.getOption.getOrElse(BudgetState(0L)).cum
+          val out = rows.toSeq
+            .sortBy { case (id, _, _, q) => (-q, id) }
+            .map { case (id, _, n, _) =>
+              val kept = cum < budgetTokens
+              cum += n
+              BudgetDecision(src, id, n, kept)
+            }
+          state.update(BudgetState(cum))
+          out.iterator
+      }
+  }
+
   /** DSIR importance scoring on arrival — the streaming twin of
     * [[graft.operators.SamplingOps.sampDsir]] in its hashed form: the
     * trained `b`-bucket llr model ([[graft.operators.SamplingOps.dsirLlrBuckets]])

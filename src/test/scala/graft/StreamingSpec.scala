@@ -367,6 +367,48 @@ class StreamingSpec extends AnyFunSuite {
       "testdata should contain duplicated spans")
   }
 
+  test("streaming mix_budget: single wave == batch assembly; waves stay closed") {
+    import graft.operators.SamplingOps
+    val d = Tables.load(spark, dir, "documents")
+    val batch = SamplingOps.mixBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val budget = batch.values.head._1
+    // single wave (one file, one micro-batch): the per-wave quality sort
+    // makes the stream's greedy fill the batch assembly exactly
+    val dir1 = Files.createTempDirectory("graft-budget-1").toString
+    d.coalesce(1).write.mode("overwrite").parquet(dir1)
+    val one = runToCompletion(
+      StreamOps.streamingMixBudget(
+        StreamOps.readParquetStream(spark, dir1, d.schema), budget).toDF(),
+      "append", "budget_one")
+    val oneRoll = one.filter(col("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(oneRoll == batch.map { case (s, (_, n, t)) => s -> (n, t) },
+      "single-wave stream must equal the batch assembly rollup")
+    // multi-wave (4 files): closure law — every source ends at-or-past its
+    // budget or fully admitted, and every doc got exactly one decision
+    val dir4 = Files.createTempDirectory("graft-budget-4").toString
+    d.repartition(4).write.mode("overwrite").parquet(dir4)
+    val four = runToCompletion(
+      StreamOps.streamingMixBudget(
+        StreamOps.readParquetStream(spark, dir4, d.schema), budget).toDF(),
+      "append", "budget_four")
+    assert(four.count() == d.count(), "one decision per document")
+    val srcTok = d.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    four.filter(col("kept")).groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok")).collect().foreach { r =>
+        val (s, tok) = (r.getString(0), r.getLong(1))
+        assert(tok >= budget || tok == srcTok(s),
+          s"$s closed under budget without exhausting: $tok < $budget")
+      }
+  }
+
   test("streaming DSIR scores == batch scores and enrich the target source") {
     import graft.operators.SamplingOps
     val d = Tables.load(spark, dir, "documents")
