@@ -271,6 +271,25 @@ class CurationSamplingSpec extends AnyFunSuite {
         s"$src under budget without being exhausted") }
   }
 
+  test("mix_budget keeps monotonically more under a larger budget fraction") {
+    def roll(frac: Double): Map[String, (Long, Long, Long)] =
+      SamplingOps.mixBudget(spark, dir, frac = frac).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val small = roll(0.2)
+    val large = roll(0.5)
+    assert(small.keySet == large.keySet)
+    small.keySet.foreach { src =>
+      val (bS, dS, tS) = small(src)
+      val (bL, dL, tL) = large(src)
+      assert(bL > bS, s"$src budget must grow with frac")
+      // greedy fill is a prefix of the same quality order, so a larger
+      // budget can only extend the kept prefix — never swap or shrink it
+      assert(dL >= dS && tL >= tS,
+        s"$src kept ($dL docs/$tL tok) under frac=0.5 vs ($dS/$tS) at 0.2")
+    }
+  }
+
   test("emb_centroids emits labels x dims model-sized output") {
     val e = Tables.load(spark, dir, "embeddings")
     val labels = e.select("label").distinct().count()
