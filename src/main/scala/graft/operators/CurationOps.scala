@@ -496,6 +496,94 @@ object CurationOps {
        |  CAST(FLOOR((tok_offset + n_tokens - 1) / 1024) AS BIGINT) AS end_seq
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- content-defined chunking
+  /** Content-defined chunking (CDC) + chunk-level dup marking — the
+    * shift-robust alternative to [[txtChunks]]'s fixed 64/48 grid. A
+    * token is a BOUNDARY iff the first hex digit of md5(token) is '0'
+    * (p = 1/16 → expected chunk length 16 tokens), and a boundary token
+    * ends its chunk. Because the boundary decision depends only on the
+    * token — never on position — inserting or deleting a prefix re-cuts
+    * at the SAME places once past the edit: all chunks after the first
+    * shared boundary are byte-identical, so chunk-dedup still matches
+    * (the fixed grid shifts every chunk and matches nothing — the
+    * classic rsync/LBFS argument, asserted in the spec). The windowed
+    * (Rabin) variant — hash of the trailing w tokens instead of one —
+    * is a one-line drop-in on the boundary expression.
+    *
+    * Scale: the cut is a PER-ROW fold ([[cdcChunkGrain]]) — zero
+    * shuffles; the only exchanges are the fp-keyed dup-count join
+    * (buckets boilerplate-bounded — the dd_chunk_dups shape) and the
+    * presentation sort. No corpus-scale collect. */
+  /** The CDC cut itself, as ONE per-row higher-order fold — no explode,
+    * no window, no shuffle: each document's chunk list is built inside
+    * the row (running chunk closed when a boundary token arrives, tail
+    * flushed by the finish lambda). Stateless per row, so the SAME
+    * projection is the streaming dedup-on-arrival form
+    * ([[graft.streaming.StreamOps.streamingCdcChunks]]) — and the batch
+    * chunker pays zero shuffle before the dup join. A document that is
+    * empty after trim yields no chunks. */
+  private[graft] def cdcChunkGrain(d: DataFrame): DataFrame = {
+    val chunksCol = aggregate(
+      filter(tokens(col("text")), t => t =!= ""),
+      struct(typedlit(Seq.empty[String]).as("done"), lit("").as("cur")),
+      (acc, t) => {
+        val joined = when(acc.getField("cur") === "", t)
+          .otherwise(concat(acc.getField("cur"), lit(" "), t))
+        val isB = substring(md5(t.cast("binary")), 1, 1) === "0"
+        struct(
+          when(isB, array_append(acc.getField("done"), joined))
+            .otherwise(acc.getField("done")).as("done"),
+          when(isB, lit("")).otherwise(joined).as("cur"))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
+    d.select(col("doc_id"), posexplode(chunksCol).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"))
+  }
+
+  def cdcChunksFrom(d: DataFrame): DataFrame = {
+    val chunks = cdcChunkGrain(d)
+    val fpDocs = chunks.select(col("doc_id"), col("chunk_fp")).distinct()
+      .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_docs_with"))
+    chunks.join(fpDocs, Seq("chunk_fp"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("chunk_fp"),
+        col("n_docs_with"),
+        (col("n_docs_with") > 1).cast("int").as("shared"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def txtCdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksFrom(docs(s, dir))
+
+  val txtCdcChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents
+       |), tk AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+       |    CASE WHEN substr(md5(u.tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+       |  FROM t, UNNEST(list_transform(range(1, len(toks) + 1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS c(u)
+       |), cid AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM tk
+       |), ch AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+       |  FROM cid GROUP BY doc_id, chunk_id
+       |), fpd AS (
+       |  SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+       |  FROM (SELECT DISTINCT doc_id, chunk_fp FROM ch) GROUP BY 1
+       |)
+       |SELECT ch.doc_id, ch.chunk_id, ch.n_tok, ch.chunk_fp,
+       |  fpd.n_docs_with, CAST(fpd.n_docs_with > 1 AS INTEGER) AS shared
+       |FROM ch JOIN fpd USING (chunk_fp)
+       |ORDER BY ch.doc_id, ch.chunk_id""".stripMargin
+
   // --------------------------------------------------- end-to-end pipeline
   /** The full curation pipeline as ONE composed DAG — the capstone query a
     * training-data team actually ships: quality-funnel predicates → exact
@@ -614,6 +702,7 @@ object CurationOps {
     "txt_chunks" -> ((s: SparkSession, d: String) => txtChunks(s, d)),
     "dd_chunk_dups" -> (ddChunkDups _),
     "txt_pack" -> ((s: SparkSession, d: String) => txtPack(s, d)),
+    "txt_cdc_chunks" -> (txtCdcChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -627,5 +716,6 @@ object CurationOps {
     "txt_chunks" -> txtChunksSql,
     "dd_chunk_dups" -> ddChunkDupsSql,
     "txt_pack" -> txtPackSql,
+    "txt_cdc_chunks" -> txtCdcChunksSql,
   )
 }

@@ -1427,6 +1427,158 @@ object DedupOps {
       |JOIN sizes sb ON src_b = sb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------------ incremental dedup
+  /** Delta-vs-corpus incremental dedup — the screen a CONTINUOUSLY
+    * MAINTAINED corpus runs on each ingest batch: every incoming (delta)
+    * document is classified against the existing corpus as an exact
+    * duplicate, a near duplicate, or new, and the corpus side is NEVER
+    * paired against itself. That asymmetry is the whole point at 100 TB:
+    * re-running any self-join dedup over corpus ∪ delta re-pays the full
+    * corpus shuffle per batch, while this shape touches the corpus only
+    * to build (or in production, to read back) two persisted indexes —
+    * the fingerprint index and the discriminative-shingle index — and
+    * every join is delta-driven (the small side probes, pair buckets are
+    * (delta-docs-per-key × corpus-docs-per-key), df-capped).
+    *
+    * Membership is the [[graft.operators.CurationOps]] md5-bucket rule
+    * (first hex digit of md5(doc_id) ≥ 'd' → delta, 3/16 ≈ 19%), so the
+    * batch boundary is deterministic and replayable. The near screen uses
+    * the same df ≤ 50 discriminative universe and jaccard ≥ 0.2 contract
+    * as [[ddNgramJaccard]], restricted to delta × corpus pairs, with the
+    * best match = max rounded jaccard, ties to the lowest corpus doc_id.
+    * Exact-matched delta docs are excluded from the near screen (their
+    * verdict is already decided — no reason to pay their shingle join).
+    * Delta-internal duplicates are intentionally out of scope here: they
+    * are this same operator applied at the NEXT batch boundary, or a
+    * within-batch [[ddExact]]/[[ddNgramJaccard]] over the delta alone.
+    *
+    * For batches too large for the df-capped exact shingle join, the
+    * drop-in is [[ddMinHashLsh]]'s band machinery with the corpus band
+    * table as the persisted index — same verdict schema, LSH recall
+    * caveat applies. */
+  /** (fp → lowest owning doc_id) over any frame that already carries a
+    * `fp` column — the persisted index the exact tier of an incremental
+    * ingest probes. Factored out so the STREAMING screen
+    * ([[graft.streaming.StreamOps.streamingIncrementalExact]]) joins the
+    * identical index as a static side. */
+  private[graft] def fingerprintIndex(withFp: DataFrame): DataFrame =
+    withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("exact_id"))
+
+  def ddIncremental(s: SparkSession, dir: String, dfCap: Int = 50,
+      threshold: Double = 0.2): DataFrame = {
+    val flagged = docs(s, dir).withColumn("is_delta",
+      substring(md5(col("doc_id").cast("string")), 1, 1) >= "d")
+    // exact screen: corpus fingerprint index, delta probes it
+    val fps = flagged.select(col("doc_id"), col("is_delta"),
+      fingerprint(col("text")).as("fp"))
+    val corpusFpIndex = fingerprintIndex(fps.filter(!col("is_delta")))
+    val exact = fps.filter(col("is_delta"))
+      .join(corpusFpIndex, Seq("fp"))
+      .select(col("doc_id"), col("exact_id"))
+    // near screen: delta shingles (minus exact-matched docs) probe the
+    // corpus shingle index; df cap computed over the full table so the
+    // universe matches ddNgramJaccard's contract
+    val sh = discriminativeShingles(flagged, dfCap, carry = Seq("is_delta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shDelta = sh.filter(col("is_delta"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val shCorpus = sh.filter(!col("is_delta"))
+    val inter = shDelta.as("a").join(shCorpus.as("b"), col("a.hs") === col("b.hs"))
+      .groupBy(col("a.doc_id").as("did"), col("b.doc_id").as("cid"))
+      .agg(count(lit(1)).as("n_inter"))
+    val scored = inter
+      .join(cnt.as("ca"), col("did") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("cid") === col("cb.doc_id"))
+      .select(col("did"), col("cid"),
+        round(col("n_inter") / (col("ca.n") + col("cb.n") - col("n_inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("did"))
+      .orderBy(col("jaccard").desc, col("cid"))
+    val near = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("did").as("doc_id"), col("cid").as("near_id"),
+        col("jaccard"))
+    // verdict assembly over the delta roster; report is delta-sized —
+    // materialize it, then release the shingle cache
+    val report = flagged.filter(col("is_delta")).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("jaccard")).as("jaccard"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    sh.unpersist()
+    report
+  }
+
+  val ddIncrementalSql: String =
+    """WITH flagged AS (
+      |  SELECT doc_id, text,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd' AS is_delta
+      |  FROM documents
+      |), fps AS (
+      |  SELECT doc_id, is_delta,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM flagged
+      |), corpus_fp AS (
+      |  SELECT fp, MIN(doc_id) AS exact_id FROM fps WHERE NOT is_delta GROUP BY fp
+      |), exact AS (
+      |  SELECT f.doc_id, c.exact_id FROM fps f JOIN corpus_fp c USING (fp)
+      |  WHERE f.is_delta
+      |), toks AS (
+      |  SELECT doc_id, is_delta, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM flagged
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, is_delta,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS did, b.doc_id AS cid, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.is_delta AND NOT b.is_delta
+      |    AND a.doc_id NOT IN (SELECT doc_id FROM exact)
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT did, cid,
+      |    ROUND(n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+      |  FROM inter
+      |  JOIN cnt ca ON did = ca.doc_id
+      |  JOIN cnt cb ON cid = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), near AS (
+      |  SELECT did AS doc_id, cid AS near_id, jaccard
+      |  FROM (SELECT *, ROW_NUMBER() OVER
+      |          (PARTITION BY did ORDER BY jaccard DESC, cid) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+      |       WHEN n.near_id IS NOT NULL THEN 'near'
+      |       ELSE 'new' END AS verdict,
+      |  COALESCE(e.exact_id, n.near_id) AS match_id,
+      |  CASE WHEN e.exact_id IS NULL THEN n.jaccard END AS jaccard
+      |FROM (SELECT doc_id FROM flagged WHERE is_delta) d
+      |LEFT JOIN exact e USING (doc_id)
+      |LEFT JOIN near n USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
@@ -1446,6 +1598,7 @@ object DedupOps {
     "dd_substring_rate" -> ((s: SparkSession, d: String) => ddSubstringRate(s, d)),
     "dd_substring_cut" -> ((s: SparkSession, d: String) => ddSubstringCut(s, d)),
     "dd_substring_contam" -> ((s: SparkSession, d: String) => ddSubstringContamination(s, d)),
+    "dd_incremental" -> ((s: SparkSession, d: String) => ddIncremental(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1470,5 +1623,6 @@ object DedupOps {
     "dd_substring_rate" -> ddSubstringRateSql,
     "dd_substring_cut" -> ddSubstringCutSql,
     "dd_substring_contam" -> ddSubstringContaminationSql,
+    "dd_incremental" -> ddIncrementalSql,
   )
 }

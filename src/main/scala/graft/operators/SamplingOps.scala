@@ -553,7 +553,55 @@ object SamplingOps {
       |SELECT doc_id, n_tokens, ROUND(CAST(w AS DOUBLE), 6) + 0.0 AS log_w
       |FROM scored ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin
 
+  // ------------------------------------- deterministic training-order shuffle
+  /** Deterministic global shuffle — the training-order permutation every
+    * pretraining run applies before packing: rank documents by
+    * (md5(doc_id), doc_id). Hash-derived like every sampler here, so the
+    * permutation is replayable from the ids alone (re-run, resume, and
+    * audit all see the same order) and batching-invariant — no `rand()`,
+    * no seed state.
+    *
+    * Scale: global ROW_NUMBER over one ordered partition is the classic
+    * driver-shaped bottleneck, so the rank is TWO-PHASE (the txt_pack
+    * prefix-sum discipline): range-partition by the hash key (range
+    * partitioning preserves the global (hkey, doc_id) order across
+    * partitions), rank locally in parallel, then add per-partition offsets
+    * — the driver sees `parts` counts, never rows. The partitioned frame
+    * persists so both phases read one pid assignment; report
+    * materialized, cache released. */
+  def dsShuffle(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hkey"))
+      .repartitionByRange(parts, col("hkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = keyed.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid + 1, acc + n)
+    }.init.zip(totals).map { case ((_, base), (pid, _)) => (pid, base) }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("hkey"), col("doc_id"))
+    val report = keyed
+      .withColumn("local_rank", row_number().over(wLocal))
+      .join(broadcast(baseDf), Seq("pid"))
+      .select(col("doc_id"), col("hkey"),
+        (col("base") + col("local_rank")).cast("long").as("shuffle_rank"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    keyed.unpersist()
+    report
+  }
+
+  val dsShuffleSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS shuffle_rank
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_shuffle" -> ((s: SparkSession, d: String) => dsShuffle(s, d)),
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
@@ -565,6 +613,7 @@ object SamplingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_shuffle" -> dsShuffleSql,
     "samp_stratified" -> sampStratifiedSql,
     "samp_fixed" -> sampFixedSql,
     "samp_weighted" -> sampWeightedSql,

@@ -717,6 +717,113 @@ object TextQueries {
        |  ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS doc_share
        |FROM grams GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ Gopher rule battery
+  /** The Gopher quality-rule battery (Rae et al. 2021, App. A1.1) as
+    * per-document rule flags plus the combined keep verdict — the
+    * canonical cheap pre-filter every large-scale text pipeline runs
+    * before model-based scoring. Distinct from [[txtQuality]]'s blended
+    * score: each rule is reported separately so a curation run can audit
+    * WHICH rule rejected a document and retune one threshold without
+    * touching the others.
+    *
+    * Rules (canonical constants): word count in [50, 100k]; mean word
+    * length in [3, 10]; symbol-to-word ratio (# or ellipsis) ≤ 0.1;
+    * ≤ 90% of lines starting with a bullet; ≤ 30% of lines ending in an
+    * ellipsis; ≥ 80% of words containing an alphabetic character; ≥ 2
+    * distinct canonical stopwords present.
+    *
+    * Every threshold comparison is INTEGER arithmetic on exact counts
+    * (e.g. `10·n_alpha ≥ 8·n_tokens`), never a float ratio, so the Spark
+    * and DuckDB verdicts agree bit-for-bit with no rounding seam; the
+    * reported ratio columns are display-only roundings of the same
+    * counts. One map-side pass per document — no shuffle beyond the
+    * presentation sort, flat at any corpus size. */
+  def txtGopher(s: SparkSession, dir: String): DataFrame =
+    gopherFlagsFrom(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** [[txtGopher]] without the presentation sort, over any (doc_id, text)
+    * frame. One stateless projection, so it is ALSO the streaming
+    * filter-on-arrival form ([[graft.streaming.StreamOps
+    * .streamingGopherFlags]]) — batch and stream verdicts agree
+    * doc-for-doc by construction. */
+  private[graft] def gopherFlagsFrom(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withCounts = d.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long").as("n_sym"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      size(filter(split(col("text"), "\n"),
+        l => trim(l).rlike("^[-*•]"))).cast("long").as("n_bullet"),
+      size(filter(split(col("text"), "\n"),
+        l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long").as("n_ell"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(
+        array(GopherStops.map(lit): _*),
+        w => array_contains(toks, w))).cast("long").as("n_stop"))
+    val flags = withCounts.select(
+      col("doc_id"), col("n_tok"),
+      round(col("sum_len").cast("double") / col("n_tok"), 6).as("mean_tok_len"),
+      round(col("n_sym").cast("double") / col("n_tok"), 6).as("symbol_ratio"),
+      col("n_stop"),
+      (col("n_tok") >= 50 && col("n_tok") <= 100000).cast("int").as("r_wordcount"),
+      (col("sum_len") >= col("n_tok") * 3 &&
+        col("sum_len") <= col("n_tok") * 10).cast("int").as("r_meanlen"),
+      (col("n_sym") * 10 <= col("n_tok")).cast("int").as("r_symbol"),
+      (col("n_bullet") * 10 <= col("n_lines") * 9).cast("int").as("r_bullet"),
+      (col("n_ell") * 10 <= col("n_lines") * 3).cast("int").as("r_ellipsis"),
+      (col("n_alpha") * 10 >= col("n_tok") * 8).cast("int").as("r_alpha"),
+      (col("n_stop") >= 2).cast("int").as("r_stops"))
+    flags.select((flags.columns.map(col) :+
+      (col("r_wordcount") * col("r_meanlen") * col("r_symbol") *
+        col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
+        col("r_stops")).as("keep")): _*)
+  }
+
+  /** The Gopher stop set (Rae et al. 2021): intentionally NOT
+    * [[graft.functions.TextFunctions.EnglishStops]] — the rule is "≥2 of
+    * these 8 function words", a different signal than stopword density. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val txtGopherSql: String = {
+    val stopList = GopherStops.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckToks) AS BIGINT) AS n_tok,
+       |    CAST(list_sum(list_transform($duckToks, t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_sym,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter($duckToks,
+       |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter($stopList,
+       |      w -> list_contains($duckToks, w))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, n_tok,
+       |    ROUND(CAST(sum_len AS DOUBLE) / n_tok, 6) AS mean_tok_len,
+       |    ROUND(CAST(n_sym AS DOUBLE) / n_tok, 6) AS symbol_ratio,
+       |    n_stop,
+       |    CAST(n_tok >= 50 AND n_tok <= 100000 AS INTEGER) AS r_wordcount,
+       |    CAST(sum_len >= n_tok * 3 AND sum_len <= n_tok * 10 AS INTEGER) AS r_meanlen,
+       |    CAST(n_sym * 10 <= n_tok AS INTEGER) AS r_symbol,
+       |    CAST(n_bullet * 10 <= n_lines * 9 AS INTEGER) AS r_bullet,
+       |    CAST(n_ell * 10 <= n_lines * 3 AS INTEGER) AS r_ellipsis,
+       |    CAST(n_alpha * 10 >= n_tok * 8 AS INTEGER) AS r_alpha,
+       |    CAST(n_stop >= 2 AS INTEGER) AS r_stops
+       |  FROM m
+       |)
+       |SELECT f.*,
+       |  r_wordcount * r_meanlen * r_symbol * r_bullet * r_ellipsis
+       |    * r_alpha * r_stops AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -731,6 +838,7 @@ object TextQueries {
     "txt_bigram_ppl" -> ((s: SparkSession, d: String) => txtBigramPpl(s, d)),
     "txt_ppl_buckets" -> (txtPplBuckets _),
     "txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
+    "txt_gopher" -> (txtGopher _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +855,6 @@ object TextQueries {
     "txt_bigram_ppl" -> txtBigramPplSql,
     "txt_ppl_buckets" -> txtPplBucketsSql,
     "txt_boilerplate" -> txtBoilerplateSql,
+    "txt_gopher" -> txtGopherSql,
   )
 }

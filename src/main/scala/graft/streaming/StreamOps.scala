@@ -580,4 +580,37 @@ object StreamOps {
           .cast("long").as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** Streaming Gopher rule battery — filter-on-arrival. The batch battery
+    * is one stateless projection (integer-exact rule arithmetic, no
+    * aggregation), so the streaming form IS the batch form: same column
+    * set, same verdicts, append mode, no state store. */
+  def streamingGopherFlags(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.gopherFlagsFrom(docs)
+
+  /** Streaming content-defined chunking: the per-row CDC fold emits each
+    * arriving document's (chunk_id, n_tok, chunk_fp) grain with no state
+    * and no shuffle (the cut never looks outside the row). Cross-doc dup
+    * marking on a stream is a downstream concern — probe a static/broadcast
+    * chunk-fp index the way [[streamingBloomFlag]] probes its sketch. */
+  def streamingCdcChunks(docs: DataFrame): DataFrame =
+    graft.operators.CurationOps.cdcChunkGrain(docs)
+
+  /** Streaming exact tier of the incremental ingest screen: each arriving
+    * doc fingerprints itself and LEFT-JOINS the static corpus fingerprint
+    * index ([[graft.operators.DedupOps.fingerprintIndex]]) — a
+    * stream-static equi-join, the Structured Streaming form of "probe the
+    * persisted index". Spark re-plans the static side per micro-batch; at
+    * scale the index sits bucketed/broadcast so the probe is map-side.
+    * Verdicts are 'exact' (with the matched canonical id) or 'new'; the
+    * near tier on a stream is [[streamingNearDup]]'s block-keyed state. */
+  def streamingIncrementalExact(docs: DataFrame,
+      corpusFpIndex: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(corpusFpIndex, Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact").otherwise("new").as("verdict"),
+        col("exact_id").as("match_id"))
+  }
 }

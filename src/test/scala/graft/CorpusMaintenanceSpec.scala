@@ -1,0 +1,210 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.{CurationOps, DedupOps}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent ground truth for the round-8 corpus-maintenance operators:
+  * the Gopher rule battery (txt_gopher), delta-vs-corpus incremental dedup
+  * (dd_incremental), and content-defined chunking (txt_cdc_chunks). Each is
+  * recomputed in plain Scala over the collected sf0.001 corpus; the CDC
+  * chunker additionally gets its shift-robustness property — the reason it
+  * exists — asserted against the fixed-grid chunker on a synthetic pair.
+  */
+class CorpusMaintenanceSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private lazy val corpus: Seq[(Long, String)] =
+    Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+
+  // ------------------------------------------------------------ txt_gopher
+  test("txt_gopher flags match a plain-Scala evaluation of every rule") {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val n = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nSym = "#|\\.\\.\\.|…".r.findAllIn(text).length.toLong
+      val lines = text.split("\n", -1)
+      val nLines = lines.length.toLong
+      val nBullet = lines.count(l => "^[-*•]".r.findFirstIn(l.trim).isDefined).toLong
+      val nEll = lines.count(l =>
+        "(\\.\\.\\.|…)$".r.findFirstIn(l.replaceAll("\\s+$", "")).isDefined).toLong
+      val nAlpha = toks.count(t => t.exists(_.isLetter) &&
+        t.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong
+      val nStop = stops.count(toks.contains).toLong
+      val flags = Seq(
+        n >= 50 && n <= 100000,
+        sumLen >= n * 3 && sumLen <= n * 10,
+        nSym * 10 <= n,
+        nBullet * 10 <= nLines * 9,
+        nEll * 10 <= nLines * 3,
+        nAlpha * 10 >= n * 8,
+        nStop >= 2).map(b => if (b) 1 else 0)
+      id -> (n, nStop, flags, flags.product)
+    }.toMap
+    val got = operators.TextQueries.all("txt_gopher")(spark, dir).collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (n, nStop, flags, keep) = expected(id)
+      assert(r.getLong(1) == n, s"doc $id n_tok")
+      assert(r.getLong(4) == nStop, s"doc $id n_stop")
+      val gotFlags = (5 to 11).map(r.getInt)
+      assert(gotFlags == flags, s"doc $id flags $gotFlags != $flags")
+      assert(r.getInt(12) == keep, s"doc $id keep")
+    }
+    // the battery must discriminate on this corpus, not rubber-stamp
+    val keeps = got.map(_.getInt(12)).toSeq
+    assert(keeps.contains(0) && keeps.sum < keeps.length,
+      "battery should reject some docs")
+    assert(got.map(r => r.getInt(5)).toSet == Set(0, 1),
+      "word-count rule should split the corpus both ways")
+  }
+
+  // -------------------------------------------------------- dd_incremental
+  test("dd_incremental verdicts match plain-Scala delta-vs-corpus dedup") {
+    val isDelta = corpus.map { case (id, _) =>
+      id -> (md5hex(id.toString).head >= 'd')
+    }.toMap
+    val fp = corpus.map { case (id, text) =>
+      id -> md5hex(text.trim.toLowerCase.split("\\s+").mkString(" "))
+    }.toMap
+    val corpusIds = corpus.map(_._1).filter(!isDelta(_))
+    val corpusFp = corpusIds.groupBy(fp).map { case (f, ids) => f -> ids.min }
+    // discriminative 3-gram universe (df ≤ 50 over ALL docs)
+    val docShingles: Map[Long, Set[String]] = corpus.map { case (id, text) =>
+      val t = text.trim.split("\\s+")
+      id -> (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val df = docShingles.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rare = docShingles.map { case (id, ss) => id -> ss.filter(df(_) <= 50) }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size.toDouble
+      BigDecimal(i / (a.size + b.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = corpus.map(_._1).filter(isDelta).sorted.map { did =>
+      corpusFp.get(fp(did)) match {
+        case Some(eid) => (did, "exact", Some(eid), None: Option[Double])
+        case None =>
+          val cands = corpusIds
+            .map(cid => (cid, jac(rare(did), rare(cid))))
+            .filter(_._2 >= 0.2)
+          if (cands.isEmpty) (did, "new", None, None)
+          else {
+            val (cid, j) = cands.minBy { case (c, j) => (-j, c) }
+            (did, "near", Some(cid), Some(j))
+          }
+      }
+    }
+    val got = DedupOps.ddIncremental(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq
+    assert(got == expected)
+    // the near screen must fire on the planted near-dups (no exact dup in
+    // the generated corpus straddles the bucket boundary — the exact
+    // branch is exercised synthetically below)
+    assert(got.map(_._2).toSet == Set("near", "new"),
+      "testdata's planted dups should produce near and new verdicts")
+    // corpus docs never appear on the delta side
+    got.foreach { case (did, _, _, _) => assert(isDelta(did)) }
+  }
+
+  test("dd_incremental exact branch: a delta doc identical to a corpus doc") {
+    import spark.implicits._
+    // pick ids on opposite sides of the md5 bucket boundary, discovered
+    // deterministically (not hardcoded against the hash function)
+    val corpusId = (1L to 100L).find(id => md5hex(id.toString).head < 'd').get
+    val deltaId = (1L to 100L).find(id => md5hex(id.toString).head >= 'd').get
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"oth$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq((corpusId, text), (deltaId, text), (deltaId + 100, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.ddIncremental(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(deltaId) == (("exact", Some(corpusId))),
+      s"identical delta doc must be an exact match, got ${got(deltaId)}")
+  }
+
+  // -------------------------------------------------------- txt_cdc_chunks
+  private def scalaCdc(toks: Seq[String]): Seq[(Long, Long, String)] = {
+    val bnd = toks.map(t => md5hex(t).head == '0')
+    val cid = bnd.scanLeft(0L)((acc, b) => if (b) acc + 1 else acc).init
+    toks.zip(cid).groupBy(_._2).toSeq.sortBy(_._1).map { case (c, ts) =>
+      (c, ts.length.toLong, md5hex(ts.map(_._1).mkString(" ")))
+    }
+  }
+
+  test("txt_cdc_chunks matches a plain-Scala CDC chunker incl. dup counts") {
+    val expChunks = corpus.flatMap { case (id, text) =>
+      scalaCdc(text.trim.split("\\s+").toSeq).map { case (c, n, f) => (id, c, n, f) }
+    }
+    val nDocsWith = expChunks.map { case (id, _, _, f) => (id, f) }.distinct
+      .groupBy(_._2).map { case (f, o) => f -> o.size.toLong }
+    val expected = expChunks
+      .map { case (id, c, n, f) =>
+        (id, c, n, f, nDocsWith(f), if (nDocsWith(f) > 1) 1 else 0) }
+      .sortBy(t => (t._1, t._2))
+    val got = CurationOps.txtCdcChunks(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getInt(5))
+    }.toSeq
+    assert(got == expected)
+    assert(got.exists(_._6 == 1), "planted near-dups should share CDC chunks")
+  }
+
+  test("CDC chunking is shift-robust where the fixed grid is not") {
+    import spark.implicits._
+    // build a vocabulary with a known boundary word (md5 starts with '0'),
+    // discovered deterministically rather than hardcoded
+    val words = (1 to 400).map(i => s"w$i")
+    val boundary = words.filter(w => md5hex(w).head == '0')
+    assert(boundary.nonEmpty, "need at least one boundary word in 400")
+    val nonBoundary = words.filterNot(w => md5hex(w).head == '0').take(120)
+    // base doc: boundary words sprinkled every ~10 tokens
+    val base = nonBoundary.grouped(9).zipWithIndex.flatMap { case (g, i) =>
+      g :+ boundary(i % boundary.size)
+    }.toSeq
+    val shifted = Seq("prefixjunk1", "prefixjunk2", "prefixjunk3") ++ base
+    val docs = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdc = CurationOps.cdcChunksFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    val cdcShared = cdc.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(cdc.filter(_._1 == 2L).map(_._2).toSet)
+    // every base chunk AFTER the first boundary must reappear in the
+    // shifted doc: cuts re-align at the first shared boundary token
+    val baseChunks = scalaCdc(base)
+    assert(cdcShared.size >= baseChunks.size - 2,
+      s"CDC should re-align after the prefix (shared ${cdcShared.size} of ${baseChunks.size})")
+    // the fixed 64/48 grid shares nothing under a 3-token shift
+    val fixedTmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("synthetic"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$fixedTmp/documents.parquet")
+    val grid = CurationOps.txtChunks(spark, fixedTmp).collect()
+      .map(r => (r.getLong(0), r.getString(4))).toSeq
+    val gridShared = grid.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(grid.filter(_._1 == 2L).map(_._2).toSet)
+    assert(gridShared.isEmpty,
+      s"fixed grid should share no chunks under a 3-token shift, got $gridShared")
+    assert(cdcShared.size > gridShared.size)
+  }
+}

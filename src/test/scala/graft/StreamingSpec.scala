@@ -457,4 +457,69 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${canon(streamed)} batch=${canon(batch)}")
     assert(streamed.count() > 0, "testdata should contain contaminated train docs")
   }
+
+  test("streaming Gopher battery == batch battery doc-for-doc (stateless append)") {
+    val d = Tables.load(spark, dir, "documents")
+    val docsDir = Files.createTempDirectory("graft-gopher-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(docsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingGopherFlags(
+        StreamOps.readParquetStream(spark, docsDir, d.schema)),
+      "append", "gopher_out")
+    val batch = graft.operators.TextQueries.all("txt_gopher")(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("keep") === 1).count() > 0)
+  }
+
+  test("streaming CDC chunks == batch chunk grain (stateless append)") {
+    val d = Tables.load(spark, dir, "documents")
+    val docsDir = Files.createTempDirectory("graft-cdc-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(docsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingCdcChunks(
+        StreamOps.readParquetStream(spark, docsDir, d.schema)),
+      "append", "cdc_out")
+    val batch = graft.operators.CurationOps.txtCdcChunks(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("chunk_fp"))
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("streaming incremental exact screen == batch exact tier (stream-static join)") {
+    import graft.functions.TextFunctions
+    import graft.operators.DedupOps
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // plant one cross-bucket exact duplicate so the exact verdict fires
+    // (the generated corpus's exact dups all land inside one bucket)
+    val corpusText = d.withColumn("b", bucket).filter(col("b") < "d")
+      .limit(1).collect()(0).getString(1)
+    val plantedId = (1000000L to 1001000L).find { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head >= 'd'
+    }.get
+    import spark.implicits._
+    val aug = d.unionByName(Seq((plantedId, corpusText)).toDF("doc_id", "text"))
+    val tmp = Files.createTempDirectory("graft-incr-static").toString
+    aug.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val withB = Tables.load(spark, tmp, "documents").withColumn("b", bucket)
+    val index = DedupOps.fingerprintIndex(withB.filter(col("b") < "d")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")))
+    val delta = withB.filter(col("b") >= "d").select("doc_id", "text")
+    val deltaDir = Files.createTempDirectory("graft-incr-stream").toString
+    delta.repartition(4).write.mode("overwrite").parquet(deltaDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingIncrementalExact(
+        StreamOps.readParquetStream(spark, deltaDir, delta.schema), index),
+      "append", "incr_out")
+    // batch ground truth: the exact tier of ddIncremental (near → new,
+    // since the streaming exact screen by design only probes fingerprints)
+    val batch = DedupOps.ddIncremental(spark, tmp)
+      .select(col("doc_id"),
+        when(col("verdict") === "exact", "exact").otherwise("new").as("verdict"),
+        when(col("verdict") === "exact", col("match_id")).as("match_id"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("verdict") === "exact").count() >= 1,
+      "the planted cross-bucket duplicate must surface as an exact match")
+  }
 }
