@@ -95,6 +95,16 @@ import org.apache.spark.sql.functions._
   * bits/overfetch; the driver-corpus certification is unaffected (margins
   * resolve, recall 1.0 at every SF — PqProbe).
   *
+  * Round-9 points at 10× (50k docs): dd_incremental 4.65 s vs 3.56 s
+  * isolated at 1× — 1.3× time for 10× data, the sub-linear signature of
+  * the delta-probe asymmetry (the corpus side is index-build only, never
+  * self-joined; all pair work is delta-driven and df-capped).
+  * dd_substring_spans 2.15 s (1.27 s at 1×) and dd_substring_contam
+  * 2.51 s (1.29 s at 1×) — the k-gram window-site scan's candidate work
+  * is bounded by the window-hash buckets, so the heaviest r8 shape also
+  * scales sub-linearly. txt_cdc_chunks 2.78 s (1.74 s at 1× — map-side
+  * chunk fold, chunk_fp-keyed dup join).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

@@ -565,6 +565,7 @@ object CurationOps {
        |    CASE WHEN substr(md5(u.tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
        |  FROM t, UNNEST(list_transform(range(1, len(toks) + 1),
        |    i -> {'pos': i, 'tok': toks[i]})) AS c(u)
+       |  WHERE u.tok <> ''
        |), cid AS (
        |  SELECT doc_id, pos, tok,
        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos

@@ -591,9 +591,14 @@ object SimilarityOps {
     recallViolations(truth, approx, floor)
   }
 
-  /** The IVF-PQ ENCODE as a first-class output: `(vec_id, cell, codes)` —
-    * the compressed representation you'd persist at corpus scale (one
-    * cell id + m sub-byte codes per vector instead of dims floats). Unlike
+  /** The IVF-PQ ENCODE as a first-class output, long scalar form
+    * `(vec_id, cell, mi, code)` — one row per (vector, subspace), the
+    * compressed representation you'd persist at corpus scale (one
+    * cell id + m sub-byte codes per vector instead of dims floats). The
+    * long form (rather than a codes ARRAY) is the harness-shape contract:
+    * the driver's pandas comparator hash-sorts result columns and cannot
+    * hash ARRAY cells — the same emb_quantize lesson, now pinned by
+    * ContractSpec for every registered query. Unlike
     * the recall certifications (empty-violation-set contracts), this query
     * is value-compared: the DuckDB oracle re-derives the SAME model
     * (md5-sampled centroids, residual codebooks) and re-runs the SAME
@@ -640,23 +645,41 @@ object SimilarityOps {
           dotSeq(c.slice(mi * subDim, (mi + 1) * subDim), books(mi)(e)))
       }
     }
-    val codeCols = (0 until m).map { mi =>
+    def codeColFor(mi: Int) =
       sort_array(array((0 until kCent).map { e =>
         struct((lit(dotSeq(books(mi)(e), books(mi)(e))) -
           VF.dot(sub(col("ve"), mi), arrLit(books(mi)(e), arr1)) * 2 +
           element_at(arrLit(cbDots(mi)(e), arr1), col("cell") + 1) * 2).as("d"),
           lit(e).as("c"))
       }: _*)).getItem(0).getField("c")
-    }
     // no final orderBy: the driver's hash compare sorts rows itself, and
     // with a single input partition a sort has no exchange boundary — the
     // 256-entry encode projection would FUSE into the sort stage, push the
     // generated sort_addToSorter past the JVM's 64 KB method limit, and
     // silently drop the whole stage to interpreted eval (observed in the
-    // r8 bench logs). Without it the encode is one codegen'd map stage.
+    // r8 bench logs).
+    //
+    // Long-form emission order matters for the same codegen reason:
+    // exploding the COMPUTED codes array is a trap both ways — inner
+    // posexplode makes the optimizer inject `Filter size(codes) > 0`
+    // which (after CollapseProject inlines the encode into the Generate)
+    // re-evaluates the entire 256-entry encode per row (measured: 17 MiB
+    // task binary), and posexplode_outer needs no filter but outer
+    // generates are excluded from whole-stage codegen, dropping the
+    // encode to interpreted eval (measured: 0.6 s -> 2.9 s). So instead
+    // explode a LITERAL subspace index array first (its inferred filter
+    // constant-folds away, inner generate keeps codegen) and compute the
+    // single matched sub-argmin per row via a CASE on mi — the same total
+    // argmin work as the array form, one evaluation per (vector,
+    // subspace), all inside one codegen'd map stage.
+    val codeCase = (0 until m).foldRight(lit(-1)) { case (mi, acc) =>
+      when(col("mi") === mi, codeColFor(mi)).otherwise(acc)
+    }
     base
       .select(col("vec_id"), col("ve"), cellCol.as("cell"))
-      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id"), col("ve"), col("cell"),
+        explode(typedlit((0 until m).toVector)).as("mi"))
+      .select(col("vec_id"), col("cell"), col("mi"), codeCase.as("code"))
   }
 
   /** One deterministic Lloyd refinement of the residual codebooks — the
@@ -671,7 +694,9 @@ object SimilarityOps {
     * Entries that attract no sub-vectors keep their sampled value — the
     * standard empty-cluster fallback, mirrored in the oracle.
     *
-    * Output (mi, code, entry) is MODEL-shaped (m·kCent rows) and
+    * Output (mi, code, dim, c) is MODEL-shaped (m·kCent·subDim scalar
+    * rows — long form, not an entry ARRAY, per the harness-shape contract:
+    * the driver's pandas comparator cannot hash ARRAY cells) and
     * value-compared: the DuckDB oracle re-derives the sampled model,
     * re-runs the E-step argmins and the exact means, and the driver
     * hash-compares every trained component.
@@ -688,8 +713,8 @@ object SimilarityOps {
     val subDim = dims / m
     val (cents, books) = pqModel(base, cells, kCent, m, subDim)
     trainedBookRows(base, cents, books, m, subDim)
-      .select(col("mi"), col("code"), col("entry"))
-      .orderBy(col("mi"), col("code"))
+      .select(col("mi"), col("code"), posexplode(col("entry")).as(Seq("dim", "c")))
+      .orderBy(col("mi"), col("code"), col("dim"))
   }
 
   /** The Lloyd-step frame behind [[pqTrainBooks]]: (mi, code, entry). */
@@ -811,10 +836,9 @@ object SimilarityOps {
       |  FROM sub
       |)
       |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
-      |  array_agg(CAST(rid AS INTEGER) ORDER BY mi) AS codes
+      |  CAST(mi AS INTEGER) AS mi, CAST(rid AS INTEGER) AS code
       |FROM coderank WHERE rnk = 1
-      |GROUP BY vec_id, cell
-      |ORDER BY vec_id""".stripMargin
+      |ORDER BY vec_id, mi""".stripMargin
 
   val pqTrainSql: String =
     """WITH v AS (
@@ -865,16 +889,16 @@ object SimilarityOps {
       |    ROUND(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
       |      / CAST(COUNT(*) AS DOUBLE), 6) AS c
       |  FROM xs GROUP BY mi, code, dim
-      |), trained AS (
-      |  SELECT mi, code, array_agg(c ORDER BY dim) AS entry
-      |  FROM means GROUP BY mi, code
-      |), origs AS (
-      |  SELECT g.mi, b.rid AS code, b.be[g.mi*4+1 : g.mi*4+4] AS orig
+      |), origd AS (
+      |  SELECT g.mi, b.rid AS code, gd.d AS dim, b.be[g.mi*4 + gd.d + 1] AS orig
       |  FROM books b CROSS JOIN (SELECT unnest(range(0,16)) AS mi) g
+      |  CROSS JOIN (SELECT unnest(range(0,4)) AS d) gd
       |)
-      |SELECT o.mi, o.code, COALESCE(t.entry, o.orig) AS entry
-      |FROM origs o LEFT JOIN trained t USING (mi, code)
-      |ORDER BY mi, code""".stripMargin
+      |SELECT CAST(o.mi AS INTEGER) AS mi, CAST(o.code AS INTEGER) AS code,
+      |  CAST(o.dim AS INTEGER) AS dim, COALESCE(mn.c, o.orig) AS c
+      |FROM origd o LEFT JOIN means mn
+      |  ON mn.mi = o.mi AND mn.code = o.code AND mn.dim = o.dim
+      |ORDER BY mi, code, dim""".stripMargin
 
   val ivfRecallCheckSql: String =
     """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
@@ -889,8 +913,12 @@ object SimilarityOps {
     // clusterable corpus:
     "sim_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecallCheck(s, d)),
     // annPq's raw-corpus output is spec-tested API (same reasoning as
-    // annIvf); its driver-gated certificate is the recall check:
-    "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecallCheck(s, d)),
+    // annIvf); its driver-gated certificate is the recall check, run on
+    // TRAINED codebooks (one Lloyd refinement) so the driver certifies
+    // the full train -> encode -> search loop sim_pq_train opens, not
+    // just the sampled-codebook path:
+    "sim_pq_recall" -> ((s: SparkSession, d: String) =>
+      pqRecallCheck(s, d, trainIters = 1)),
     "sim_pq_codes" -> ((s: SparkSession, d: String) => pqCodes(s, d)),
     "sim_pq_train" -> ((s: SparkSession, d: String) => pqTrainBooks(s, d)),
   )

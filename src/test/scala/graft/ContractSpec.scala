@@ -33,4 +33,29 @@ class ContractSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query emits ARRAY/MAP/STRUCT output columns (harness shape)") {
+    // The driver's oracle comparator loads both sides into pandas and
+    // hash-sorts every column; a numpy array cell is unhashable, so an
+    // ARRAY (or MAP/STRUCT) output column fails the gate with
+    // `TypeError: unhashable type` REGARDLESS of value correctness —
+    // how emb_quantize shipped red in r6 and sim_pq_codes/sim_pq_train
+    // in r8. Nested outputs must be reshaped long (posexplode) before
+    // emission. Schema-only: resolves each query's plan (cheap at
+    // sf0.001) without executing it.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"nested-typed output columns (pandas comparator cannot hash them):\n" +
+        offenders.mkString("\n"))
+  }
 }

@@ -91,7 +91,10 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     val rare = docShingles.map { case (id, ss) => id -> ss.filter(df(_) <= 50) }
     def jac(a: Set[String], b: Set[String]): Double = {
       val i = (a & b).size.toDouble
-      BigDecimal(i / (a.size + b.size - i))
+      // both shingle sets empty (<3 tokens, or every shingle above the df
+      // cap) → 0/0; define as 0.0 rather than crash on BigDecimal(NaN)
+      if (a.size + b.size - i == 0) 0.0
+      else BigDecimal(i / (a.size + b.size - i))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val expected = corpus.map(_._1).filter(isDelta).sorted.map { did =>

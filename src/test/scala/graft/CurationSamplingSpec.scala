@@ -386,4 +386,29 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(o2 >= o1 - 1e-4,
       s"mean cosine fell from $o1 to $o2 after a Lloyd step")
   }
+
+  test("ds_shuffle two-phase rank == collected global sort, deterministically") {
+    // ground truth computed plain-Scala: the permutation IS the row_number
+    // of the (md5(doc_id), doc_id) sort — the two-phase range-partitioned
+    // rank must reproduce it exactly, at every parts setting (the offsets
+    // logic is the part that can silently break: a wrong base shifts a
+    // whole partition's ranks)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ids = Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.map(id => (md5hex(id.toString), id)).sorted
+      .zipWithIndex.map { case ((h, id), i) => id -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val got = SamplingOps.dsShuffle(spark, dir, parts).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"parts=$parts: two-phase rank diverges from " +
+        s"the global sort on ${got.toSet.diff(want.toSet).take(3)}")
+    }
+    // replayable: a fresh run emits the identical permutation
+    val again = SamplingOps.dsShuffle(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == want, "shuffle must replay identically from ids alone")
+  }
 }

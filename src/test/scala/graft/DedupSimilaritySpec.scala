@@ -117,9 +117,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val c1 = SimilarityOps.pqCodes(spark, dir).collect().map(_.toSeq).toSeq
     val c2 = SimilarityOps.pqCodes(spark, dir).collect().map(_.toSeq).toSeq
     assert(c1 == c2, "md5-sampled model + tie-broken argmins must replay identically")
+    // long scalar form (vec_id, cell, mi, code): m rows per vector
+    val perVec = c1.groupBy(_(0)).values.map(_.size).toSet
+    assert(perVec == Set(16), s"expected 16 subspace rows per vector, got $perVec")
     val cellsSeen = c1.map(_(1).asInstanceOf[Int]).toSet
     assert(cellsSeen.forall(c => c >= 0 && c < 32))
-    val codes = c1.flatMap(_(2).asInstanceOf[scala.collection.Seq[Int]])
+    assert(c1.map(_(2).asInstanceOf[Int]).toSet == (0 until 16).toSet)
+    val codes = c1.map(_(3).asInstanceOf[Int])
     assert(codes.forall(e => e >= 0 && e < 16))
     // degenerate encodings (all vectors sharing one codeword) are how the
     // whole-vector-PQ failure mode would resurface — require real spread
@@ -131,7 +135,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val t1 = SimilarityOps.pqTrainBooks(spark, dir).collect().map(_.toSeq).toSeq
     val t2 = SimilarityOps.pqTrainBooks(spark, dir).collect().map(_.toSeq).toSeq
     assert(t1 == t2, "DECIMAL-exact means must replay identically")
-    assert(t1.size == 256, s"expected 16x16 model rows, got ${t1.size}")
+    // long scalar form (mi, code, dim, c): 16 subspaces x 16 entries x 4 dims
+    assert(t1.size == 1024, s"expected 16x16x4 model rows, got ${t1.size}")
     // the Lloyd step must actually help: corpus mean assignment distance
     // (constant-dropped metric — offsets cancel between codebooks) drops
     val d0 = SimilarityOps.pqMeanAssignD(spark, dir, trainIters = 0)
