@@ -552,6 +552,81 @@ object EmbeddingOps {
     """SELECT CAST(NULL AS INTEGER) AS dim, CAST(NULL AS DOUBLE) AS resid
       |WHERE FALSE""".stripMargin
 
+  // ---------------------------------------- cluster-balanced sampling
+  /** Cluster-CAP sampling — the diversity-balancing step of the "embed →
+    * cluster → sample per cluster" curation recipe: assign every vector to
+    * its nearest label centroid by cosine (the [[embAssign]] E-step,
+    * identical rounding discipline) and keep at most `cap` vectors per
+    * cluster, chosen by the hash order (md5(vec_id), vec_id) every sampler
+    * here uses — deterministic, replayable, batching-invariant. Dominant
+    * clusters (boilerplate, head topics) are truncated to the cap while
+    * tail clusters survive whole, flattening the topic distribution
+    * without dropping rare content — the embedding-space counterpart of
+    * [[SamplingOps.sampBySource]]'s per-source cap.
+    *
+    * Scale: centroids are broadcast model state and assignment is
+    * map-side; the per-cluster rank is ONE cluster-keyed shuffle, and the
+    * `rk <= cap` filter sits directly on row_number so Spark's
+    * WindowGroupLimit keeps only `cap` rows per cluster PER MAP TASK
+    * before the shuffle — reducer input is tasks·cap rows per cluster,
+    * never the corpus, which is what makes a low-cardinality partition
+    * key (8 clusters here) safe at any corpus size. */
+  def sampClusterCap(s: SparkSession, dir: String, cap: Int = 32): DataFrame = {
+    val e = emb(s, dir)
+    val cents = centroidVectors(
+      centroidRows(e).withColumnRenamed("label", "c_label"), "c_label")
+    val vecs = e.select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("c_label"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_label"),
+        (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("assigned"))
+    val wCap = Window.partitionBy(col("assigned"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("assigned"), col("rk").cast("long").as("rk"))
+      .orderBy(col("assigned"), col("rk"))
+  }
+
+  val sampClusterCapSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label AS c_label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY label, dim
+      |), cents AS (
+      |  SELECT c_label, list(c ORDER BY dim) AS cv FROM comp GROUP BY c_label
+      |), scored AS (
+      |  SELECT e.vec_id, cents.c_label,
+      |    list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)), cv)
+      |      / (sqrt(list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+      |               list_transform(e.embedding, v -> CAST(v AS DOUBLE))))
+      |         * sqrt(list_dot_product(cv, cv))) AS cos_raw
+      |  FROM embeddings e CROSS JOIN cents
+      |), best AS (
+      |  SELECT vec_id, c_label,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, c_label) AS rn
+      |  FROM scored
+      |), assigned AS (
+      |  SELECT vec_id, c_label AS assigned FROM best WHERE rn = 1
+      |), capped AS (
+      |  SELECT vec_id, assigned,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY assigned
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+      |  FROM assigned
+      |)
+      |SELECT vec_id, assigned, rk FROM capped WHERE rk <= 32
+      |ORDER BY assigned, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
@@ -561,6 +636,7 @@ object EmbeddingOps {
     "emb_dimstats" -> (embDimStats _),
     "emb_cov" -> (embCov _),
     "emb_pca_check" -> ((s: SparkSession, d: String) => embPcaCheck(s, d)),
+    "samp_cluster_cap" -> ((s: SparkSession, d: String) => sampClusterCap(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -572,5 +648,6 @@ object EmbeddingOps {
     "emb_outliers" -> embOutliersSql,
     "emb_cov" -> embCovSql,
     "emb_pca_check" -> embPcaCheckSql,
+    "samp_cluster_cap" -> sampClusterCapSql,
   )
 }

@@ -824,6 +824,71 @@ object TextQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- first-occurrence novelty
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * 3-gram shingles that the document is the FIRST to contribute to the
+    * corpus (first = lowest doc_id owning the shingle — the deterministic
+    * stand-in for ingest order, the same convention every canonical
+    * election here uses). The data-valuation signal behind "does this
+    * document add anything": boilerplate and near-copies score ~0 because
+    * earlier documents already own their shingles, while genuinely new
+    * content scores ~1. Documents with fewer than 3 tokens have no
+    * shingles and emit no row (the shingle-universe convention shared
+    * with [[DedupOps.ddNgramJaccard]]).
+    *
+    * Conservation law (spec-pinned): Σ n_first over all docs = |distinct
+    * shingles in the corpus|, and the lowest-doc_id row always has
+    * novelty 1.0.
+    *
+    * Scale: tokens MUST materialize as a projection attribute before the
+    * shingle lambda touches them — inlining `tokens(text)` into
+    * `shingles(...)` makes every element_at in the lambda re-run the
+    * whole regex split (no common-subexpression elimination across
+    * higher-order functions: measured 13 s for a 0.2 s corpus, ~O(tokens²)
+    * splits per doc; the shingleSet family learned this first). Shingles
+    * then hash inside the transform before the distinct (8-byte longs,
+    * not strings), ONE shingle-keyed shuffle builds the min-doc_id
+    * ownership index, and the ownership join keys on the SAME hash.
+    * Collisions would need ~2^32 distinct shingles per bucket; the dedup
+    * family shares the convention. */
+  def txtNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(shingles(col("toks"), 3), x => xxhash64(x))))
+          .as("hs"))
+    val owner = sh.groupBy(col("hs")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owner, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("owner") === col("doc_id")).cast("long")).as("n_first"))
+      .select(col("doc_id"), col("n_sh"), col("n_first"),
+        round(col("n_first").cast("double") / col("n_sh"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [] END) AS s
+       |  FROM toks
+       |), own AS (
+       |  SELECT s, MIN(doc_id) AS owner FROM sh GROUP BY s
+       |)
+       |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |  CAST(SUM(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first,
+       |  ROUND(CAST(SUM(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+       |FROM sh JOIN own USING (s)
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -839,6 +904,7 @@ object TextQueries {
     "txt_ppl_buckets" -> (txtPplBuckets _),
     "txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "txt_gopher" -> (txtGopher _),
+    "txt_novelty" -> (txtNovelty _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -856,5 +922,6 @@ object TextQueries {
     "txt_ppl_buckets" -> txtPplBucketsSql,
     "txt_boilerplate" -> txtBoilerplateSql,
     "txt_gopher" -> txtGopherSql,
+    "txt_novelty" -> txtNoveltySql,
   )
 }

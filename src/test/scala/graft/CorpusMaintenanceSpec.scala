@@ -210,4 +210,34 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       s"fixed grid should share no chunks under a 3-token shift, got $gridShared")
     assert(cdcShared.size > gridShared.size)
   }
+
+  // ----------------------------------------------------------- txt_novelty
+  test("txt_novelty matches plain-Scala first-occurrence attribution + laws") {
+    val docShingles: Map[Long, Set[String]] = corpus.map { case (id, text) =>
+      val t = text.trim.split("\\s+")
+      id -> (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val owner: Map[String, Long] = docShingles.toSeq
+      .flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (s, os) => s -> os.map(_._2).min }
+    val expected = docShingles.collect {
+      case (id, ss) if ss.nonEmpty =>
+        val nFirst = ss.count(owner(_) == id).toLong
+        id -> (ss.size.toLong, nFirst,
+          BigDecimal(nFirst.toDouble / ss.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.TextQueries.txtNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+    // conservation: every distinct corpus shingle is first-owned exactly once
+    assert(got.values.map(_._2).sum == owner.size.toLong,
+      "sum of n_first must equal the distinct shingle universe")
+    // the lowest doc_id with shingles owns everything it contains
+    val firstDoc = expected.keys.min
+    assert(got(firstDoc)._3 == 1.0,
+      s"doc $firstDoc (lowest id) must have novelty 1.0")
+  }
 }

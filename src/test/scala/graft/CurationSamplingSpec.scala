@@ -411,4 +411,34 @@ class CurationSamplingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == want, "shuffle must replay identically from ids alone")
   }
+
+  test("samp_cluster_cap keeps exactly the hash-first cap per cluster") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // cap >= corpus -> the full assignment (nothing truncated)
+    val full = EmbeddingOps.sampClusterCap(spark, dir, cap = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.get(1))
+    assert(full.length == nVecs, "uncapped run must keep every vector")
+    // the capped run must keep, per cluster, the first `cap` members of
+    // the full assignment under (md5(vec_id), vec_id) order — the capping
+    // is pure selection, never reassignment
+    val cap = 5
+    val want = full.groupBy(_._2).toSeq.flatMap { case (cl, members) =>
+      members.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(cap)
+        .zipWithIndex.map { case (id, i) => (id, cl, i + 1L) }
+    }.toSet
+    val got = EmbeddingOps.sampClusterCap(spark, dir, cap = cap).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the scale property is IN THE PLAN: the rk <= cap filter must compile
+    // to a WindowGroupLimit (map-side partial per-cluster limit), which is
+    // what makes the low-cardinality cluster partition key safe at corpus
+    // scale — reducers see tasks*cap rows per cluster, never the corpus
+    val plan = EmbeddingOps.sampClusterCap(spark, dir, cap = cap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cluster cap lost its WindowGroupLimit pushdown:\n$plan")
+  }
 }
