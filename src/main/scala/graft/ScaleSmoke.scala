@@ -105,6 +105,16 @@ import org.apache.spark.sql.functions._
   * scales sub-linearly. txt_cdc_chunks 2.78 s (1.74 s at 1× — map-side
   * chunk fold, chunk_fp-keyed dup join).
   *
+  * Round-9 new-operator points at 10×: txt_pii 0.27 s (0.30 s at 1× —
+  * flat, shuffle-free projection), mix_epochs 0.34 s (0.47 s at 1×),
+  * txt_quality_cal 1.59 s (1.42 s at 1× — flat, the value histogram is
+  * distinct-value-bounded, not row-bounded), emb_rp 0.71 s at 320k
+  * output rows (0.73 s at 1× — cost tracks the output), sim_rp_recall
+  * 2.73 s (2.16 s at 1× — sub-linear; note the 10× corpus puts exact
+  * clones in each query's sub-group, so the recall there certifies the
+  * clone-saturated easy case; the honest resolution-limit cert is the
+  * gate-SF run).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

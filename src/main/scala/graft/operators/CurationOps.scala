@@ -692,7 +692,115 @@ object CurationOps {
       |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_vec_keys
       |FROM dk FULL OUTER JOIN vk ON dk.doc_id = vk.vec_id""".stripMargin
 
+  // --------------------------------- quality-threshold calibration
+  /** Per-source quality-filter calibration — the step that turns "filter
+    * at quality ≥ τ" from a global guess into a per-source decision: for
+    * every source, the discrete q10/q50/q90 of the stopword-ratio quality
+    * signal ([[SamplingOps.mixBudget]]'s `q`), plus how many of its docs
+    * survive a single GLOBAL threshold τ (the corpus-wide discrete
+    * median). Sources whose q90 sits below τ are the ones a global
+    * threshold would wipe out — exactly what a curator reads this table
+    * to find.
+    *
+    * Quantiles are computed from the VALUE HISTOGRAM, not a row sort: `q`
+    * is rounded to 6dp, so the distinct-value count is bounded and the
+    * cumulative scan runs over model-sized (source, q, cnt) groups — the
+    * discrete quantile `min q s.t. cum ≥ ⌈p·n⌉` needs no global
+    * row-ordering at any corpus size (the interpolating-percentile
+    * alternative would; percentile_approx is the same dial with error
+    * bars). Both engines evaluate the identical discrete definition, so
+    * the result hash-matches exactly — no interpolation semantics to
+    * disagree over.
+    *
+    * Scale: doc-level q is map-side; the histogram is two map-combined
+    * shuffles (|sources|·|distinct q| then |distinct q| groups); τ
+    * crosses back as a broadcast scalar. Output is |sources| rows. */
+  def txtQualityCal(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        round(stopwordCount(col("toks"), EnglishStops).cast("double") /
+          size(col("toks")).cast("double"), 6).as("q"))
+    val hist = scored.groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wSrc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    def qtile(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n").cast("double")), col("q")))
+    val perSrc = cum.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        qtile(0.1).as("q10"), qtile(0.5).as("q50"), qtile(0.9).as("q90"))
+    // global τ from the source-collapsed histogram — same machinery
+    val gHist = hist.groupBy(col("q")).agg(sum(col("cnt")).as("cnt"))
+    val wAll = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau = gHist
+      .withColumn("cum", sum(col("cnt")).over(wAll))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n").cast("double")),
+        col("q"))).as("tau"))
+    val kept = scored.crossJoin(broadcast(tau))
+      .groupBy(col("source"))
+      .agg((max(col("tau")) + 0.0).as("tau"),
+        sum(when(col("q") >= col("tau"), 1L).otherwise(0L)).as("n_keep"))
+    val out = perSrc.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("q10"), col("q50"),
+        col("q90"), col("tau"), col("n_keep"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    hist.unpersist()
+    out
+  }
+
+  val txtQualityCalSql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStops
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    ROUND(CAST(len(list_filter($duckToks, t -> t IN ($stops))) AS DOUBLE)
+       |      / CAST(len($duckToks) AS DOUBLE), 6) AS q
+       |  FROM documents
+       |), hist AS (
+       |  SELECT source, q, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM scored GROUP BY source, q
+       |), cum AS (
+       |  SELECT source, q, cnt,
+       |    SUM(cnt) OVER (PARTITION BY source ORDER BY q
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), per_src AS (
+       |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |    MIN(CASE WHEN cum >= CEIL(0.1 * CAST(n AS DOUBLE)) THEN q END) AS q10,
+       |    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN q END) AS q50,
+       |    MIN(CASE WHEN cum >= CEIL(0.9 * CAST(n AS DOUBLE)) THEN q END) AS q90
+       |  FROM cum GROUP BY source
+       |), gcum AS (
+       |  SELECT q,
+       |    SUM(cnt) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM (SELECT q, SUM(cnt) AS cnt FROM hist GROUP BY q)
+       |), gtau AS (
+       |  SELECT MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN q END)
+       |    AS tau
+       |  FROM gcum
+       |), kept AS (
+       |  SELECT source, MAX(tau) + 0.0 AS tau,
+       |    CAST(SUM(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM scored CROSS JOIN gtau GROUP BY source
+       |)
+       |SELECT per_src.source, n_docs, q10, q50, q90, tau, n_keep
+       |FROM per_src JOIN kept ON per_src.source = kept.source
+       |ORDER BY per_src.source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_quality_cal" -> (txtQualityCal _),
     "pipe_curate" -> (pipeCurate _),
     "pipe_integrity" -> (pipeIntegrity _),
     "txt_repetition" -> (txtRepetition _),
@@ -707,6 +815,7 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_quality_cal" -> txtQualityCalSql,
     "pipe_curate" -> pipeCurateSql,
     "pipe_integrity" -> pipeIntegritySql,
     "txt_repetition" -> txtRepetitionSql,

@@ -627,7 +627,86 @@ object EmbeddingOps {
       |SELECT vec_id, assigned, rk FROM capped WHERE rk <= 32
       |ORDER BY assigned, rk""".stripMargin
 
+  // --------------------------------- JL random projection (dim reduce)
+  /** Johnson–Lindenstrauss random projection d → k with a Rademacher (±1)
+    * matrix — the classic cheap dimensionality reduction an embedding
+    * pipeline runs before ANN indexing or clustering at scale (Achlioptas
+    * 2001: ±1 entries preserve pairwise distances in expectation with the
+    * same JL guarantee as Gaussian matrices, and cost only sign flips).
+    * Output is the long scalar form (vec_id, rdim, proj), never an array
+    * column (driver-hasher contract).
+    *
+    * The sign matrix is DERIVED, not stored: sgn(dim, rdim) = parity of
+    * the first md5 nibble of "rp:dim_rdim" — both engines materialize the
+    * identical d×k matrix from the identical string hash, the same
+    * portable-entropy discipline as [[SamplingOps]]' salted digests. The
+    * matrix frame is built from the data's own distinct dims (no
+    * hardcoded d) and broadcast; each ±x term is DECIMAL(30,15)-negated
+    * (never multiplied — decimal×decimal precision overflow would round),
+    * summed exactly, then scaled by 1/√k in identical double arithmetic.
+    *
+    * Scale: posexplode emits n·d rows, map-combined into n·k groups keyed
+    * by (vec_id, rdim) — one shuffle whose width is the OUTPUT size; the
+    * d×k sign matrix crosses as a broadcast. At 100 TB the same plan
+    * holds: the matrix is KB-sized model state and the projection is one
+    * pass. */
+  /** Scala-side replica of the portable sign derivation — the literal
+    * d×k matrix consumers embed in a map-side plan
+    * ([[SimilarityOps.rpRecallCheck]]); CurationSamplingSpec pins it
+    * equal to the Spark-md5 derivation below. Row layout: result(j)(i) =
+    * sgn(dim = i, rdim = j). */
+  private[graft] def rpSignMatrix(d: Int, k: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(dim: Int, rdim: Int): Int = {
+      val hex = md.digest(s"rp:${dim}_$rdim".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+    }
+    (0 until k).map(j => (0 until d).map(i => sgn(i, j)))
+  }
+
+  def embRp(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val x = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("xf").cast("double").cast("decimal(30,15)").as("xd"))
+    val signs = x.select(col("dim")).distinct()
+      .crossJoin(s.range(k.toLong).toDF("rdim"))
+      .select(col("dim"), col("rdim"),
+        when(conv(substring(md5(concat(lit("rp:"),
+          col("dim").cast("string"), lit("_"),
+          col("rdim").cast("string")).cast("binary")), 1, 1), 16, 10)
+          .cast("long") % 2 === 0, lit(1)).otherwise(lit(-1)).as("sgn"))
+    x.join(broadcast(signs), Seq("dim"))
+      .groupBy(col("vec_id"), col("rdim"))
+      .agg(sum(when(col("sgn") === 1, col("xd")).otherwise(-col("xd")))
+        .cast("double").as("s"))
+      .select(col("vec_id"), col("rdim"),
+        round(col("s") / lit(math.sqrt(k.toDouble)), 6).as("proj"))
+      .orderBy(col("vec_id"), col("rdim"))
+  }
+
+  val embRpSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), signs AS (
+      |  SELECT d.dim, j.rdim,
+      |    CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(d.dim AS VARCHAR)
+      |        || '_' || CAST(j.rdim AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT DISTINCT dim FROM x) d CROSS JOIN range(16) j(rdim)
+      |)
+      |SELECT x.vec_id, signs.rdim,
+      |  ROUND(CAST(SUM(CASE WHEN sgn = 1 THEN xd ELSE -xd END) AS DOUBLE)
+      |    / sqrt(16.0), 6) AS proj
+      |FROM x JOIN signs ON x.dim = signs.dim
+      |GROUP BY x.vec_id, signs.rdim
+      |ORDER BY vec_id, rdim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rp" -> ((s: SparkSession, d: String) => embRp(s, d)),
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => embKmeans(s, d)),
@@ -640,6 +719,7 @@ object EmbeddingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_rp" -> embRpSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_dimstats" -> embDimStatsSql,
     "emb_centroids" -> embCentroidsSql,

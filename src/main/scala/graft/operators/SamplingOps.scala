@@ -418,6 +418,91 @@ object SamplingOps {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------- epoch-aware repeat-factor plan
+  /** Epoch-aware mixture plan — the step after weighting and before
+    * assembly: given a per-source QUALITY-proportional target mixture
+    * (mean stopword ratio, the natural-text signal [[mixBudget]] ranks
+    * by; token-share temperature weights are the [[sampTemperature]]
+    * lane) and a global token budget of `budgetMult` × the corpus, decide
+    * how many EPOCHS (repeat passes) of each source the training set
+    * takes. Small-but-high-quality sources get upweighted until the
+    * repetition cap (`maxEpochs`, the "repeating data degrades quality"
+    * guard every pretraining mix applies) binds; the plan reports the
+    * capped epoch count, the tokens it actually yields, and the deficit
+    * the cap left unfilled — the number the curator re-allocates.
+    *
+    * Determinism: per-source quality is rounded to 6dp then summed as
+    * DECIMAL (exact, order-free — the entropy discipline); every later
+    * step is identical IEEE double arithmetic on identical operands in
+    * both engines, so the plan hash-matches the oracle exactly.
+    *
+    * Scale: one map-combined shuffle of |sources| groups; the totals
+    * cross back as a broadcast scalar. The plan frame is |sources| rows —
+    * model-sized at any corpus size. */
+  def mixEpochs(s: SparkSession, dir: String, budgetMult: Double = 2.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val perSrc = docs(s, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), size(col("toks")).cast("long").as("n_tokens"),
+        stopwordCount(col("toks"), EnglishStops).as("n_stop"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"),
+        sum(col("n_stop")).as("src_stop"))
+      .withColumn("q",
+        round(col("src_stop").cast("double") /
+          col("avail_tokens").cast("double"), 6).cast("decimal(30,15)"))
+    val tot = perSrc.agg(sum(col("avail_tokens")).as("tot_tokens"),
+      sum(col("q")).as("z"))
+    val w = col("q").cast("double") / col("z").cast("double")
+    val desired = lit(budgetMult) * col("tot_tokens").cast("double") * w
+    val epochs =
+      least(lit(maxEpochs), desired / col("avail_tokens").cast("double"))
+    val eff =
+      floor(epochs * col("avail_tokens").cast("double")).cast("long")
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail_tokens"),
+        round(w, 6).as("weight"),
+        round(epochs, 6).as("epochs"),
+        eff.as("eff_tokens"),
+        greatest(lit(0L), ceil(desired).cast("long") - eff)
+          .as("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixEpochsSql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStops
+      .map("'" + _ + "'").mkString(",")
+    val wExpr = "(CAST(q AS DOUBLE) / CAST(z AS DOUBLE))"
+    val desired = s"(2.0 * CAST(tot_tokens AS DOUBLE) * $wExpr)"
+    val epochs =
+      s"LEAST(4.0, $desired / CAST(avail_tokens AS DOUBLE))"
+    val eff =
+      s"CAST(FLOOR($epochs * CAST(avail_tokens AS DOUBLE)) AS BIGINT)"
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens,
+       |    CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        t -> t IN ($stops)))) AS BIGINT) AS src_stop
+       |  FROM documents GROUP BY source
+       |), srcq AS (
+       |  SELECT source, avail_tokens,
+       |    CAST(ROUND(CAST(src_stop AS DOUBLE) / CAST(avail_tokens AS DOUBLE),
+       |      6) AS DECIMAL(30,15)) AS q
+       |  FROM per_src
+       |), tot AS (
+       |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot_tokens, SUM(q) AS z
+       |  FROM srcq
+       |)
+       |SELECT source, avail_tokens,
+       |  ROUND($wExpr, 6) AS weight,
+       |  ROUND($epochs, 6) AS epochs,
+       |  $eff AS eff_tokens,
+       |  GREATEST(CAST(0 AS BIGINT),
+       |    CAST(CEIL($desired) AS BIGINT) - $eff) AS deficit_tokens
+       |FROM srcq CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------- DSIR importance weighting
   /** Data Selection via Importance Resampling (Xie et al. 2023), unigram
     * form: treat one source's documents as the TARGET distribution (the
@@ -610,6 +695,7 @@ object SamplingOps {
     "samp_bysource" -> ((s: SparkSession, d: String) => sampBySource(s, d)),
     "samp_dsir" -> ((s: SparkSession, d: String) => sampDsir(s, d)),
     "mix_budget" -> ((s: SparkSession, d: String) => mixBudget(s, d)),
+    "mix_epochs" -> ((s: SparkSession, d: String) => mixEpochs(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,5 +708,6 @@ object SamplingOps {
     "samp_bysource" -> sampBySourceSql,
     "samp_dsir" -> sampDsirSql,
     "mix_budget" -> mixBudgetSql,
+    "mix_epochs" -> mixEpochsSql,
   )
 }

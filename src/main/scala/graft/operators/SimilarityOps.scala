@@ -900,6 +900,74 @@ object SimilarityOps {
       |  ON mn.mi = o.mi AND mn.code = o.code AND mn.dim = o.dim
       |ORDER BY mi, code, dim""".stripMargin
 
+  /** Driver-gated recall certification for the RANDOM-PROJECTION
+    * prefilter path — the third ANN lane: [[graft.operators.EmbeddingOps
+    * .embRp]]'s JL projection exists so a 100-TB corpus can be searched
+    * in k dims instead of d; this check certifies that searching the
+    * projected space (top k·overfetch by RP Euclidean distance, then
+    * exact re-rank of only those candidates) recovers the exact top-k.
+    *
+    * Same derived two-level corpus and honesty argument as
+    * [[pqRecallCheck]]: a query's true top-k live in its own sub-cluster
+    * (nC2 = 4 keeps every sub-group ≥ k+1 members at every gate SF), and
+    * the sub-lattice separation (~0.25) dwarfs both the within-group
+    * noise (~1/32) and the JL distortion at kProj = 16 — so every
+    * sub-group member outranks every outsider in RP space, and the
+    * candidate budget k·overfetch = 200 ≥ the largest gate-SF sub-group
+    * (~156 at sf0.1) means no true neighbor can be crowded out before
+    * the exact re-rank. A violation row is a real defect in the
+    * projection, the prefilter ranking, or the re-rank join.
+    *
+    * Scale: the projection is one map-side pass with the d×kProj ±1
+    * matrix as a plan literal (KB-sized, derived from portable md5
+    * parity — [[graft.operators.EmbeddingOps.rpSignMatrix]]); scoring
+    * touches k-dim vectors only (d/kProj × less arithmetic and shuffle
+    * than brute force); top-C is the two-phase salted pattern; only the
+    * ≤ C candidates per query ever touch a full-width vector again. */
+  def rpRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, floor: Double = 0.9, kProj: Int = 16,
+      overfetch: Int = 20): DataFrame = {
+    val corpus = hierClusteredFrom(emb(s, dir), nC2 = 4)
+    val truth = bruteTopKFrom(corpus, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val d = Tables.load(s, dir, "embeddings")
+      .select(size(col("embedding"))).first().getInt(0)
+    val sgn = EmbeddingOps.rpSignMatrix(d, kProj)
+    val sgnLit = array(sgn.map(row =>
+      array(row.map(v => lit(v.toDouble)): _*)): _*)
+    val proj = transform(sequence(lit(0), lit(kProj - 1)), j =>
+      aggregate(zip_with(col("ve"), element_at(sgnLit, j + 1),
+        (x, sv) => x * sv), lit(0.0), (acc, t) => acc + t))
+    val projected = corpus.select(col("vec_id"), proj.as("pv"))
+    val queries = projected.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pv").as("qp"))
+    val scored = projected
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qp"), col("pv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t).as("d2"))
+    val nCand = k * overfetch
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val cands = scored.withColumn("salt", pmod(col("vec_id"), lit(64)))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= nCand)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= nCand)
+      .select(col("query_id"), col("vec_id"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val approx = cands
+      .join(corpus.select(col("vec_id"), col("ve"), col("nrm")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    recallViolations(truth, approx, floor)
+  }
+
   val ivfRecallCheckSql: String =
     """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
       |WHERE FALSE""".stripMargin
@@ -921,6 +989,9 @@ object SimilarityOps {
       pqRecallCheck(s, d, trainIters = 1)),
     "sim_pq_codes" -> ((s: SparkSession, d: String) => pqCodes(s, d)),
     "sim_pq_train" -> ((s: SparkSession, d: String) => pqTrainBooks(s, d)),
+    // the RP-prefilter lane's certificate (same derived corpus + empty-
+    // relation oracle discipline as IVF/PQ):
+    "sim_rp_recall" -> ((s: SparkSession, d: String) => rpRecallCheck(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -937,5 +1008,6 @@ object SimilarityOps {
     "sim_pq_recall" -> ivfRecallCheckSql,
     "sim_pq_codes" -> pqCodesSql,
     "sim_pq_train" -> pqTrainSql,
+    "sim_rp_recall" -> ivfRecallCheckSql,
   )
 }

@@ -889,6 +889,123 @@ object TextQueries {
        |FROM sh JOIN own USING (s)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  // ------------------------------------------------ PII detect + redact
+  /** PII detection and redaction — the privacy pass every training-data
+    * pipeline runs before anything ships: count and mask emails, phone
+    * numbers, IPv4 addresses, and long ID-like digit runs, and fingerprint
+    * the REDACTED stream so downstream exact-dedup operates on sanitized
+    * text (the txt_scrub posture, regex-class instead of token-list).
+    *
+    * The synthetic corpus contains no digits or '@' at all, so running the
+    * regexes on raw `text` would pin nothing (every count zero, fp =
+    * txt_fingerprint). The operator therefore scans a deterministic
+    * PII-bearing VIEW: each doc_id%5 class appends one synthetic PII form
+    * (email / phone / IPv4 / 9-digit ID; class 4 stays clean as the
+    * control group), derived by the IDENTICAL expression in both engines —
+    * on real data, drop the view and scan the raw column. The four
+    * patterns are mutually non-overlapping on this view (the email's
+    * digit run is < 9 chars, the phone's groups are dash-split, the IP's
+    * are dot-split), so detection counts are order-free; redaction is
+    * still applied in one FIXED order (email → phone → IP → ID) because
+    * on real text the classes can nest, and both engines must tear the
+    * same match out first.
+    *
+    * Regex subset chosen to behave identically under java.util.regex and
+    * RE2 (character classes, bounded repeats, ASCII `\b`): no lookaround,
+    * no backrefs.
+    *
+    * Scale: one map-side projection — four regexp_count + four
+    * regexp_replace per row, no shuffle at any corpus size. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val IdRunRe = "\\b[0-9]{9,}\\b"
+
+  /** The deterministic PII-bearing view over (doc_id, text). */
+  private[graft] def piiView(
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = pmod(id, lit(5L))
+    concat(text,
+      when(m === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com now")))
+        .when(m === 1, concat(lit(" call +1-555-"),
+          lpad(pmod(id, lit(10000L)).cast("string"), 4, "0"), lit(" today")))
+        .when(m === 2, concat(lit(" host 10."),
+          pmod(id, lit(256L)).cast("string"), lit(".0."),
+          pmod(id * 7, lit(256L)).cast("string"), lit(" up")))
+        .when(m === 3, concat(lit(" ref "),
+          (id + lit(900000000L)).cast("string"), lit(" end")))
+        .otherwise(lit("")))
+  }
+
+  /** Redaction chain in the fixed class order. */
+  private[graft] def piiRedact(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>"),
+      IdRunRe, "<ID>")
+
+  def txtPii(s: SparkSession, dir: String): DataFrame =
+    txtPiiOf(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** Unordered frame-parametric form — the streaming twin runs this
+    * verbatim (stateless projection, append-mode safe). */
+  private[graft] def txtPiiOf(d: DataFrame): DataFrame = {
+    val pii = piiView(col("doc_id"), col("text"))
+    val scanned = d.select(col("doc_id"), pii.as("pii_text"))
+    scanned.select(
+      col("doc_id"),
+      regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("pii_text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(col("pii_text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("pii_text"), lit(IdRunRe)).cast("long").as("n_id"),
+      md5(piiRedact(col("pii_text"))).as("redacted_fp"))
+      .withColumn("has_pii",
+        ((col("n_email") + col("n_phone") + col("n_ip") + col("n_id")) > 0)
+          .cast("long"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("n_id"), col("has_pii"), col("redacted_fp"))
+  }
+
+  val txtPiiSql: String = {
+    val view =
+      """text || CASE doc_id % 5
+        |    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |    WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |    WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+        |    WHEN 3 THEN ' ref ' || CAST(doc_id + 900000000 AS VARCHAR) || ' end'
+        |    ELSE '' END""".stripMargin
+    // the Scala literals hold single-backslash runtime strings, which is
+    // exactly what DuckDB's quoted regex wants — embed verbatim
+    val (email, phone, ipv4, idrun) = (EmailRe, PhoneRe, Ipv4Re, IdRunRe)
+    s"""WITH pii AS (
+       |  SELECT doc_id, $view AS pii_text FROM documents
+       |), scanned AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_email,
+       |    CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT) AS n_phone,
+       |    CAST(len(regexp_extract_all(pii_text, '$ipv4')) AS BIGINT) AS n_ip,
+       |    CAST(len(regexp_extract_all(pii_text, '$idrun')) AS BIGINT) AS n_id,
+       |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      pii_text, '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g'),
+       |      '$ipv4', '<IP>', 'g'),
+       |      '$idrun', '<ID>', 'g')) AS redacted_fp
+       |  FROM pii
+       |)
+       |SELECT doc_id, n_email, n_phone, n_ip, n_id,
+       |  CAST(CASE WHEN n_email + n_phone + n_ip + n_id > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS has_pii,
+       |  redacted_fp
+       |FROM scanned ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -905,9 +1022,11 @@ object TextQueries {
     "txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "txt_gopher" -> (txtGopher _),
     "txt_novelty" -> (txtNovelty _),
+    "txt_pii" -> (txtPii _),
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_pii" -> txtPiiSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,

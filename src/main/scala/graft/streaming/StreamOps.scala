@@ -588,6 +588,13 @@ object StreamOps {
   def streamingGopherFlags(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.gopherFlagsFrom(docs)
 
+  /** Streaming PII scan + redact: the sanitize-on-arrival form of
+    * [[graft.operators.TextQueries.txtPii]] — four regex counts + the
+    * redacted-stream fingerprint per arriving doc, one stateless
+    * projection (no shuffle, no state store, append mode). */
+  def streamingPii(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.txtPiiOf(docs)
+
   /** Streaming content-defined chunking: the per-row CDC fold emits each
     * arriving document's (chunk_id, n_tok, chunk_fp) grain with no state
     * and no shuffle (the cut never looks outside the row). Cross-doc dup

@@ -240,4 +240,48 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(got(firstDoc)._3 == 1.0,
       s"doc $firstDoc (lowest id) must have novelty 1.0")
   }
+
+  // -------------------------------------------------------------- txt_pii
+  test("txt_pii counts, flags, and redaction match a java.util.regex replay") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+    val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val idRunRe = "\\b[0-9]{9,}\\b"
+    def view(id: Long, text: String): String = text + ((id % 5) match {
+      case 0 => s" contact user$id@example.com now"
+      case 1 => f" call +1-555-${id % 10000}%04d today"
+      case 2 => s" host 10.${id % 256}.0.${(id * 7) % 256} up"
+      case 3 => s" ref ${900000000L + id} end"
+      case _ => ""
+    })
+    def redact(t: String): String = t
+      .replaceAll(emailRe, "<EMAIL>").replaceAll(phoneRe, "<PHONE>")
+      .replaceAll(ipv4Re, "<IP>").replaceAll(idRunRe, "<ID>")
+    val expected = corpus.map { case (id, text) =>
+      val v = view(id, text)
+      def n(re: String) = re.r.findAllIn(v).length.toLong
+      id -> (n(emailRe), n(phoneRe), n(ipv4Re), n(idRunRe),
+        md5hex(redact(v)))
+    }.toMap
+    val got = graft.operators.TextQueries.txtPii(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (e, p, ip, idr, has, fp)) =>
+      val (we, wp, wip, widr, wfp) = expected(id)
+      assert((e, p, ip, idr, fp) == ((we, wp, wip, widr, wfp)), s"doc $id")
+      // exactly one synthetic PII form per non-control class, none on the
+      // control class — and has_pii is their disjunction
+      val wantClassTotal = if (id % 5 == 4) 0L else 1L
+      assert(e + p + ip + idr == wantClassTotal, s"doc $id class total")
+      assert(has == (if (wantClassTotal > 0) 1L else 0L), s"doc $id has_pii")
+    }
+    // redaction completeness: the redacted stream re-scans clean
+    corpus.foreach { case (id, text) =>
+      val r = redact(view(id, text))
+      Seq(emailRe, phoneRe, ipv4Re, idRunRe).foreach { re =>
+        assert(re.r.findFirstIn(r).isEmpty, s"doc $id leaks $re after redact")
+      }
+    }
+  }
 }

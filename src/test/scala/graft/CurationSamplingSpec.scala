@@ -441,4 +441,108 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"per-cluster cap lost its WindowGroupLimit pushdown:\n$plan")
   }
+
+  test("mix_epochs matches a plain-Scala replay and obeys the epoch cap") {
+    import graft.functions.TextFunctions.EnglishStops
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSrc = rows.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.map(_._2.trim.split("\\s+"))
+      val avail = toks.map(_.length.toLong).sum
+      val stop = toks.map(_.count(EnglishStops.contains).toLong).sum
+      (src, avail, r6(stop.toDouble / avail))
+    }.toSeq
+    val totTokens = perSrc.map(_._2).sum
+    val z = perSrc.map(t => BigDecimal(t._3)).sum.toDouble
+    val want = perSrc.map { case (src, avail, q) =>
+      val w = q / z
+      val desired = 2.0 * totTokens * w
+      val epochs = math.min(4.0, desired / avail)
+      val eff = math.floor(epochs * avail).toLong
+      (src, avail, r6(w), r6(epochs), eff,
+        math.max(0L, math.ceil(desired).toLong - eff))
+    }.toSet
+    val got = SamplingOps.mixEpochs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    got.foreach { case (src, avail, w, epochs, eff, deficit) =>
+      assert(w > 0 && epochs > 0 && epochs <= 4.0, s"$src epochs=$epochs")
+      assert(eff <= 4L * avail, s"$src eff_tokens past the cap")
+      // uncapped sources fill their desired slice to floor/ceil slack;
+      // a real deficit (> 1 token) can only come from the cap binding
+      if (epochs < 4.0) assert(deficit <= 1L, s"$src uncapped but short")
+    }
+  }
+
+  test("txt_quality_cal quantiles match a plain-Scala histogram replay") {
+    import graft.functions.TextFunctions.EnglishStops
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).trim.split("\\s+")
+        (r.getString(1), r6(toks.count(EnglishStops.contains).toDouble / toks.length))
+      }
+    def qtile(sorted: Seq[Double], p: Double): Double =
+      sorted(math.ceil(p * sorted.length).toInt - 1)
+    val tau = qtile(rows.map(_._2).sorted.toIndexedSeq, 0.5)
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val qs = ds.map(_._2).sorted.toIndexedSeq
+      (src, qs.length.toLong, qtile(qs, 0.1), qtile(qs, 0.5), qtile(qs, 0.9),
+        tau, qs.count(_ >= tau).toLong)
+    }.toSet
+    val got = CurationOps.txtQualityCal(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the calibration table must explain the global keep volume: summing
+    // n_keep over sources = corpus docs at or above the global median
+    assert(got.toSeq.map(_._7).sum == rows.count(_._2 >= tau).toLong)
+  }
+
+  test("emb_rp projection matches a plain-Scala replay and preserves norms") {
+    val k = 16
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq)
+    // the production Scala-side matrix (rpRecallCheck's plan literal) must
+    // BE the ground truth here — that is what pins it equal to the
+    // operator's Spark-md5 derivation
+    val matrix = EmbeddingOps.rpSignMatrix(vecs.head._2.length, k)
+    def sgn(dim: Int, rdim: Int): Int = matrix(rdim)(dim)
+    val want = vecs.flatMap { case (id, v) =>
+      (0 until k).map { j =>
+        val s = v.indices.map { i =>
+          val xd = BigDecimal(v(i).toDouble)
+            .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+          if (sgn(i, j) == 1) xd else -xd
+        }.sum
+        val proj = BigDecimal(s.toDouble / math.sqrt(k.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, j.toLong, proj)
+      }
+    }.toSet
+    val got = EmbeddingOps.embRp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the JL property this operator exists for: the 1/sqrt(k)-scaled
+    // Rademacher projection preserves squared norms in expectation -- the
+    // corpus-mean ratio ||proj||^2 / ||x||^2 concentrates near 1
+    val projNorm = got.toSeq.groupBy(_._1)
+      .map { case (id, ps) => id -> ps.map(p => p._3 * p._3).sum }
+    val ratios = vecs.map { case (id, v) =>
+      projNorm(id) / v.map(x => x.toDouble * x.toDouble).sum
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3,
+      f"JL norm-preservation broken: mean ratio $mean%.3f over ${ratios.length} vecs")
+  }
 }

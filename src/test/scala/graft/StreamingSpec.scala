@@ -485,6 +485,21 @@ class StreamingSpec extends AnyFunSuite {
       "every rule passes every doc — battery vacuously accepting")
   }
 
+  test("streaming PII scan == batch scan doc-for-doc (stateless append)") {
+    val d = Tables.load(spark, dir, "documents")
+    val docsDir = Files.createTempDirectory("graft-pii-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(docsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingPii(
+        StreamOps.readParquetStream(spark, docsDir, d.schema)),
+      "append", "pii_out")
+    val batch = graft.operators.TextQueries.txtPii(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    // every non-control class doc carries exactly its one injected form
+    assert(streamed.filter(col("has_pii") === 1).count() ==
+      d.filter(pmod(col("doc_id"), lit(5L)) =!= 4).count())
+  }
+
   test("streaming CDC chunks == batch chunk grain (stateless append)") {
     val d = Tables.load(spark, dir, "documents")
     val docsDir = Files.createTempDirectory("graft-cdc-stream").toString
