@@ -799,7 +799,174 @@ object CurationOps {
        |ORDER BY per_src.source""".stripMargin
   }
 
+  // ------------------------------------------- BPE merge learning
+  /** Byte-pair-encoding merge learning — the tokenizer-training step of
+    * an LLM data pipeline (Sennrich et al. 2016): iteratively find the
+    * most frequent adjacent symbol pair across the corpus and fuse it
+    * into a new symbol. Trains on the WORD-FREQUENCY table (the classic
+    * trick): the corpus is scanned once to count words, and every round
+    * after that touches only vocabulary-sized state — at 100 TB the
+    * rounds cost the same as at 1 GB, because a language's word vocab is
+    * bounded. Emits the learned merge table (rnd, left_sym, right_sym,
+    * cnt) — the artifact a tokenizer ships.
+    *
+    * Symbols are kept boundary-marked ('·a·g·g·') so multi-char symbols
+    * can never merge through a fragment of a neighbor ('x a' must not
+    * match inside 'x ab'). Merge application is exact-substring
+    * `replace` of '·a·b·' → '·ab·', applied 3× to convergence: one pass
+    * resolves runs ≤ 2 of the pair (consecutive occurrences share the
+    * boundary dot, so a single left-to-right scan takes every other
+    * one), three passes cover runs ≤ 8 — beyond any word in a natural
+    * vocab, and the ORACLE applies the identical 3 passes, so the
+    * engines agree by construction even on adversarial runs.
+    *
+    * The per-round top pair is collected to the driver (1 row — model
+    * state, the eigensolve discipline) so the next round's merge embeds
+    * as a plan literal; ties break on (count desc, pair asc) in both
+    * engines. Single-symbol words stay in the vocab but generate no
+    * pairs (BPE semantics).
+    *
+    * Scale: one corpus scan (word count, map-combined); each round is a
+    * vocab-sized explode + |pairs|-group aggregation + a driver top-1.
+    * Nothing corpus-sized ever moves after the first shuffle. */
+  def txtBpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("·"),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "·"),
+        lit("·")).as("sym"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab: DataFrame = words
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val syms = filter(split(col("sym"), "·"), x => x =!= "")
+      val top = vocab.select(syms.as("ss"), col("cnt"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ss")) - 1), i =>
+          struct(element_at(col("ss"), i).as("a"),
+            element_at(col("ss"), i + 1).as("b")))).as("pr"), col("cnt"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a, b, c))
+      def rp(e: String) = s"replace($e, '·${a}·${b}·', '·${a}${b}·')"
+      vocab = vocab.select(expr(rp(rp(rp("sym")))).as("sym"), col("cnt"))
+    }
+    words.unpersist()
+    s.createDataFrame(merges.toSeq)
+      .toDF("rnd", "left_sym", "right_sym", "cnt")
+      .orderBy(col("rnd"))
+  }
+
+  val txtBpeTrainSql: String = {
+    val symsOf = "list_filter(string_split(sym, '·'), x -> x <> '')"
+    def pairCte(v: String) =
+      s"""SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM (
+         |    SELECT unnest(list_transform(range(1, len($symsOf)), i ->
+         |      struct_pack(a := ($symsOf)[i], b := ($symsOf)[i+1]))) AS pr, cnt
+         |    FROM $v) GROUP BY 1, 2""".stripMargin
+    def mergeCte(v: String, t: String) = {
+      val r1 = s"replace(sym, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      val r2 = s"replace($r1, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      val r3 = s"replace($r2, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      s"SELECT $r3 AS sym, cnt FROM $v CROSS JOIN $t"
+    }
+    s"""WITH wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents) GROUP BY w
+       |), v0 AS (
+       |  SELECT '·' || array_to_string(regexp_extract_all(w, '.'), '·') || '·'
+       |    AS sym, cnt FROM wc
+       |), p1 AS (${pairCte("v0")}
+       |), t1 AS (SELECT a, b, pcnt FROM p1 ORDER BY pcnt DESC, a, b LIMIT 1
+       |), v1 AS (${mergeCte("v0", "t1")}
+       |), p2 AS (${pairCte("v1")}
+       |), t2 AS (SELECT a, b, pcnt FROM p2 ORDER BY pcnt DESC, a, b LIMIT 1
+       |), v2 AS (${mergeCte("v1", "t2")}
+       |), p3 AS (${pairCte("v2")}
+       |), t3 AS (SELECT a, b, pcnt FROM p3 ORDER BY pcnt DESC, a, b LIMIT 1
+       |)
+       |SELECT CAST(1 AS BIGINT) AS rnd, a AS left_sym, b AS right_sym,
+       |  pcnt AS cnt FROM t1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, pcnt FROM t2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, pcnt FROM t3
+       |ORDER BY rnd""".stripMargin
+  }
+
+  /** Tokenize the corpus with the learned BPE merge table — the consumer
+    * half of [[txtBpeTrain]]: per document, the token count, the
+    * pre-merge symbol count (= characters), the post-merge symbol count
+    * under the 3 learned merges applied in training order, and the
+    * symbols saved. This is the number a tokenizer change is judged by
+    * (bytes-per-token compression), computed with the exact same
+    * boundary-marked replace chain as training.
+    *
+    * Scale: training's merge table collects to the driver (3 rows) and
+    * re-enters the plan as literals; the application pass is one
+    * map-side explode + doc-keyed map-combined aggregation — no new
+    * shuffle shape beyond txt_tokens. */
+  def txtBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = txtBpeTrain(s, dir).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1).replace("'", "''"),
+        r.getString(2).replace("'", "''")))
+    val chain = merges.foldLeft("sym") { case (e, (a, b)) =>
+      val one = (x: String) => s"replace($x, '·${a}·${b}·', '·${a}${b}·')"
+      one(one(one(e)))
+    }
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+        concat(lit("·"),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "·"),
+          lit("·")).as("sym"))
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(expr(chain), "·"), x => x =!= ""))
+          .cast("long").as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_chars")).as("n_sym0"),
+        sum(col("n_sym")).as("n_bpe"),
+        (sum(col("n_chars")) - sum(col("n_sym"))).as("saved"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtBpeApplySql: String = {
+    val trainPrefix = txtBpeTrainSql
+      .substring(txtBpeTrainSql.indexOf("WITH "), txtBpeTrainSql.indexOf("\nSELECT CAST(1"))
+    def applyCte(v: String, t: String) = {
+      val r1 = s"replace(sym, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      val r2 = s"replace($r1, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      val r3 = s"replace($r2, '·'||a||'·'||b||'·', '·'||a||b||'·')"
+      s"SELECT doc_id, n_chars, $r3 AS sym FROM $v CROSS JOIN $t"
+    }
+    s"""$trainPrefix, tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents
+       |), sym0 AS (
+       |  SELECT doc_id, CAST(length(w) AS BIGINT) AS n_chars,
+       |    '·' || array_to_string(regexp_extract_all(w, '.'), '·') || '·' AS sym
+       |  FROM tok
+       |), a1 AS (${applyCte("sym0", "t1")}
+       |), a2 AS (${applyCte("a1", "t2")}
+       |), a3 AS (${applyCte("a2", "t3")}
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_sym0,
+       |  CAST(SUM(len(list_filter(string_split(sym, '·'), x -> x <> '')))
+       |    AS BIGINT) AS n_bpe,
+       |  CAST(SUM(n_chars) - SUM(len(list_filter(string_split(sym, '·'),
+       |    x -> x <> ''))) AS BIGINT) AS saved
+       |FROM a3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
+    "txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
     "txt_quality_cal" -> (txtQualityCal _),
     "pipe_curate" -> (pipeCurate _),
     "pipe_integrity" -> (pipeIntegrity _),
@@ -815,6 +982,8 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_bpe_apply" -> txtBpeApplySql,
+    "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,
     "pipe_curate" -> pipeCurateSql,
     "pipe_integrity" -> pipeIntegritySql,

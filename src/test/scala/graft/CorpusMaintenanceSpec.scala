@@ -241,6 +241,101 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       s"doc $firstDoc (lowest id) must have novelty 1.0")
   }
 
+  // -------------------------------------------------------- txt_bpe_train
+  test("txt_bpe_train merges match a plain-Scala BPE on the word-freq table") {
+    // ground truth: TRUE greedy BPE (sequential left-to-right fuse on the
+    // symbol list), not the operator's 3-pass replace — agreement proves
+    // the replace trick implements real BPE semantics on this corpus
+    val wc = corpus.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      wc.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (syms, ws) => syms -> ws.values.sum }
+    val merges = (1 to 3).map { r =>
+      val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairCnt((p(0), p(1))) = pairCnt.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      val ((a, b), c) = pairCnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def fuse(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.groupBy { case (syms, _) => fuse(syms) }
+        .map { case (syms, vs) => syms -> vs.values.sum }
+      (r.toLong, a, b, c)
+    }.toSet
+    val got = CurationOps.txtBpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == merges,
+      s"missing=${(merges -- got).take(3)} spurious=${(got -- merges).take(3)}")
+    // each learned merge must be a real pair: count ≥ 2 occurrences and
+    // rounds strictly ordered
+    assert(got.map(_._1) == Set(1L, 2L, 3L))
+    got.foreach { case (r, a, b, c) =>
+      assert(a.nonEmpty && b.nonEmpty && c > 0, s"round $r degenerate merge")
+    }
+  }
+
+  test("txt_bpe_apply compression matches a plain-Scala greedy tokenize") {
+    // re-learn merges with the same plain-Scala BPE as the train spec
+    val wc = corpus.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      wc.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (syms, ws) => syms -> ws.values.sum }
+    def fuse(a: String, b: String)(syms: Vector[String]): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = (1 to 3).map { _ =>
+      val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairCnt((p(0), p(1))) = pairCnt.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      val ((a, b), _) = pairCnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupBy { case (syms, _) => fuse(a, b)(syms) }
+        .map { case (syms, vs) => syms -> vs.values.sum }
+      (a, b)
+    }
+    def tokenize(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (a, b)) => fuse(a, b)(syms)
+      }.length
+    val want = corpus.map { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      val sym0 = ws.map(_.length.toLong).sum
+      val bpe = ws.map(tokenize(_).toLong).sum
+      id -> (ws.length.toLong, sym0, bpe, sym0 - bpe)
+    }.toMap
+    val got = CurationOps.txtBpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // the merges must actually compress the corpus
+    assert(got.values.map(_._4).sum > 0, "no symbol ever merged")
+    got.values.foreach { case (_, sym0, bpe, saved) =>
+      assert(bpe <= sym0 && saved == sym0 - bpe)
+    }
+  }
+
   // -------------------------------------------------------------- txt_pii
   test("txt_pii counts, flags, and redaction match a java.util.regex replay") {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
