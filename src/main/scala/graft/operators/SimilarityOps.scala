@@ -414,6 +414,68 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------- hard-negative mining
+  /** Hard-negative mining — the contrastive-training data-prep step: for
+    * each query vector, the top-k most similar vectors with a DIFFERENT
+    * label (the negatives that actually teach an embedding model,
+    * vs. easy random ones; Robinson et al. 2021). Same broadcast scan +
+    * two-phase salted top-k as [[bruteTopK]], with the label-mismatch
+    * predicate pushed into the join condition so same-label pairs never
+    * materialize.
+    *
+    * Scale: query set broadcasts (contrastive batches are small by
+    * construction); one corpus scan; per-salt partial top-k bounds every
+    * reducer at k rows per (query, salt). The LSH/IVF prefilter lanes
+    * compose here the same way they do for [[annLsh]] — mine within
+    * candidate buckets, exact re-rank — when the query set itself is
+    * corpus-sized. */
+  def embHardNegatives(s: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 3): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("ve").as("qv"), col("nrm").as("qnrm"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (VF.dot(col("qv"), col("ve")) / (col("qnrm") * col("nrm"))).as("cos_raw"))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    scored.withColumn("salt", pmod(col("vec_id"), lit(64)))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val embHardNegativesSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, ve AS qv
+      |  FROM v WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT query_id, vec_id, label,
+      |    list_dot_product(qv, ve)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cos_raw
+      |  FROM v CROSS JOIN q WHERE vec_id <> query_id AND label <> qlabel
+      |)
+      |SELECT query_id, vec_id AS neg_id, label AS neg_label,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank,
+      |  ROUND(cos_raw, 6) AS cos
+      |FROM scored
+      |QUALIFY rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Two-level deterministically clusterable corpus for the PQ
     * certification: coarse cluster c1 = vec_id mod `nC1` (integer-lattice
     * centroid, amplitude ~1 — what the coarse quantizer must recover),
@@ -992,6 +1054,8 @@ object SimilarityOps {
     // the RP-prefilter lane's certificate (same derived corpus + empty-
     // relation oracle discipline as IVF/PQ):
     "sim_rp_recall" -> ((s: SparkSession, d: String) => rpRecallCheck(s, d)),
+    "emb_hard_negatives" -> ((s: SparkSession, d: String) =>
+      embHardNegatives(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1009,5 +1073,6 @@ object SimilarityOps {
     "sim_pq_codes" -> pqCodesSql,
     "sim_pq_train" -> pqTrainSql,
     "sim_rp_recall" -> ivfRecallCheckSql,
+    "emb_hard_negatives" -> embHardNegativesSql,
   )
 }

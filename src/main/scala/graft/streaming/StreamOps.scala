@@ -595,6 +595,40 @@ object StreamOps {
   def streamingPii(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.txtPiiOf(docs)
 
+  /** Streaming BPE tokenization with a FIXED learned merge table (the
+    * batch-trained [[graft.operators.CurationOps.txtBpeTrain]] artifact,
+    * passed as literals — train offline, tokenize on arrival): the batch
+    * form's explode + doc-keyed agg is re-expressed ROW-LOCALLY (the
+    * whole word loop runs inside array HOFs), so the query is one
+    * stateless append-mode projection — no shuffle, no state store.
+    * Merge patterns are regex-quoted (\Q…\E) since this path applies
+    * them via regexp_replace inside a lambda, where exact-substring
+    * `replace` has no Column form. */
+  def streamingBpeApply(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    def chainOf(sym: org.apache.spark.sql.Column) =
+      merges.foldLeft(sym) { case (e, (a, b)) =>
+        val pat = java.util.regex.Pattern.quote(s"·${a}·${b}·")
+        val rep = java.util.regex.Matcher.quoteReplacement(s"·${a}${b}·")
+        val one = (x: org.apache.spark.sql.Column) =>
+          regexp_replace(x, pat, rep)
+        one(one(one(e)))
+      }
+    val perWordSyms = (w: org.apache.spark.sql.Column) =>
+      size(filter(split(chainOf(concat(lit("·"),
+        array_join(regexp_extract_all(w, lit("."), lit(0)), "·"),
+        lit("·"))), "·"), x => x =!= "")).cast("long")
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_sym0"),
+        aggregate(transform(col("ws"), perWordSyms),
+          lit(0L), (acc, x) => acc + x).as("n_bpe"))
+      .withColumn("saved", col("n_sym0") - col("n_bpe"))
+  }
+
   /** Streaming content-defined chunking: the per-row CDC fold emits each
     * arriving document's (chunk_id, n_tok, chunk_fp) grain with no state
     * and no shuffle (the cut never looks outside the row). Cross-doc dup

@@ -281,4 +281,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("dd_bloom violation set is empty on testdata") {
     assert(DedupOps.ddBloomDecontaminate(spark, dir).count() == 0L)
   }
+
+  test("emb_hard_negatives == plain-Scala best other-label neighbors") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](1 + 1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 3
+    val want = vecs.filter(_._1 < 5).flatMap { case (qid, qlab, qv) =>
+      vecs.filter(v => v._1 != qid && v._2 != qlab)
+        .map(v => (v._1, v._2, cos(qv, v._3)))
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, lab, c), i) =>
+          (qid, id, lab, i + 1L,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = SimilarityOps.embHardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3).toLong,
+        r.getDouble(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the defining law: every mined negative carries a label differing
+    // from its query's
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case (q, n, nl, _, _) =>
+      assert(labelOf(n) == nl && nl != labelOf(q), s"query $q neg $n")
+    }
+  }
 }

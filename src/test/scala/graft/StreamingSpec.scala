@@ -500,6 +500,22 @@ class StreamingSpec extends AnyFunSuite {
       d.filter(pmod(col("doc_id"), lit(5L)) =!= 4).count())
   }
 
+  test("streaming BPE apply == batch compression report (fixed merge table)") {
+    val d = Tables.load(spark, dir, "documents")
+    val merges = graft.operators.CurationOps.txtBpeTrain(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val docsDir = Files.createTempDirectory("graft-bpe-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(docsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingBpeApply(
+        StreamOps.readParquetStream(spark, docsDir, d.schema), merges),
+      "append", "bpe_out")
+    val batch = graft.operators.CurationOps.txtBpeApply(spark, dir)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.agg(sum(col("saved"))).collect()(0).getLong(0) > 0,
+      "the fixed merge table must compress arriving docs")
+  }
+
   test("streaming CDC chunks == batch chunk grain (stateless append)") {
     val d = Tables.load(spark, dir, "documents")
     val docsDir = Files.createTempDirectory("graft-cdc-stream").toString
