@@ -808,19 +808,34 @@ object SimilarityOps {
         zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
           (x, c) => x - c).as("res"))
     // E-step: per-subspace nearest entry (direct residual form — the same
-    // arithmetic the ADC encode uses), then explode to (mi, code, subvec)
-    def codeCol(mi: Int) =
-      sort_array(array((0 until kCent).map { e =>
-        struct((lit(dotSeq(books(mi)(e), books(mi)(e))) -
-          VF.dot(sub(col("res"), mi), arrLit(books(mi)(e), arr1)) * 2).as("d"),
-          lit(e).as("c"))
-      }: _*)).getItem(0).getField("c")
+    // arithmetic the ADC encode uses). The argmin is a DATA-FLOW min over
+    // a broadcast codebook frame, not an expression-tree CASE: the 16×16
+    // literal argmin as one expression blows the 64 KB codegen method
+    // limit wherever it sits (observed in the r9 bench logs first inside
+    // generate_doConsume, then — after a literal-index-explode rewrite —
+    // in the downstream Project), dropping the E-step to interpreted
+    // eval. Joining (vec, mi) sub-residuals against the 256-row (mi, e,
+    // bvec, ‖b‖²) broadcast keeps every generated method tiny, and
+    // min(struct(d, e)) is the same lexicographic tie-break the
+    // sort_array form used. d's operand order (lit ‖b‖² − 2·dot) is
+    // unchanged, so the SQL oracle still matches bit-for-bit.
+    val sess0 = base.sparkSession
+    import sess0.implicits._
+    val booksDf = (0 until m).flatMap(mi => (0 until kCent).map(e =>
+      (mi, e, books(mi)(e).toSeq, dotSeq(books(mi)(e), books(mi)(e)))))
+      .toDF("mi", "e", "bvec", "bnorm")
     val assigned = withRes
-      .select(explode(array((0 until m).map { mi =>
-        struct(lit(mi).as("mi"), codeCol(mi).as("code"),
-          sub(col("res"), mi).as("sv"))
-      }: _*)).as("s"))
-      .select(col("s.mi").as("mi"), col("s.code").as("code"), col("s.sv").as("sv"))
+      .select(col("vec_id"), col("res"),
+        explode(lit((0 until m).toArray)).as("mi"))
+      .select(col("vec_id"), col("mi"),
+        slice(col("res"), col("mi") * subDim + lit(1), lit(subDim)).as("sv"))
+      .join(broadcast(booksDf), Seq("mi"))
+      .select(col("vec_id"), col("mi"), col("sv"),
+        struct((col("bnorm") - VF.dot(col("sv"), col("bvec")) * 2).as("d"),
+          col("e").as("c")).as("de"))
+      .groupBy(col("vec_id"), col("mi"))
+      .agg(min(col("de")).getField("c").as("code"), first(col("sv")).as("sv"))
+      .select(col("mi"), col("code"), col("sv"))
     // M-step: DECIMAL-exact per-dim mean, rounded to 6 on both engines
     val trained = assigned
       .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -832,8 +847,6 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("entry"))
     // empty-cluster fallback: entries nothing chose keep their sampled value
-    val sess = base.sparkSession
-    import sess.implicits._
     val orig = (0 until m).flatMap(mi => (0 until kCent).map(e =>
       (mi, e, books(mi)(e).toSeq))).toDF("mi", "code", "orig")
     broadcast(orig).join(trained, Seq("mi", "code"), "left")
