@@ -115,6 +115,22 @@ import org.apache.spark.sql.functions._
   * clone-saturated easy case; the honest resolution-limit cert is the
   * gate-SF run).
   *
+  * Round-9 fourth-batch points at 10×: dd_contam_fraction 2.10 s (2.44 s
+  * at 1× — FLAT: the eval shingle set is fixed-size broadcast state and
+  * the train side probes it map-side), emb_cluster_purity 0.68 s (1.10 s
+  * at 1× — flat, broadcast-seed assignment + model-sized count matrix),
+  * mix_doremi 6.54 s (3.25 s at 1× — 2× for 10× data, the (doc,term) tf
+  * shuffle; the unigram join stays vocabulary-shaped on the cloned
+  * corpus), dd_semdedup_cluster 3.08 s (1.34 s at 1× — the cloned
+  * embeddings put factor-sized exact-dup cliques inside clusters, so the
+  * intra-cluster pair OUTPUT grows ~factor²; cost tracks pairs, the
+  * quantity the cluster count k dials down at production scale).
+  *
+  * Fifth batch at 10×: txt_kn_ppl 3.23 s (2.05 s at 1× — sub-linear;
+  * the KN model tables are vocabulary-shaped like txt_bigram_ppl's),
+  * txt_curriculum 1.13 s (0.98 s at 1× — flat; the two-phase global
+  * rank never concentrates the corpus on one reducer).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

@@ -520,6 +520,76 @@ object DedupOps {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY train_doc, eval_doc""".stripMargin
 
+  // ---------------------------------------- per-doc contamination fraction
+  /** Graded decontamination: for every train document, the FRACTION of its
+    * discriminative (df ≤ dfCap) shingles that also appear anywhere in the
+    * eval suite (source `src0`) — the score behind threshold policies like
+    * "drop at ≥ 80 % overlap, flag at ≥ 20 %" (GPT-3 appendix C /
+    * PaLM-style n-gram contamination analysis), where [[ddDecontaminate]]
+    * only gives the binary pair verdict. Emits every train doc:
+    * (doc_id, n_grams, n_contam, contam_frac); docs too short to shingle
+    * (< 3 tokens) or with no discriminative shingles report 0/0 → 0.0.
+    *
+    * Scale: the eval suite is FIXED-SIZE state (it does not grow with the
+    * corpus), so its distinct shingle set is explicitly broadcast and the
+    * probe is a map-side hash lookup — the train side is never shuffled
+    * at all beyond the df-cap window; per-doc counts are map-combined. */
+  def ddContamFraction(s: SparkSession, dir: String,
+      dfCap: Int = 50): DataFrame = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalG = sh.filter(col("source") === "src0").select(col("hs")).distinct()
+    val counts = sh.filter(col("source") =!= "src0")
+      .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("hs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contam"))
+    val out = docs(s, dir).filter(col("source") =!= "src0").select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .select(col("doc_id"), col("n_grams"), col("n_contam"),
+        (round(when(col("n_grams") > 0,
+          col("n_contam").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)), 6) + 0.0).as("contam_frac"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  val ddContamFractionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), evalg AS (
+      |  SELECT DISTINCT s FROM sh WHERE source = 'src0'
+      |), counts AS (
+      |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+      |  FROM sh LEFT JOIN evalg e ON sh.s = e.s
+      |  WHERE sh.source <> 'src0' GROUP BY sh.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_contam, 0) AS BIGINT) AS n_contam,
+      |  ROUND(CASE WHEN COALESCE(n_grams, 0) > 0
+      |    THEN CAST(n_contam AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |    ELSE 0.0 END, 6) + 0.0 AS contam_frac
+      |FROM documents d LEFT JOIN counts ON d.doc_id = counts.doc_id
+      |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------- semantic dedup groups
   /** SemDeDup-shaped semantic deduplication: connected components over the
     * embedding-cosine near-dup pair graph (cos ≥ threshold), electing the
@@ -1579,7 +1649,69 @@ object DedupOps {
       |LEFT JOIN near n USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- cluster-scoped semantic dedup
+  /** SemDeDup as published (Abbas et al. 2023): CLUSTER first, then prune
+    * near-duplicates only WITHIN each cluster — the shape that makes
+    * semantic dedup tractable when n² pair work is impossible. Assignment
+    * against k deterministic seed centroids
+    * ([[EmbeddingOps.seedAssignment]]); within a cluster, a vector is
+    * pruned when any LOWER vec_id sits at cosine ≥ `thr` (the min-id
+    * survivor rule of [[ddSemDedup]], restricted to cluster scope). Emits
+    * (vec_id, cluster, keep) for every vector.
+    *
+    * Relationship to the siblings: [[ddSemDedup]] is the exact all-pairs
+    * graph (the ground truth this corpus can afford), [[ddSemDedupAnn]]
+    * bounds candidates by SRP-LSH buckets, and THIS bounds them by
+    * cluster membership — pair work drops from O(n²) to O(Σ n_c²) ≈
+    * n²/k for balanced clusters, so k is the scale dial: grow k ∝ n to
+    * hold per-cluster pair work constant (the paper runs k≈100k on
+    * LAION). Cross-cluster near-dups are invisible BY DESIGN — the
+    * documented recall trade every cluster-scoped dedup makes.
+    *
+    * Scale: seeds broadcast (model state); assignment map-side; the pair
+    * probe is ONE cluster-keyed shuffle. At k=16 the key is
+    * low-cardinality, safe here only because per-cluster candidate sets
+    * are window-bounded — production k is large, restoring parallelism;
+    * a skewed giant cluster would get the [[Salting]] treatment. */
+  def ddSemDedupCluster(s: SparkSession, dir: String, k: Int = 16,
+      thr: Double = 0.4): DataFrame = {
+    val asg = EmbeddingOps.seedAssignment(s, dir, k)
+      .select(col("vec_id"), col("ve"), col("nrm"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("cluster"), col("vec_id").as("id_a"),
+      col("ve").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cluster"), col("vec_id").as("id_b"),
+      col("ve").as("vb"), col("nrm").as("nb"))
+    val pruned = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")), 6) >= thr)
+      .select(col("id_b").as("vec_id")).distinct()
+    val out = asg.select(col("vec_id"), col("cluster"))
+      .join(pruned.withColumn("pr", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("pr").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    asg.unpersist()
+    out
+  }
+
+  val ddSemDedupClusterSql: String =
+    s"""WITH ${EmbeddingOps.seedAssignCtes(16)}, pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) >= 0.4
+       |)
+       |SELECT asg.vec_id, asg.cluster,
+       |  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM asg LEFT JOIN pruned p ON asg.vec_id = p.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_semdedup_cluster" -> ((s: SparkSession, d: String) => ddSemDedupCluster(s, d)),
+    "dd_contam_fraction" -> ((s: SparkSession, d: String) => ddContamFraction(s, d)),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -1602,6 +1734,8 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dd_semdedup_cluster" -> ddSemDedupClusterSql,
+    "dd_contam_fraction" -> ddContamFractionSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

@@ -705,7 +705,111 @@ object EmbeddingOps {
       |GROUP BY x.vec_id, signs.rdim
       |ORDER BY vec_id, rdim""".stripMargin
 
+  // ----------------------- shared seed-centroid assignment (k clusters)
+  /** One-shot cluster assignment against k deterministic seed centroids
+    * (the k lowest vec_ids, components rounded to 6 decimals — the
+    * [[embKmeans]] seeding contract without the Lloyd refinement, so an
+    * oracle can replay it as a single CROSS JOIN + ROW_NUMBER stage).
+    * Emits (vec_id, label, ve, nrm, cluster). Shared by
+    * [[embClusterPurity]] and [[DedupOps.ddSemDedupCluster]] so the two
+    * consumers can never diverge on seeding/rounding/tiebreak discipline.
+    *
+    * Scale: seeds are k·d doubles of broadcast model state
+    * (TakeOrderedAndProject on vec_id, k rows); assignment is a map-side
+    * broadcast join + codegen'd dot products — zero corpus shuffles. */
+  private[operators] def seedAssignment(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val vecs = emb(s, dir)
+      .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val cents = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("ve"), x => round(x, 6)).as("cv"))
+      .withColumn("cnrm", VF.norm(col("cv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("cluster"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("ve"), col("nrm"), col("cluster"),
+        (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("ve"), col("nrm"), col("cluster"))
+  }
+
+  /** DuckDB CTE block replaying [[seedAssignment]] — ends with an `asg`
+    * relation (vec_id, label, ve, nrm, cluster). Callers prepend `WITH `
+    * and append their own stages. */
+  private[operators] def seedAssignCtes(k: Int): String =
+    s"""vn AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv
+       |  FROM vn ORDER BY vec_id LIMIT $k
+       |), c0n AS (
+       |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
+       |), asg AS (
+       |  SELECT vec_id, label, ve, nrm, cluster FROM (
+       |    SELECT vn.vec_id, vn.label, vn.ve, vn.nrm, c0n.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
+       |        list_dot_product(vn.ve, c0n.cv) / (vn.nrm * c0n.cnrm) DESC,
+       |        c0n.cluster) AS rn
+       |    FROM vn CROSS JOIN c0n)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  // ------------------------------------------------ cluster label purity
+  /** Per-cluster label-purity report after seed-centroid assignment: how
+    * well the embedding geometry separates the ground-truth labels — the
+    * "is this clustering good enough to curate with" gate a team runs
+    * BEFORE trusting cluster-balanced sampling ([[sampClusterCap]]) or
+    * cluster-scoped dedup ([[DedupOps.ddSemDedupCluster]]). Emits
+    * (cluster, n_vecs, n_labels, top_share, label_entropy); pure clusters
+    * → top_share 1.0 / entropy 0, mixed clusters → entropy toward
+    * ln(labels). Per-term −p·ln p contributions are DECIMAL(30,15)-cast
+    * before summing (exact, order-free — the txtEntropy discipline).
+    *
+    * Scale: assignment is map-side (broadcast seeds); the (cluster, label)
+    * count matrix is ONE map-combined shuffle of clusters·labels partials
+    * per task; everything after operates on that model-sized frame. */
+  def embClusterPurity(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val asg = seedAssignment(s, dir, k)
+      .select(col("vec_id"), col("label"), col("cluster"))
+    val w = Window.partitionBy(col("cluster"))
+    asg.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
+      .groupBy(col("cluster"), col("n"))
+      .agg(count(lit(1)).as("n_labels"),
+        (max(col("cnt")).cast("double") / col("n").cast("double")).as("ts"),
+        sum((-col("p") * log(col("p"))).cast("decimal(30,15)")).as("ent"))
+      .select(col("cluster"), col("n").as("n_vecs"), col("n_labels"),
+        (round(col("ts"), 6) + 0.0).as("top_share"),
+        (round(col("ent").cast("double"), 6) + 0.0).as("label_entropy"))
+      .orderBy(col("cluster"))
+  }
+
+  val embClusterPuritySql: String =
+    s"""WITH ${seedAssignCtes(16)}, cnt AS (
+       |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM asg GROUP BY cluster, label
+       |), withn AS (
+       |  SELECT cluster, label, cnt,
+       |    SUM(cnt) OVER (PARTITION BY cluster) AS n
+       |  FROM cnt
+       |)
+       |SELECT cluster, CAST(MIN(n) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+       |  ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(MIN(n) AS DOUBLE), 6) + 0.0 AS top_share,
+       |  ROUND(CAST(SUM(CAST(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(30,15)))
+       |    AS DOUBLE), 6) + 0.0 AS label_entropy
+       |FROM withn GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cluster_purity" -> ((s: SparkSession, d: String) => embClusterPurity(s, d)),
     "emb_rp" -> ((s: SparkSession, d: String) => embRp(s, d)),
     "emb_centroids" -> (embCentroids _),
     "emb_assign" -> (embAssign _),
@@ -719,6 +823,7 @@ object EmbeddingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_cluster_purity" -> embClusterPuritySql,
     "emb_rp" -> embRpSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_dimstats" -> embDimStatsSql,

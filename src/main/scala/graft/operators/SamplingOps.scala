@@ -199,6 +199,111 @@ object SamplingOps {
       |    AS epochs_1m
       |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // --------------------------------- excess-loss-proportional mixing
+  /** DoReMi-shaped domain reweighting (Xie et al. 2023) with a unigram LM
+    * standing in for the proxy model: train the unigram model ON the whole
+    * corpus, score every document's average NLL against it, and upweight
+    * the sources whose EXCESS loss over the easiest source is largest —
+    * the domains the current model explains worst, i.e. where the next
+    * token of training signal buys the most. `weight = (1−α) ·
+    * excess/Σexcess + α/|S|` with uniform smoothing α = 0.2 (DoReMi's
+    * mixture-with-uniform step, so no domain starves); a degenerate corpus
+    * where every source scores identically falls back to uniform. Emits
+    * (source, n_docs, mean_nll, excess, weight).
+    *
+    * Determinism: per-doc ll is the DECIMAL(30,15)-exact token sum (the
+    * [[TextQueries.txtUnigramPpl]] discipline), per-source means and the
+    * Σexcess re-enter DECIMAL before summing — no step depends on float
+    * addition order.
+    *
+    * Scale: (doc, term) tf is map-combined; the unigram table is
+    * vocabulary-sized; per-source stats are |S| rows of model state
+    * crossed back as broadcasts. Nothing after the tf shuffle touches
+    * corpus-sized data. */
+  def mixDoremi(s: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
+    val dec = "decimal(30,15)"
+    val tf = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val perDoc = tf
+      .join(uni, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"), col("tf"),
+        log(col("cf").cast("double") / col("total").cast("double")).as("lnp"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf").cast("double") * col("lnp")).cast(dec)).as("ll"))
+      .select(col("source"),
+        (-col("ll").cast("double") / col("n_tokens").cast("double")).as("avg_nll"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("avg_nll").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"))
+    val withMin = perSrc
+      .crossJoin(broadcast(perSrc.agg(min(col("mean_nll")).as("mn"))))
+      .withColumn("excess", col("mean_nll") - col("mn"))
+    val tot2 = withMin.agg(sum(col("excess").cast(dec)).as("se"),
+      count(lit(1)).as("ns"))
+    val report = withMin.crossJoin(broadcast(tot2))
+      .select(col("source"), col("n_docs"),
+        (round(col("mean_nll"), 6) + 0.0).as("mean_nll"),
+        (round(col("excess"), 6) + 0.0).as("excess"),
+        (round(when(col("se").cast("double") > 0.0,
+          lit(1.0 - alpha) * col("excess") / col("se").cast("double") +
+            lit(alpha) / col("ns").cast("double"))
+          .otherwise(lit(1.0) / col("ns").cast("double")), 6) + 0.0).as("weight"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    tf.unpersist()
+    report
+  }
+
+  val mixDoremiSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2, 3
+      |), uni AS (
+      |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf
+      |), per_doc AS (
+      |  SELECT tf.doc_id, tf.source,
+      |    -CAST(SUM(CAST(CAST(tf.tf AS DOUBLE)
+      |        * ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE)) AS DECIMAL(30,15)))
+      |      AS DOUBLE) / CAST(SUM(tf.tf) AS DOUBLE) AS avg_nll
+      |  FROM tf JOIN uni ON tf.term = uni.term CROSS JOIN tot
+      |  GROUP BY tf.doc_id, tf.source
+      |), per_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(avg_nll AS DECIMAL(30,15))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS mean_nll
+      |  FROM per_doc GROUP BY source
+      |), mn AS (
+      |  SELECT MIN(mean_nll) AS mn FROM per_src
+      |), ex AS (
+      |  SELECT source, n_docs, mean_nll, mean_nll - mn AS excess
+      |  FROM per_src CROSS JOIN mn
+      |), se AS (
+      |  SELECT CAST(SUM(CAST(excess AS DECIMAL(30,15))) AS DOUBLE) AS se,
+      |    CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM ex
+      |)
+      |SELECT source, n_docs,
+      |  ROUND(mean_nll, 6) + 0.0 AS mean_nll,
+      |  ROUND(excess, 6) + 0.0 AS excess,
+      |  ROUND(CASE WHEN se > 0.0
+      |    THEN 0.8 * excess / se + 0.2 / CAST(ns AS DOUBLE)
+      |    ELSE 1.0 / CAST(ns AS DOUBLE) END, 6) + 0.0 AS weight
+      |FROM ex CROSS JOIN se ORDER BY source""".stripMargin
+
   // --------------------------------------- temperature-scaled mixing
   /** Temperature sampling over source token shares — the multilingual /
     * multi-source rebalancing rule (share^τ / Σ share^τ): τ=1 keeps the
@@ -696,6 +801,7 @@ object SamplingOps {
     "samp_dsir" -> ((s: SparkSession, d: String) => sampDsir(s, d)),
     "mix_budget" -> ((s: SparkSession, d: String) => mixBudget(s, d)),
     "mix_epochs" -> ((s: SparkSession, d: String) => mixEpochs(s, d)),
+    "mix_doremi" -> ((s: SparkSession, d: String) => mixDoremi(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -709,5 +815,6 @@ object SamplingOps {
     "samp_dsir" -> sampDsirSql,
     "mix_budget" -> mixBudgetSql,
     "mix_epochs" -> mixEpochsSql,
+    "mix_doremi" -> mixDoremiSql,
   )
 }

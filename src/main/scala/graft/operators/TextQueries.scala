@@ -640,6 +640,176 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- Kneser–Ney bigram perplexity
+  /** Interpolated Kneser–Ney bigram perplexity — the smoothing used by
+    * production LM-quality filters (KenLM in CCNet/RefinedWeb): instead of
+    * add-k's uniform fallback, the backoff weight is the CONTINUATION
+    * probability `N1+(·w) / |bigram types|` (how many distinct contexts a
+    * word follows — "francisco" is frequent but follows only "san", so its
+    * continuation mass is tiny). Absolute discount D = 0.75:
+    * `p(w|v) = max(c(vw)−D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/T`.
+    * Scoring the training corpus itself, every scored bigram has
+    * c(vw) ≥ 1, so no zero-probability branch is reachable. Per-token ln p
+    * contributions enter DECIMAL(30,15) before the per-doc sum (the
+    * [[txtBigramPpl]] discipline); ln/exp evaluate identically per element.
+    *
+    * Scale: same shape as [[txtBigramPpl]] — the (doc, bigram) tf shuffle
+    * is the cost; the bigram model (c2/c1/fan-out/fan-in tables) is
+    * vocabulary-shaped and joins by term keys; the bigram-type total
+    * crosses as a broadcast scalar. */
+  def txtKnPpl(s: SparkSession, dir: String, discount: Double = 0.75): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = cb.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
+    val types = cb.agg(count(lit(1)).as("t"))
+    val d = lit(discount)
+    val report = tf
+      .join(cb, Seq("w1", "w2")).join(c1, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"), col("tf"),
+        log(greatest(col("c2").cast("double") - d, lit(0.0))
+            / col("c1").cast("double")
+          + d * col("n1fwd").cast("double") / col("c1").cast("double")
+            * (col("n1rev").cast("double") / col("t").cast("double")))
+          .as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum((col("tf").cast("double") * col("lnp")).cast("decimal(30,15)")).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (round(-col("ll").cast("double") / col("n_bigrams").cast("double"), 6) + 0.0)
+          .as("avg_nll"),
+        (round(exp(-col("ll").cast("double") / col("n_bigrams").cast("double")), 6) + 0.0)
+          .as("ppl"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    tf.unpersist(); cb.unpersist()
+    report
+  }
+
+  val txtKnPplSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), bgsites AS (
+      |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+      |  FROM toks WHERE len(t) >= 2
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bgsites
+      |), tf AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+      |), cb AS (
+      |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1fwd
+      |  FROM cb GROUP BY 1
+      |), cont AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1rev FROM cb GROUP BY 1
+      |), ty AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb
+      |), ll AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+      |    SUM(CAST(CAST(tf.tf AS DOUBLE)
+      |      * ln(GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+      |          + 0.75 * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |            * (CAST(n1rev AS DOUBLE) / CAST(t AS DOUBLE)))
+      |      AS DECIMAL(30,15))) AS ll
+      |  FROM tf JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+      |  JOIN cont USING (w2) CROSS JOIN ty
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  ROUND(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) + 0.0 AS avg_nll,
+      |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
+      |FROM ll ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ curriculum ordering
+  /** Quality-stratified curriculum order: rank documents into quality
+    * quartiles WITHIN each source (so no source's scale distorts the
+    * bands), then emit a deterministic global training order that walks
+    * the quartiles best-first with documents hash-interleaved across
+    * sources inside each band — curriculum learning's "clean data first"
+    * schedule without ever producing a long single-source run. Emits
+    * (doc_id, source, quality, bucket, seq); consuming in `seq` order IS
+    * the curriculum.
+    *
+    * Scale: the per-source NTILE needs a per-source sort (acceptable
+    * when sources are balanced; the histogram-quantile form of
+    * [[graft.operators.CurationOps.txtQualityCal]] is the swap-in when
+    * one source dominates). The GLOBAL order is the [[SamplingOps.dsShuffle]]
+    * two-phase rank — range-partition on (bucket, hash), local
+    * row_number, driver exclusive-scan of the 32 per-partition COUNTS —
+    * so no single reducer ever sorts the corpus and the driver sees
+    * partition totals, never rows. */
+  def txtCurriculum(s: SparkSession, dir: String, nBuckets: Int = 4,
+      parts: Int = 32): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val bucketed = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"),
+        md5(col("doc_id").cast("string")).as("hkey"))
+      .withColumn("bucket", ntile(nBuckets).over(wSrc).cast("long"))
+      .repartitionByRange(parts, col("bucket"), col("hkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = bucketed.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid + 1, acc + n)
+    }.init.zip(totals).map { case ((_, base), (pid, _)) => (pid, base) }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("bucket"), col("hkey"), col("doc_id"))
+    val report = bucketed
+      .withColumn("local_rank", row_number().over(wLocal))
+      .join(broadcast(baseDf), Seq("pid"))
+      .select(col("doc_id"), col("source"), col("quality"), col("bucket"),
+        (col("base") + col("local_rank")).cast("long").as("seq"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    bucketed.unpersist()
+    report
+  }
+
+  val txtCurriculumSql: String = {
+    val stops = duckStopCount(duckToks, EnglishStops)
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    ROUND(LEAST(GREATEST(
+       |      LEAST(len($duckToks) / 64.0, 1.0) * 0.5
+       |      + LEAST(($stops * 1.0 / len($duckToks)) * 5.0, 1.0) * 0.4
+       |      + (1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g'))) * 1.0
+       |           / GREATEST(length(text), 1)) * 10.0, 1.0)) * 0.1,
+       |      0.0), 1.0), 6) AS quality,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, quality, hkey,
+       |    CAST(NTILE(4) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS bucket
+       |  FROM q
+       |)
+       |SELECT doc_id, source, quality, bucket,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY bucket, hkey, doc_id) AS BIGINT) AS seq
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- boilerplate n-gram census
   /** Corpus-wide boilerplate detector: the top-k word 5-grams by DOCUMENT
     * frequency (distinct docs containing the phrase, not raw occurrences —
@@ -1023,6 +1193,8 @@ object TextQueries {
     "txt_gopher" -> (txtGopher _),
     "txt_novelty" -> (txtNovelty _),
     "txt_pii" -> (txtPii _),
+    "txt_kn_ppl" -> ((s: SparkSession, d: String) => txtKnPpl(s, d)),
+    "txt_curriculum" -> ((s: SparkSession, d: String) => txtCurriculum(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1042,5 +1214,7 @@ object TextQueries {
     "txt_boilerplate" -> txtBoilerplateSql,
     "txt_gopher" -> txtGopherSql,
     "txt_novelty" -> txtNoveltySql,
+    "txt_kn_ppl" -> txtKnPplSql,
+    "txt_curriculum" -> txtCurriculumSql,
   )
 }

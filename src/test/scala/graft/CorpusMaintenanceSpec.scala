@@ -379,4 +379,75 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ----------------------------------------------------------- txt_kn_ppl
+  test("txt_kn_ppl matches a plain-Scala Kneser-Ney replay; KN laws hold") {
+    val D = 0.75
+    val docBigrams = corpus.map { case (id, text) =>
+      val t = text.trim.toLowerCase.split("\\s+")
+      id -> t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.filter(_._2.nonEmpty)
+    val cb = docBigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> ((m.values.sum, m.size.toLong)) }
+    val cont = cb.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val types = cb.size.toDouble
+    def d15(x: Double): BigDecimal =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docBigrams.map { case (id, bgs) =>
+      val n = bgs.size.toLong
+      val ll = bgs.groupBy(identity).map { case (bg, occ) =>
+        val tf = occ.size.toDouble
+        val c2 = cb(bg).toDouble
+        val (cv, n1fwd) = c1(bg._1)
+        val p = math.max(c2 - D, 0.0) / cv.toDouble +
+          D * n1fwd.toDouble / cv.toDouble * (cont(bg._2).toDouble / types)
+        d15(tf * math.log(p))
+      }.sum.toDouble
+      (id, n, r6(-ll / n), r6(math.exp(-ll / n)))
+    }.toSet
+    val got = graft.operators.TextQueries.txtKnPpl(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(2)} spurious=${(got -- want).take(2)}")
+    // continuation-probability sanity: Σ_w N1+(·w) == |bigram types|, so
+    // the continuation distribution the backoff interpolates is proper
+    assert(cont.values.sum.toDouble == types)
+    got.foreach { case (id, n, nll, ppl) =>
+      assert(n > 0 && nll > 0.0 && ppl > 1.0, s"doc $id degenerate ($nll, $ppl)")
+    }
+  }
+
+  // ------------------------------------------------------- txt_curriculum
+  test("txt_curriculum: permutation, band-monotone quality, replayable order") {
+    val rows = graft.operators.TextQueries.txtCurriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == corpus.size)
+    // seq is a permutation of 1..n
+    assert(rows.map(_._5).sorted.toSeq == (1L to rows.length.toLong),
+      "seq must be a gap-free permutation")
+    // seq order IS the (bucket, md5(doc_id), doc_id) order — replay it
+    val replay = rows.sortBy { case (id, _, _, b, _) =>
+      (b, md5hex(id.toString), id)
+    }.map(_._1).toSeq
+    assert(rows.sortBy(_._5).map(_._1).toSeq == replay,
+      "two-phase global rank must equal the sequential sort")
+    // within a source, an earlier band never holds lower quality
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val byBucket = g.groupBy(_._4).map { case (b, d) =>
+        b -> (d.map(_._3).min, d.map(_._3).max)
+      }
+      byBucket.toSeq.sortBy(_._1).sliding(2).withFilter(_.length == 2)
+        .foreach { w =>
+          val ((b1, (lo1, _)), (b2, (_, hi2))) = (w(0), w(1))
+          assert(lo1 >= hi2,
+            s"$src: bucket $b1 min quality $lo1 < bucket $b2 max $hi2")
+        }
+      // NTILE balance: bucket sizes differ by at most 1
+      val sizes = g.groupBy(_._4).values.map(_.size).toSeq
+      assert(sizes.max - sizes.min <= 1, s"$src: unbalanced buckets $sizes")
+    }
+  }
 }

@@ -507,6 +507,80 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._7).sum == rows.count(_._2 >= tau).toLong)
   }
 
+  test("emb_cluster_purity == plain-Scala replay; entropy/share laws hold") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d15(x: Double): BigDecimal =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val seeds = vecs.take(16).map { case (id, _, v) => (id, v.map(r6)) }
+    val byCluster = vecs.map { case (id, lab, v) =>
+      val n = nrm(v)
+      val best = seeds.map { case (c, cv) => (c, dot(v, cv) / (n * nrm(cv))) }
+        .maxBy { case (c, cos) => (cos, -c) }._1
+      (best, lab)
+    }.groupBy(_._1)
+    val want = byCluster.map { case (cl, members) =>
+      val counts = members.groupBy(_._2).map(_._2.length.toLong)
+      val n = counts.sum
+      val ent = counts.map { c =>
+        val p = c.toDouble / n.toDouble; d15(-p * math.log(p))
+      }.sum.toDouble
+      (cl, n, counts.size.toLong,
+        r6(counts.max.toDouble / n.toDouble), r6(ent))
+    }.toSet
+    val got = EmbeddingOps.embClusterPurity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // conservation + information bounds
+    assert(got.toSeq.map(_._2).sum == nVecs)
+    got.foreach { case (cl, n, nl, ts, ent) =>
+      assert(ts >= 1.0 / nl - 1e-9 && ts <= 1.0, s"cluster $cl top_share $ts")
+      assert(ent >= -1e-9 && ent <= math.log(nl.toDouble) + 1e-9,
+        s"cluster $cl entropy $ent outside [0, ln($nl)]")
+      assert((nl == 1) == (ent == 0.0), s"cluster $cl: pure iff zero entropy")
+      assert(n >= nl)
+    }
+  }
+
+  test("mix_doremi: excess-proportional weights, smoothed floor, sum to 1") {
+    val rows = SamplingOps.mixDoremi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val srcs = Tables.load(spark, dir, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == srcs, "one row per source")
+    val ns = rows.length
+    // rounding each of ns weights to 6 decimals moves the sum < ns·5e-7
+    assert(math.abs(rows.map(_._5).sum - 1.0) < ns * 5e-7,
+      s"weights sum to ${rows.map(_._5).sum}")
+    val alpha = 0.2
+    rows.foreach { case (src, nd, mnll, ex, w) =>
+      assert(nd > 0 && mnll > 0.0, s"$src: n_docs $nd mean_nll $mnll")
+      assert(ex >= 0.0, s"$src: negative excess $ex")
+      assert(w >= alpha / ns - 1e-6, s"$src: weight $w below uniform floor")
+    }
+    assert(rows.map(_._4).min == 0.0, "easiest source defines zero excess")
+    // weight is monotone in excess (same affine map for every source)
+    val sorted = rows.sortBy(_._4).toSeq
+    sorted.sliding(2).withFilter(_.length == 2).foreach { w2 =>
+      val (a, b) = (w2(0), w2(1))
+      assert(a._5 <= b._5 + 1e-9,
+        s"${a._1} excess ${a._4} weight ${a._5} vs ${b._1} ${b._4} ${b._5}")
+    }
+  }
+
   test("emb_rp projection matches a plain-Scala replay and preserves norms") {
     val k = 16
     val vecs = Tables.load(spark, dir, "embeddings")

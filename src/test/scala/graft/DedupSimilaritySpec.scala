@@ -282,6 +282,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(DedupOps.ddBloomDecontaminate(spark, dir).count() == 0L)
   }
 
+  test("dd_semdedup_cluster == plain-Scala seed-assign + intra-cluster prune") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val seeds = vecs.take(16).map { case (id, v) => (id, v.map(r6)) }
+    val assigned = vecs.map { case (id, v) =>
+      val n = nrm(v)
+      val best = seeds.map { case (c, cv) => (c, dot(v, cv) / (n * nrm(cv))) }
+        .maxBy { case (c, cos) => (cos, -c) }._1
+      (id, v, n, best)
+    }
+    val pruned = (for {
+      a <- assigned; b <- assigned
+      if a._4 == b._4 && a._1 < b._1 &&
+        r6(dot(a._2, b._2) / (a._3 * b._3)) >= 0.4
+    } yield b._1).toSet
+    val want = assigned.map { case (id, _, _, c) =>
+      (id, c, if (pruned(id)) 0L else 1L)
+    }.toSet
+    val got = DedupOps.ddSemDedupCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.exists(_._3 == 0L), "testdata should contain planted near-dups")
+  }
+
+  test("dd_contam_fraction: bounded, complete, consistent with pair verdicts") {
+    val rows = DedupOps.ddContamFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val trainDocs = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == trainDocs, "every train doc exactly once")
+    rows.values.foreach { case (g, c, f) =>
+      assert(c >= 0 && c <= g, s"n_contam $c outside [0, $g]")
+      assert(f >= 0.0 && f <= 1.0, s"frac $f outside [0,1]")
+      assert(g > 0 || f == 0.0, "zero-gram docs must report frac 0")
+    }
+    // any train doc flagged by the binary pair verdict (≥3 shingles shared
+    // with ONE eval doc) must show ≥3 contaminated shingles here — the
+    // graded score dominates the per-pair count
+    DedupOps.ddDecontaminate(spark, dir).collect().foreach { r =>
+      val td = r.getLong(0); val shared = r.getLong(2)
+      assert(rows(td)._2 >= shared,
+        s"train doc $td: n_contam ${rows(td)._2} < pair n_shared $shared")
+    }
+  }
+
   test("emb_hard_negatives == plain-Scala best other-label neighbors") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "label", "embedding").collect()
