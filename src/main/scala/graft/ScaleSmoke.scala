@@ -129,7 +129,10 @@ import org.apache.spark.sql.functions._
   * Fifth batch at 10×: txt_kn_ppl 3.23 s (2.05 s at 1× — sub-linear;
   * the KN model tables are vocabulary-shaped like txt_bigram_ppl's),
   * txt_curriculum 1.13 s (0.98 s at 1× — flat; the two-phase global
-  * rank never concentrates the corpus on one reducer).
+  * rank never concentrates the corpus on one reducer). Sixth batch:
+  * samp_coreset 1.68 s (1.25 s at 1× — 7 corpus scans against ≤8 model
+  * vectors each, sub-linear), dd_size_hist 0.46 s (0.52 s at 1× — flat,
+  * the histogram re-aggregates the group-sized relation).
   *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */

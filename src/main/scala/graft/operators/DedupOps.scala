@@ -70,6 +70,48 @@ object DedupOps {
       |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
+  // ------------------------------------------------ dup-group size histogram
+  /** Duplicate-multiplicity histogram: how many fingerprint groups exist at
+    * each copy count, with the doc volume and share each size class holds —
+    * the one-page answer to "how duplicated is this corpus and where does
+    * dedup buy tokens" that a team reads BEFORE paying for pair-level
+    * dedup (a corpus that is 99 % singletons needs [[ddExact]] and nothing
+    * more; a fat tail of large groups motivates the near-dup machinery).
+    *
+    * Scale: the fingerprint groupBy is [[ddExact]]'s single map-combined
+    * shuffle; the histogram re-aggregates the GROUP-sized relation (≤ one
+    * row per distinct document) into at most max-multiplicity rows —
+    * model-sized output, corpus-share via one broadcast total. */
+  def ddSizeHist(s: SparkSession, dir: String): DataFrame = {
+    val sizes = docs(s, dir)
+      .select(fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+    val tot = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    sizes.groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .crossJoin(broadcast(tot))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        (round((col("group_size") * col("n_groups")).cast("double")
+          / col("n_total").cast("double"), 6) + 0.0).as("doc_share"))
+      .orderBy(col("group_size"))
+  }
+
+  val ddSizeHistSql: String =
+    """WITH sizes AS (
+      |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+      |    CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents
+      |)
+      |SELECT sz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+      |  ROUND(CAST(sz * COUNT(*) AS DOUBLE) / CAST(MIN(n_total) AS DOUBLE), 6)
+      |    + 0.0 AS doc_share
+      |FROM sizes CROSS JOIN tot
+      |GROUP BY sz ORDER BY group_size""".stripMargin
+
   // ---------------------------------------------------- n-gram Jaccard pairs
   /** Pairwise Jaccard over DISCRIMINATIVE word 3-gram shingles.
     *
@@ -1712,6 +1754,7 @@ object DedupOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_semdedup_cluster" -> ((s: SparkSession, d: String) => ddSemDedupCluster(s, d)),
     "dd_contam_fraction" -> ((s: SparkSession, d: String) => ddContamFraction(s, d)),
+    "dd_size_hist" -> (ddSizeHist _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -1736,6 +1779,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "dd_semdedup_cluster" -> ddSemDedupClusterSql,
     "dd_contam_fraction" -> ddContamFractionSql,
+    "dd_size_hist" -> ddSizeHistSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

@@ -717,7 +717,7 @@ object EmbeddingOps {
     * Scale: seeds are k·d doubles of broadcast model state
     * (TakeOrderedAndProject on vec_id, k rows); assignment is a map-side
     * broadcast join + codegen'd dot products — zero corpus shuffles. */
-  private[operators] def seedAssignment(s: SparkSession, dir: String,
+  private[graft] def seedAssignment(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     val vecs = emb(s, dir)
       .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
@@ -808,7 +808,96 @@ object EmbeddingOps {
        |    AS DOUBLE), 6) + 0.0 AS label_entropy
        |FROM withn GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // --------------------------------- greedy k-center coreset sampling
+  /** Farthest-point (greedy k-center) coreset selection: start from the
+    * lowest vec_id, then repeatedly pick the vector FARTHEST (max
+    * min-cosine-distance) from everything already chosen — the classic
+    * 2-approximation to the k-center cover and the diversity-sampling
+    * complement of [[sampClusterCap]] (that flattens the topic
+    * distribution; this finds the corpus's extreme points, the seeds a
+    * labeling/eval budget buys the most coverage with). Emits
+    * (rank, vec_id, sel_dist) where sel_dist is the selection-time
+    * min-distance — a decreasing sequence that IS the k-center radius
+    * curve.
+    *
+    * Determinism: distances are raw IEEE doubles computed by the same
+    * sequential fold on both engines (the [[embAssign]] argmax
+    * discipline); ties break by vec_id; rounding touches only the
+    * emitted column.
+    *
+    * Scale: k sequential passes, each a broadcast join of ≤ k chosen
+    * vectors against the corpus plus a TakeOrdered(1) — driver state is
+    * k·d doubles of model state, never corpus rows. At 100 TB one runs
+    * this over [[embKmeans]] centroids or an [[embRp]] sketch rather
+    * than raw vectors — same operator, coarser input. */
+  def sampCoreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val vecs = emb(s, dir)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = vecs.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).collect()(0).getLong(0)
+    var chosen = Vector((first, 0.0))
+    for (_ <- 2 to k) {
+      val ids = chosen.map(_._1)
+      val chDf = broadcast(vecs.filter(col("vec_id").isin(ids: _*))
+        .select(col("ve").as("cv"), col("nrm").as("cnrm")))
+      val pick = vecs.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(chDf)
+        .select(col("vec_id"),
+          (lit(1.0) - VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("dist"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      chosen = chosen :+ ((pick.getLong(0), pick.getDouble(1)))
+    }
+    vecs.unpersist()
+    import s.implicits._
+    chosen.zipWithIndex.map { case ((id, md), i) =>
+      (i + 1L, id,
+        BigDecimal(md).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toDF("rank", "vec_id", "sel_dist").orderBy(col("rank"))
+  }
+
+  /** Oracle: the greedy loop unrolled as a generated CTE chain — each
+    * round is (min-dist over chosen so far) → (argmax pick) → (chosen
+    * grows by one), exactly the Spark loop's three steps. */
+  val sampCoresetSql: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb ++= """WITH vn AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), ch1 AS (
+      |  SELECT vec_id, ve, nrm, CAST(1 AS BIGINT) AS rank, 0.0 AS md
+      |  FROM vn ORDER BY vec_id LIMIT 1
+      |)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""", d$i AS (
+        |  SELECT v.vec_id,
+        |    MIN(1.0 - list_dot_product(v.ve, c.ve) / (v.nrm * c.nrm)) AS md
+        |  FROM vn v CROSS JOIN ch${i - 1} c
+        |  WHERE v.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+        |  GROUP BY v.vec_id
+        |), p$i AS (
+        |  SELECT vec_id, md FROM d$i ORDER BY md DESC, vec_id LIMIT 1
+        |), ch$i AS (
+        |  SELECT vec_id, ve, nrm, rank, md FROM ch${i - 1}
+        |  UNION ALL
+        |  SELECT vn.vec_id, vn.ve, vn.nrm, CAST($i AS BIGINT) AS rank, p$i.md
+        |  FROM vn JOIN p$i USING (vec_id)
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT rank, vec_id, ROUND(md, 6) + 0.0 AS sel_dist
+      |FROM ch$k ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
     "emb_cluster_purity" -> ((s: SparkSession, d: String) => embClusterPurity(s, d)),
     "emb_rp" -> ((s: SparkSession, d: String) => embRp(s, d)),
     "emb_centroids" -> (embCentroids _),
@@ -823,6 +912,7 @@ object EmbeddingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "samp_coreset" -> sampCoresetSql,
     "emb_cluster_purity" -> embClusterPuritySql,
     "emb_rp" -> embRpSql,
     "emb_quantize" -> embQuantizeSql,

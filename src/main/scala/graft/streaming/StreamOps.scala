@@ -629,6 +629,41 @@ object StreamOps {
       .withColumn("saved", col("n_sym0") - col("n_bpe"))
   }
 
+  /** Streaming cluster assignment with a FIXED batch-built seed-centroid
+    * model (the classify-on-arrival half of the cluster-then-curate
+    * recipe: batch [[graft.operators.EmbeddingOps.seedAssignment]] builds
+    * the model, arriving vectors route to their cluster for per-cluster
+    * caps / cluster-scoped dedup downstream). Centroids enter as PLAN
+    * LITERALS (k·d doubles — model state, the [[streamingBpeApply]]
+    * pattern), the argmax folds over k codegen'd dot products with the
+    * batch tiebreak (strict > keeps the earliest = lowest cluster id), so
+    * the query is one stateless append-mode projection — no shuffle, no
+    * state store, no broadcast churn per micro-batch. Emits
+    * (vec_id, cluster, cos). */
+  def streamingClusterAssign(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    def cnorm(cv: Seq[Double]): Double = math.sqrt(cv.map(x => x * x).sum)
+    val base = vecs.select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    // argmax as ONE array_max over (cos, -cluster) structs — lexicographic
+    // struct ordering gives max cos then (via the negation) the LOWEST
+    // cluster on ties, the batch row_number tiebreak; NaN sorts greatest
+    // in both, so even a degenerate zero-norm model agrees. A when-chain
+    // fold here embeds the accumulator twice per centroid (condition +
+    // otherwise) — 2^k expression growth that OOMs codegen at k=16.
+    val entries = cents.sortBy(_._1).map { case (cid, cv) =>
+      struct(
+        (VF.dot(col("ve"), array(cv.map(lit): _*)) /
+          (col("nrm") * lit(cnorm(cv)))).as("cos"),
+        lit(-cid).as("nc"))
+    }
+    base.select(col("vec_id"), array_max(array(entries: _*)).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).cast("long").as("cluster"),
+        round(col("b.cos"), 6).as("cos"))
+  }
+
   /** Streaming content-defined chunking: the per-row CDC fold emits each
     * arriving document's (chunk_id, n_tok, chunk_fp) grain with no state
     * and no shuffle (the cut never looks outside the row). Cross-doc dup

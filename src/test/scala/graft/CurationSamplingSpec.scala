@@ -581,6 +581,60 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samp_coreset == plain-Scala greedy k-center; radius curve decreases") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosDist(a: Array[Double], b: Array[Double]): Double =
+      1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 8
+    var chosen = Vector((vecs.head._1, 0.0))
+    val byId = vecs.toMap
+    for (_ <- 2 to k) {
+      val ids = chosen.map(_._1).toSet
+      val pick = vecs.filter(v => !ids(v._1))
+        .map { case (id, v) =>
+          (id, chosen.map(c => cosDist(v, byId(c._1))).min)
+        }
+        .maxBy { case (id, md) => (md, -id) }
+      chosen = chosen :+ pick
+    }
+    val want = chosen.zipWithIndex.map { case ((id, md), i) =>
+      (i + 1L, id, r6(md) + 0.0)
+    }.toSet
+    val got = EmbeddingOps.sampCoreset(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // k-center law: the selection-time radius never increases
+    val curve = got.toSeq.sortBy(_._1).map(_._3)
+    curve.drop(1).sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0) >= w(1) - 1e-9, s"radius curve rose: $curve")
+    }
+    assert(got.map(_._2).size == k, "k distinct vectors chosen")
+  }
+
+  test("dd_size_hist conserves the corpus and matches the exact-dup groups") {
+    val hist = graft.operators.DedupOps.ddSizeHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hist.map(_._3).sum == nDocs, "Σ n_docs must equal the corpus")
+    assert(math.abs(hist.map(_._4).sum - 1.0) < hist.length * 5e-7,
+      "doc shares must sum to 1")
+    val groups = graft.operators.DedupOps.ddExact(spark, dir).collect()
+      .map(_.getLong(2))
+    hist.foreach { case (sz, ng, nd, _) =>
+      assert(groups.count(_ == sz).toLong == ng, s"size-$sz group count")
+      assert(nd == sz * ng)
+    }
+  }
+
   test("emb_rp projection matches a plain-Scala replay and preserves norms") {
     val k = 16
     val vecs = Tables.load(spark, dir, "embeddings")

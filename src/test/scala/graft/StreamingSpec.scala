@@ -567,4 +567,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("verdict") === "exact").count() >= 1,
       "the planted cross-bucket duplicate must surface as an exact match")
   }
+
+  test("streaming cluster assignment == batch seed assignment vec-for-vec") {
+    val e = Tables.load(spark, dir, "embeddings")
+    // the batch model: 16 lowest vec_ids, components rounded to 6 — the
+    // seedAssignment contract, rebuilt here as the literal model the
+    // stream ships
+    val cents = e.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(16).collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(f =>
+          BigDecimal(f.toDouble).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq)
+      }.toSeq
+    val vecsDir = Files.createTempDirectory("graft-assign-stream").toString
+    e.repartition(4).write.mode("overwrite").parquet(vecsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingClusterAssign(
+        StreamOps.readParquetStream(spark, vecsDir, e.schema), cents),
+      "append", "assign_out")
+    val batch = graft.operators.EmbeddingOps.seedAssignment(spark, dir, 16)
+      .select(col("vec_id"), col("cluster"))
+    assert(canon(streamed.select(col("vec_id"), col("cluster")))
+      == canon(batch))
+    assert(streamed.count() == e.count(), "every arriving vector routed")
+    assert(streamed.select("cluster").distinct().count() > 1,
+      "the model must actually separate the corpus")
+  }
 }
