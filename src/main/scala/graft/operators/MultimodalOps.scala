@@ -172,13 +172,115 @@ object MultimodalOps {
       |  CAST(GREATEST(FLOOR(height * scale_raw), 1) AS INT) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- perceptual-hash near-dup
+  /** Perceptual-hash near-duplicate detection for media payloads — the
+    * image-dedup stage of a multimodal pipeline (pHash/aHash family):
+    * derive a compact signature from LOW-FREQUENCY content statistics,
+    * then pair payloads at small Hamming distance. With no codecs in this
+    * container the "low-frequency statistic" is the 16-stripe byte-sum
+    * profile of the payload (stripe j = bytes at positions ≡ j mod 16;
+    * bit j set iff stripe j exceeds the payload mean) — integer-exact end
+    * to end, so the oracle replays it with zero float risk. A production
+    * build swaps stripe sums for 8×8 DCT coefficients of decoded pixels;
+    * the Spark shape (map-side signature, block-keyed candidate join,
+    * pigeonhole completeness) is the real thing. Emits
+    * (doc_id, phash, n_near) where n_near counts partners at Hamming ≤ 1.
+    *
+    * Candidate generation: the 16-bit code splits into two 8-bit blocks;
+    * Hamming ≤ 1 leaves at least one block identical (pigeonhole), so the
+    * union of the two block-keyed self-joins is COMPLETE — the
+    * [[graft.operators.DedupOps.ddSimHashPairs]] recipe at media grain.
+    *
+    * Scale: the signature is one map-side pass + a doc-keyed 16-row
+    * aggregation; candidates shuffle on (block, table) with bucket sizes
+    * bounded by code locality, never all-pairs. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val codes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (col("pos") % 16).as("slot"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
+      .withColumn("tot", sum(col("ss")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("ss") * 16 > col("tot"),
+        pow(lit(2.0), col("slot").cast("double")).cast("long"))
+        .otherwise(lit(0L))).as("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = codes.select(col("doc_id"), col("phash"),
+      col("phash").bitwiseAND(lit(255L)).as("b0"),
+      shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("b1"))
+    def side(t: Int, blk: String, idAs: String, phAs: String) =
+      blocked.select(col(blk).as("blk"), lit(t).as("t"),
+        col("doc_id").as(idAs), col("phash").as(phAs))
+    val cand = (side(0, "b0", "id_a", "pa") unionByName side(1, "b1", "id_a", "pa"))
+      .join(side(0, "b0", "id_b", "pb") unionByName side(1, "b1", "id_b", "pb"),
+        Seq("blk", "t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+      .distinct()
+    val near = cand
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 1)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val out = codes.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    codes.unpersist()
+    out
+  }
+
+  val mmPhashSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS ch
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents)
+      |), ss AS (
+      |  SELECT doc_id, pos % 16 AS slot,
+      |    CAST(SUM(ascii(ch)) AS BIGINT) AS ss
+      |  FROM chars GROUP BY 1, 2
+      |), tt AS (
+      |  SELECT doc_id, slot, ss, SUM(ss) OVER (PARTITION BY doc_id) AS tot
+      |  FROM ss
+      |), codes AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN ss * 16 > tot
+      |      THEN CAST(POWER(2, slot) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM tt GROUP BY doc_id
+      |), blocked AS (
+      |  SELECT doc_id, phash, phash & 255 AS b0, (phash >> 8) & 255 AS b1
+      |  FROM codes
+      |), sides AS (
+      |  SELECT b0 AS blk, 0 AS t, doc_id, phash FROM blocked
+      |  UNION ALL
+      |  SELECT b1 AS blk, 1 AS t, doc_id, phash FROM blocked
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.phash AS pa, b.phash AS pb
+      |  FROM sides a JOIN sides b ON a.blk = b.blk AND a.t = b.t
+      |  WHERE a.doc_id <> b.doc_id
+      |), near AS (
+      |  SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+      |  FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+      |  GROUP BY 1
+      |)
+      |SELECT c.doc_id, c.phash,
+      |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+      |FROM codes c LEFT JOIN near n ON c.doc_id = n.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,

@@ -640,6 +640,56 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- tokenizer fertility
+  /** Tokenizer fertility report per source: BPE-ish subword tokens per
+    * whitespace word and characters per subword token — the
+    * bytes-per-token economics a tokenizer/mixture decision reads (a
+    * source whose fertility is 2× pays 2× the context budget for the
+    * same text; multilingual pipelines watch this per language). Integer
+    * sums end to end, ratios rounded only at emission.
+    *
+    * Scale: one map pass (both tokenizers are per-row regex splits) into
+    * a |sources|-group map-combined aggregation — model-sized output. */
+  def txtFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        tokenCount(col("text")).as("ws"),
+        size(bpeTokens(col("text"))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (round(col("n_bpe_tokens").cast("double")
+          / col("n_ws_tokens").cast("double"), 6) + 0.0).as("bpe_per_word"),
+        (round(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6) + 0.0).as("chars_per_bpe"))
+      .orderBy(col("source"))
+
+  val txtFertilitySql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(len($duckToks) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+       |    CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(chars) AS BIGINT) AS n_chars
+       |  FROM per GROUP BY source
+       |)
+       |SELECT source, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+       |  ROUND(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE), 6)
+       |    + 0.0 AS bpe_per_word,
+       |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+       |    + 0.0 AS chars_per_bpe
+       |FROM agg ORDER BY source""".stripMargin
+
   // -------------------------------------- Kneser–Ney bigram perplexity
   /** Interpolated Kneser–Ney bigram perplexity — the smoothing used by
     * production LM-quality filters (KenLM in CCNet/RefinedWeb): instead of
@@ -1195,6 +1245,7 @@ object TextQueries {
     "txt_pii" -> (txtPii _),
     "txt_kn_ppl" -> ((s: SparkSession, d: String) => txtKnPpl(s, d)),
     "txt_curriculum" -> ((s: SparkSession, d: String) => txtCurriculum(s, d)),
+    "txt_fertility" -> (txtFertility _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1216,5 +1267,6 @@ object TextQueries {
     "txt_novelty" -> txtNoveltySql,
     "txt_kn_ppl" -> txtKnPplSql,
     "txt_curriculum" -> txtCurriculumSql,
+    "txt_fertility" -> txtFertilitySql,
   )
 }

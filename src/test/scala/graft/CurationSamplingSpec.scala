@@ -635,6 +635,29 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_fertility is consistent with txt_tokens sums and fertility laws") {
+    val fert = graft.operators.TextQueries.txtFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(fert.map(_._2).sum == nDocs, "n_docs conserves the corpus")
+    // cross-check the sums against the per-doc txt_tokens report
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = graft.operators.TextQueries.txtTokens(spark, dir).collect()
+      .map(r => (srcOf(r.getLong(0)), r.getLong(1), r.getLong(3), r.getLong(2)))
+    val wantSums = perDoc.groupBy(_._1).map { case (src, g) =>
+      src -> ((g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum))
+    }
+    fert.foreach { case (src, _, ws, bpe, chars, bpw, cpb) =>
+      val (wWs, wBpe, wChars) = wantSums(src)
+      assert((ws, bpe, chars) == ((wWs, wBpe, wChars)), s"$src sums diverge")
+      // a whitespace word splits into >= 1 BPE pieces; a piece has >= 1 char
+      assert(bpw >= 1.0 - 1e-9, s"$src bpe_per_word $bpw < 1")
+      assert(cpb >= 1.0 - 1e-9, s"$src chars_per_bpe $cpb < 1")
+    }
+  }
+
   test("emb_rp projection matches a plain-Scala replay and preserves norms") {
     val k = 16
     val vecs = Tables.load(spark, dir, "embeddings")

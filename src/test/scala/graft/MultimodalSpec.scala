@@ -48,4 +48,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.flatten.sameElements(original))
     assert(frames.init.forall(_.length == 64), "all but the last frame are full")
   }
+
+  test("mm_phash codes match a plain-Scala replay; block join is Hamming-complete") {
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def phash(text: String): Long = {
+      val ss = new Array[Long](16)
+      text.zipWithIndex.foreach { case (c, i) => ss(i % 16) += c.toInt }
+      val tot = ss.sum
+      (0 until 16).map(j => if (ss(j) * 16 > tot) 1L << j else 0L).sum
+    }
+    val want = corpus.map { case (id, t) => id -> phash(t) }.toMap
+    val got = MultimodalOps.mmPhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == want, "phash codes diverge")
+    // completeness: n_near must equal the BRUTE-FORCE Hamming<=1 partner
+    // count — the pigeonhole argument for the 2-block union, verified
+    val ids = want.keys.toSeq.sorted
+    val brute = ids.map { a =>
+      a -> ids.count(b =>
+        b != a && java.lang.Long.bitCount(want(a) ^ want(b)) <= 1).toLong
+    }.toMap
+    got.foreach { case (id, _, n) =>
+      assert(n == brute(id), s"doc $id n_near $n != brute ${brute(id)}")
+    }
+    assert(got.exists(_._3 > 0), "testdata's dup pairs should collide")
+  }
 }
