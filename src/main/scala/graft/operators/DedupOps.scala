@@ -186,6 +186,153 @@ object DedupOps {
       |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------ dedup cascade report
+  /** The staged dedup funnel as one report: train docs → exact-canonical
+    * survivors → near-dup-pruned survivors → decontaminated survivors,
+    * with doc AND token counts per stage — the "how many training tokens
+    * does each dedup stage cost/buy" accounting a pipeline owner signs
+    * off on before a run ([[CurationOps]]' txt_funnel is the quality
+    * funnel; this is the duplication/contamination funnel). Stages
+    * compose the SAME contracts as the standalone operators: exact =
+    * [[ddExact]]'s min-id fingerprint election (within train), near =
+    * [[ddNgramJaccard]]'s df≤50 / j≥0.2 pairs with the min-id-survivor
+    * prune restricted to exact survivors, decontam = [[ddDecontaminate]]'s
+    * ≥3-shared-shingles flag.
+    *
+    * Scale: reuses the pair detectors' bounded-candidate shapes; each
+    * stage beyond them is an anti-join keyed by doc_id; the report is 4
+    * rows. */
+  def pipeDedupCascade(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val train = docs(s, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
+        fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = train
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("mn"))
+      .select(col("doc_id"), col("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE discriminative shingle universe feeds BOTH the near-pair join
+    // and the decontamination flag — running the standalone operators
+    // back-to-back rebuilds it twice (measured 6.2 s vs 4.4 s at sf0.1);
+    // the per-stage contracts (df≤50 universe, j≥0.2, ≥3 shared) are
+    // unchanged and the oracle shares the same CTE
+    val sh = discriminativeShingles(docs(s, dir), 50, carry = Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .filter(round(col("n_inter") /
+        (col("ca.n") + col("cb.n") - col("n_inter")), 6) >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val ids = canon.select(col("doc_id"))
+    val prunedNear = pairs
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .select(col("id_b").as("doc_id")).distinct()
+    val s2 = canon
+      .join(prunedNear.withColumn("p", lit(1)), Seq("doc_id"), "left")
+      .filter(col("p").isNull).select(col("doc_id"), col("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_doc"), col("hs"))
+      .join(sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"), col("hs")), Seq("hs"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val s3 = s2
+      .join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
+      .filter(col("f").isNull).select(col("doc_id"), col("n_tok"))
+    def stageRow(n: Long, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val report = stageRow(0L, "train", train)
+      .unionByName(stageRow(1L, "exact_dedup", canon))
+      .unionByName(stageRow(2L, "near_dedup", s2))
+      .unionByName(stageRow(3L, "decontaminated", s3))
+      .orderBy(col("stage"))
+      .localCheckpoint()
+    Seq(train, canon, s2, sh).foreach(_.unpersist())
+    report
+  }
+
+  val pipeDedupCascadeSql: String =
+    """WITH toksAll AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), train AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents WHERE source <> 'src0'
+      |), canon AS (
+      |  SELECT doc_id, n_tok FROM (
+      |    SELECT doc_id, n_tok, MIN(doc_id) OVER (PARTITION BY fp) AS mn
+      |    FROM train)
+      |  WHERE doc_id = mn
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toksAll
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id
+      |  JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), pruned AS (
+      |  SELECT DISTINCT p.id_b AS doc_id
+      |  FROM pairs p
+      |  JOIN canon a ON p.id_a = a.doc_id
+      |  JOIN canon b ON p.id_b = b.doc_id
+      |), s2 AS (
+      |  SELECT c.doc_id, c.n_tok FROM canon c
+      |  LEFT JOIN pruned pr ON c.doc_id = pr.doc_id
+      |  WHERE pr.doc_id IS NULL
+      |), flagged AS (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM sh t JOIN sh e ON t.s = e.s
+      |  WHERE t.source <> 'src0' AND e.source = 'src0'
+      |  GROUP BY t.doc_id, e.doc_id HAVING COUNT(*) >= 3
+      |), s3 AS (
+      |  SELECT s2.doc_id, s2.n_tok FROM s2
+      |  LEFT JOIN flagged f ON s2.doc_id = f.doc_id
+      |  WHERE f.doc_id IS NULL
+      |)
+      |SELECT CAST(0 AS BIGINT) AS stage, 'train' AS stage_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM train
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 'exact_dedup',
+      |  CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM canon
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'near_dedup',
+      |  CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'decontaminated',
+      |  CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      |ORDER BY stage""".stripMargin
+
   // --------------------------------------------------------- MinHash + LSH
   /** 32-perm MinHash signature, 8 bands × 4 rows. Permutation i is
     * xxhash64(shingle, i) — seed-stable across executors, no broadcast
@@ -1755,6 +1902,7 @@ object DedupOps {
     "dd_semdedup_cluster" -> ((s: SparkSession, d: String) => ddSemDedupCluster(s, d)),
     "dd_contam_fraction" -> ((s: SparkSession, d: String) => ddContamFraction(s, d)),
     "dd_size_hist" -> (ddSizeHist _),
+    "pipe_dedup_cascade" -> (pipeDedupCascade _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -1780,6 +1928,7 @@ object DedupOps {
     "dd_semdedup_cluster" -> ddSemDedupClusterSql,
     "dd_contam_fraction" -> ddContamFractionSql,
     "dd_size_hist" -> ddSizeHistSql,
+    "pipe_dedup_cascade" -> pipeDedupCascadeSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

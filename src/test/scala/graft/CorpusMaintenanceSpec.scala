@@ -380,6 +380,35 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- pipe_dedup_cascade
+  test("pipe_dedup_cascade stages are monotone and match the standalone ops") {
+    val stages = DedupOps.pipeDedupCascade(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stages.map(_._2).toSeq ==
+      Seq("train", "exact_dedup", "near_dedup", "decontaminated"))
+    // funnel law: each stage can only shrink, in docs AND tokens
+    stages.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0)._3 >= w(1)._3 && w(0)._4 >= w(1)._4,
+        s"stage ${w(1)._2} grew: ${w(0)} -> ${w(1)}")
+    }
+    // stage 0 == the train corpus
+    val train = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+    assert(stages(0)._3 == train.count())
+    // stage 1 == distinct fingerprints within train (the ddExact election)
+    val distinctFp = train
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .distinct().count()
+    assert(stages(1)._3 == distinctFp)
+    // stage 3 drop count is bounded by the decontamination flag count
+    val flagged = DedupOps.ddDecontaminate(spark, dir)
+      .select("train_doc").distinct().count()
+    assert(stages(2)._3 - stages(3)._3 <= flagged,
+      "decontamination cannot drop more than the flagged set")
+  }
+
   // ----------------------------------------------------------- txt_kn_ppl
   test("txt_kn_ppl matches a plain-Scala Kneser-Ney replay; KN laws hold") {
     val D = 0.75
