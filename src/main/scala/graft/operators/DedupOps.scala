@@ -186,6 +186,71 @@ object DedupOps {
       |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ----------------------------------- semantic delta-vs-corpus screen
+  /** The SEMANTIC side of [[ddIncremental]]'s ingest asymmetry: each
+    * arriving (delta) vector reports its nearest corpus neighbor and a
+    * near/new verdict at cosine ≥ `thr` — paraphrase/re-encoding dedup at
+    * ingest time, where the lexical delta screen sees nothing. Delta =
+    * the md5-bucket ≥ 'd' slice (the [[ddIncremental]] batch-boundary
+    * convention), corpus = the rest.
+    *
+    * Scale shape — the whole point: the CORPUS side is scanned in place
+    * and never shuffled or self-joined; the DELTA (small at any real
+    * ingest cadence) broadcasts, scoring is map-side codegen'd dots, and
+    * the top-1 aggregation is keyed by delta vec — max(struct(cos, −id))
+    * is map-combined, so reducers see |delta| partials per task, never
+    * pair rows. At 100 TB swap the corpus scan for its SRP-bucket index
+    * ([[ddSemDedupAnn]]'s table layout) probed by the same broadcast
+    * delta; verdict semantics are unchanged. Emits
+    * (vec_id, verdict, match_id, cos). */
+  def ddIncrementalSem(s: SparkSession, dir: String,
+      thr: Double = 0.4): DataFrame = {
+    val vn = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("ve")))
+      .withColumn("b", substring(md5(col("vec_id").cast("string")), 1, 1))
+    val corpus = vn.filter(col("b") < "d")
+      .select(col("vec_id").as("c_id"), col("ve").as("cve"), col("nrm").as("cnrm"))
+    val delta = vn.filter(col("b") >= "d")
+      .select(col("vec_id").as("d_id"), col("ve").as("dve"), col("nrm").as("dnrm"))
+    corpus.crossJoin(broadcast(delta))
+      .select(col("d_id"), col("c_id"),
+        (graft.functions.VectorFunctions.dot(col("dve"), col("cve"))
+          / (col("dnrm") * col("cnrm"))).as("cos"))
+      .groupBy(col("d_id"))
+      .agg(max(struct(col("cos"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("d_id").as("vec_id"),
+        when(col("best.cos") >= thr, lit("near")).otherwise(lit("new"))
+          .as("verdict"),
+        when(col("best.cos") >= thr, -col("best.nc")).as("match_id"),
+        when(col("best.cos") >= thr, round(col("best.cos"), 6) + 0.0).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ddIncrementalSemSql: String =
+    """WITH vn AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm,
+      |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS b
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT d.vec_id, c.vec_id AS c_id,
+      |    list_dot_product(d.ve, c.ve) / (d.nrm * c.nrm) AS cos
+      |  FROM vn d CROSS JOIN vn c
+      |  WHERE d.b >= 'd' AND c.b < 'd'
+      |), best AS (
+      |  SELECT vec_id, c_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT vec_id,
+      |  CASE WHEN cos >= 0.4 THEN 'near' ELSE 'new' END AS verdict,
+      |  CASE WHEN cos >= 0.4 THEN c_id END AS match_id,
+      |  CASE WHEN cos >= 0.4 THEN ROUND(cos, 6) + 0.0 END AS cos
+      |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------ dedup cascade report
   /** The staged dedup funnel as one report: train docs → exact-canonical
     * survivors → near-dup-pruned survivors → decontaminated survivors,
@@ -1903,6 +1968,7 @@ object DedupOps {
     "dd_contam_fraction" -> ((s: SparkSession, d: String) => ddContamFraction(s, d)),
     "dd_size_hist" -> (ddSizeHist _),
     "pipe_dedup_cascade" -> (pipeDedupCascade _),
+    "dd_incremental_sem" -> ((s: SparkSession, d: String) => ddIncrementalSem(s, d)),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -1929,6 +1995,7 @@ object DedupOps {
     "dd_contam_fraction" -> ddContamFractionSql,
     "dd_size_hist" -> ddSizeHistSql,
     "pipe_dedup_cascade" -> pipeDedupCascadeSql,
+    "dd_incremental_sem" -> ddIncrementalSemSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

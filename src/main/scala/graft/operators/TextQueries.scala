@@ -640,6 +640,89 @@ object TextQueries {
       |  ROUND(exp(-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 6) + 0.0 AS ppl
       |FROM ll ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- Zipf-fit health check
+  /** Vocabulary rank–frequency Zipf fit: the log-log regression slope of
+    * collection frequency against rank — natural-language corpora sit
+    * near slope −1 (Zipf's law); machine-generated spam, template floods,
+    * or truncated vocabularies bend the curve, so (slope, r²) is a cheap
+    * corpus-health gate and a before/after check for dedup runs (removing
+    * a template flood visibly restores the fit). One row:
+    * (n_types, n_tokens, zipf_slope, r2).
+    *
+    * Determinism: ranks order by (cf DESC, term) — total, engine-stable;
+    * each regression moment (x, y, xy, x², y²) is DECIMAL(30,15)-cast per
+    * element before summing, slope/r² then computed from the exact sums
+    * in identical double arithmetic.
+    *
+    * Scale: tf → cf is the map-combined vocabulary shuffle every LM op
+    * here pays; the rank sort runs on the VOCABULARY (model-sized), not
+    * the corpus, and the regression is one aggregation over it. */
+  def txtZipf(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    val cf = docs(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ranked = cf.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cf").desc, col("term"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cf").cast("double")).as("y"), col("cf"))
+    ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cf")).as("n_tokens"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("n_types"), col("n_tokens"),
+        (round((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6) + 0.0)
+          .as("zipf_slope"),
+        (round(
+          ((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          * (col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")))
+          / ((col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("n_types").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))), 6) + 0.0)
+          .as("r2"))
+  }
+
+  val txtZipfSql: String =
+    """WITH terms AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), cf AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM terms GROUP BY 1
+      |), ranked AS (
+      |  SELECT cf,
+      |    ln(CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS DOUBLE)) AS x,
+      |    ln(CAST(cf AS DOUBLE)) AS y
+      |  FROM cf
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(cf) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS syy
+      |  FROM ranked
+      |)
+      |SELECT n_types, n_tokens,
+      |  ROUND((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n_types AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+      |  ROUND(((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+      |      * (CAST(n_types AS DOUBLE) * sxy - sx * sy))
+      |    / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
+      |      * (CAST(n_types AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r2
+      |FROM m""".stripMargin
+
   // --------------------------------------------- tokenizer fertility
   /** Tokenizer fertility report per source: BPE-ish subword tokens per
     * whitespace word and characters per subword token — the
@@ -1246,6 +1329,7 @@ object TextQueries {
     "txt_kn_ppl" -> ((s: SparkSession, d: String) => txtKnPpl(s, d)),
     "txt_curriculum" -> ((s: SparkSession, d: String) => txtCurriculum(s, d)),
     "txt_fertility" -> (txtFertility _),
+    "txt_zipf" -> (txtZipf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1268,5 +1352,6 @@ object TextQueries {
     "txt_kn_ppl" -> txtKnPplSql,
     "txt_curriculum" -> txtCurriculumSql,
     "txt_fertility" -> txtFertilitySql,
+    "txt_zipf" -> txtZipfSql,
   )
 }

@@ -409,6 +409,70 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       "decontamination cannot drop more than the flagged set")
   }
 
+  // --------------------------------------------------- dd_incremental_sem
+  test("dd_incremental_sem == plain-Scala delta-vs-corpus nearest neighbor") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (delta, corpus) = vecs.partition { case (id, _) =>
+      md5hex(id.toString).head >= 'd'
+    }
+    val want = delta.map { case (id, v) =>
+      val (cid, c) = corpus.map { case (ci, cv) => (ci, cos(v, cv)) }
+        .maxBy { case (ci, c) => (c, -ci) }
+      if (c >= 0.4) (id, "near", Some(cid), Some(r6(c)))
+      else (id, "new", None, None)
+    }.toSet
+    val got = DedupOps.ddIncrementalSem(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.exists(_._2 == "near") && got.exists(_._2 == "new"),
+      "both verdicts should occur on testdata")
+  }
+
+  // -------------------------------------------------------------- txt_zipf
+  test("txt_zipf == plain-Scala log-log regression; fit laws hold") {
+    val cf = corpus.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    def d15(x: Double): BigDecimal =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = ranked.size.toDouble
+    val sx = ranked.map(p => d15(p._1)).sum.toDouble
+    val sy = ranked.map(p => d15(p._2)).sum.toDouble
+    val sxy = ranked.map(p => d15(p._1 * p._2)).sum.toDouble
+    val sxx = ranked.map(p => d15(p._1 * p._1)).sum.toDouble
+    val syy = ranked.map(p => d15(p._2 * p._2)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = graft.operators.TextQueries.txtZipf(spark, dir).collect()(0)
+    assert(row.getLong(0) == cf.size.toLong)
+    assert(row.getLong(1) == cf.values.sum)
+    assert(row.getDouble(2) == r6(slope) + 0.0, s"slope ${row.getDouble(2)} != $slope")
+    assert(row.getDouble(3) == r6(r2) + 0.0)
+    // fit laws: frequencies fall with rank (slope < 0), r² is a squared
+    // correlation. The generated word-soup corpus is deliberately
+    // non-Zipfian (31 near-uniform types) — the health check's job is to
+    // SAY so, hence no slope≈−1 assertion here.
+    assert(row.getDouble(2) < 0.0 && row.getDouble(3) >= 0.0
+      && row.getDouble(3) <= 1.0)
+  }
+
   // ----------------------------------------------------------- txt_kn_ppl
   test("txt_kn_ppl matches a plain-Scala Kneser-Ney replay; KN laws hold") {
     val D = 0.75
