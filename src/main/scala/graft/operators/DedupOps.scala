@@ -813,6 +813,16 @@ object DedupOps {
     out
   }
 
+  /** The two static relations [[graft.streaming.StreamOps.streamingContamFraction]]
+    * probes: the df-capped discriminative universe and the eval suite's
+    * shingle set — corpus model state, rebuilt offline at batch cadence. */
+  private[graft] def contamStatics(s: SparkSession, dir: String,
+      dfCap: Int = 50): (DataFrame, DataFrame) = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
+    (sh.select(col("hs")).distinct(),
+      sh.filter(col("source") === "src0").select(col("hs")).distinct())
+  }
+
   val ddContamFractionSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t

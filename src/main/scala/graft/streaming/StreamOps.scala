@@ -664,6 +664,36 @@ object StreamOps {
         round(col("b.cos"), 6).as("cos"))
   }
 
+  /** Streaming graded contamination scoring: each arriving doc's
+    * discriminative shingles probe two STATIC relations — the df-capped
+    * universe (corpus model state, rebuilt offline at the batch cadence)
+    * and the eval suite's shingle set — via a stream-static join, then a
+    * doc-keyed update-mode aggregation emits
+    * (doc_id, n_grams, n_contam, contam_frac), the
+    * [[graft.operators.DedupOps.ddContamFraction]] verdict on arrival.
+    * Docs with no discriminative shingle produce no join rows and so no
+    * report row (the batch op reports them as 0/0 — the one documented
+    * asymmetry of the streaming form).
+    *
+    * Scale: the stream side never shuffles except the doc-keyed agg;
+    * both static sides are fixed-size model state (broadcastable). */
+  def streamingContamFraction(docs: DataFrame, rare: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(col("toks"), 3),
+          s => xxhash64(s)))).as("hs"))
+      .join(rare.select(col("hs")), Seq("hs"))
+      .join(evalGrams.select(col("hs"), lit(1).as("hit")), Seq("hs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contam"))
+      .select(col("doc_id"), col("n_grams"), col("n_contam"),
+        (round(col("n_contam").cast("double")
+          / col("n_grams").cast("double"), 6) + 0.0).as("contam_frac"))
+  }
+
   /** Streaming content-defined chunking: the per-row CDC fold emits each
     * arriving document's (chunk_id, n_tok, chunk_fp) grain with no state
     * and no shuffle (the cut never looks outside the row). Cross-doc dup

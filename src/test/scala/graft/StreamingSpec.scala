@@ -568,6 +568,28 @@ class StreamingSpec extends AnyFunSuite {
       "the planted cross-bucket duplicate must surface as an exact match")
   }
 
+  test("streaming contamination fraction == batch graded verdicts on arrival") {
+    import graft.operators.DedupOps
+    val d = Tables.load(spark, dir, "documents")
+    val train = d.filter(col("source") =!= "src0").select("doc_id", "text")
+    val (rare, evalGrams) = DedupOps.contamStatics(spark, dir)
+    val docsDir = Files.createTempDirectory("graft-contam-stream").toString
+    train.repartition(4).write.mode("overwrite").parquet(docsDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingContamFraction(
+        StreamOps.readParquetStream(spark, docsDir, train.schema),
+        rare, evalGrams),
+      "update", "contam_out")
+    // each doc arrives whole in one micro-batch → exactly one emission;
+    // batch reports zero-gram docs as 0/0 which the stream (by documented
+    // design) omits — compare on the docs the stream saw
+    val batch = DedupOps.ddContamFraction(spark, dir)
+      .filter(col("n_grams") > 0)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("n_contam") > 0).count() > 0,
+      "planted contamination should surface on the stream")
+  }
+
   test("streaming cluster assignment == batch seed assignment vec-for-vec") {
     val e = Tables.load(spark, dir, "embeddings")
     // the batch model: 16 lowest vec_ids, components rounded to 6 — the
