@@ -813,6 +813,51 @@ object DedupOps {
     out
   }
 
+  // ------------------------------------------------ eval-exposure report
+  /** Benchmark-integrity view of decontamination — the same flagged pairs
+    * as [[ddDecontaminate]], regrouped by EVAL doc: for each benchmark
+    * item, how many training documents overlap it and how deeply. A
+    * benchmark item with high exposure is compromised no matter what the
+    * training side later drops — this is the report an eval owner reads
+    * (the training-side dual is [[ddContamFraction]]). Emits
+    * (eval_doc, n_train_matches, max_shared, total_shared).
+    *
+    * Scale: inherits the df-capped shingle join; the regroup is keyed by
+    * eval doc — eval-suite-sized, i.e. model-sized. */
+  def ddEvalExposure(s: SparkSession, dir: String): DataFrame =
+    ddDecontaminate(s, dir)
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(col("n_shared")).as("max_shared"),
+        sum(col("n_shared")).as("total_shared"))
+      .orderBy(col("eval_doc"))
+
+  val ddEvalExposureSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), pairs AS (
+      |  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM sh t JOIN sh e ON t.s = e.s
+      |  WHERE t.source <> 'src0' AND e.source = 'src0'
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |)
+      |SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+      |  CAST(MAX(n_shared) AS BIGINT) AS max_shared,
+      |  CAST(SUM(n_shared) AS BIGINT) AS total_shared
+      |FROM pairs GROUP BY eval_doc ORDER BY eval_doc""".stripMargin
+
   /** The two static relations [[graft.streaming.StreamOps.streamingContamFraction]]
     * probes: the df-capped discriminative universe and the eval suite's
     * shingle set — corpus model state, rebuilt offline at batch cadence. */
@@ -1979,6 +2024,7 @@ object DedupOps {
     "dd_size_hist" -> (ddSizeHist _),
     "pipe_dedup_cascade" -> (pipeDedupCascade _),
     "dd_incremental_sem" -> ((s: SparkSession, d: String) => ddIncrementalSem(s, d)),
+    "dd_eval_exposure" -> (ddEvalExposure _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -2006,6 +2052,7 @@ object DedupOps {
     "dd_size_hist" -> ddSizeHistSql,
     "pipe_dedup_cascade" -> pipeDedupCascadeSql,
     "dd_incremental_sem" -> ddIncrementalSemSql,
+    "dd_eval_exposure" -> ddEvalExposureSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

