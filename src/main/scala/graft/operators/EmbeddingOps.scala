@@ -421,6 +421,68 @@ object EmbeddingOps {
       |  ROUND(mx, 6) + 0.0 AS max_x
       |FROM a ORDER BY dim""".stripMargin
 
+  // ------------------------------------------ quantization error audit
+  /** Int8 reconstruction-error audit for [[embQuantize]]: per label, the
+    * max and mean |x − q·scale| over every element — the "is int8 safe
+    * for this embedding space" number a serving/index team signs off on
+    * before shipping the compressed form (symmetric per-vector int8
+    * bounds the error by scale/2 = max|x|/254; a label whose max error
+    * breaks that bound means the quantizer is mis-specified, not just
+    * lossy). Every arithmetic step is spelled identically to
+    * [[embQuantize]] (same FLOOR(x/scale + 0.5) HALF_UP, same clamp), so
+    * the audit measures the SHIPPED quantizer, not a lookalike.
+    *
+    * Scale: pure map-side per-element arithmetic into a |labels|-group
+    * map-combined aggregation — model-sized output, no joins. */
+  def embQuantError(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    val err = emb(s, dir)
+      .select(col("label"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("label"), col("ve"),
+        (array_max(transform(col("ve"), x => abs(x))) / 127.0).as("scale"))
+      .select(col("label"), col("scale"), posexplode(col("ve")).as(Seq("dim", "x")))
+      .select(col("label"),
+        when(col("scale") === 0.0, abs(col("x")))
+          .otherwise(abs(col("x") -
+            greatest(lit(-127.0), least(lit(127.0),
+              floor(col("x") / col("scale") + 0.5))) * col("scale"))).as("e"),
+        (col("scale") / 2.0).as("bound"))
+    err.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_elems"),
+        max(col("e")).as("mx"),
+        (sum(col("e").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("me"),
+        sum(when(col("e") > col("bound"), 1L).otherwise(0L)).as("n_violations"))
+      .select(col("label"), col("n_elems"),
+        (round(col("mx"), 6) + 0.0).as("max_abs_err"),
+        (round(col("me"), 6) + 0.0).as("mean_abs_err"),
+        col("n_violations"))
+      .orderBy(col("label"))
+  }
+
+  val embQuantErrorSql: String =
+    """WITH v AS (
+      |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT label, ve,
+      |    list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+      |  FROM v
+      |), e AS (
+      |  SELECT label,
+      |    CASE WHEN scale = 0.0 THEN abs(x)
+      |      ELSE abs(x - GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) * scale)
+      |      END AS e,
+      |    scale / 2.0 AS bound
+      |  FROM (SELECT label, scale, unnest(ve) AS x FROM s)
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
+      |  ROUND(MAX(e), 6) + 0.0 AS max_abs_err,
+      |  ROUND(CAST(SUM(CAST(e AS DECIMAL(30,15))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_abs_err,
+      |  CAST(SUM(CASE WHEN e > bound THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   // -------------------------------------------------- covariance (Gramian)
   /** Full per-dimension covariance matrix (upper triangle, d·(d+1)/2 rows)
     * — the Gramian step under PCA / whitening / Mahalanobis outlier
@@ -959,6 +1021,7 @@ object EmbeddingOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
     "emb_centroid_drift" -> (embCentroidDrift _),
+    "emb_quant_error" -> (embQuantError _),
     "emb_cluster_purity" -> ((s: SparkSession, d: String) => embClusterPurity(s, d)),
     "emb_rp" -> ((s: SparkSession, d: String) => embRp(s, d)),
     "emb_centroids" -> (embCentroids _),
@@ -975,6 +1038,7 @@ object EmbeddingOps {
   val oracles: Map[String, String] = Map(
     "samp_coreset" -> sampCoresetSql,
     "emb_centroid_drift" -> embCentroidDriftSql,
+    "emb_quant_error" -> embQuantErrorSql,
     "emb_cluster_purity" -> embClusterPuritySql,
     "emb_rp" -> embRpSql,
     "emb_quantize" -> embQuantizeSql,

@@ -304,6 +304,55 @@ object SamplingOps {
       |    ELSE 1.0 / CAST(ns AS DOUBLE) END, 6) + 0.0 AS weight
       |FROM ex CROSS JOIN se ORDER BY source""".stripMargin
 
+  // ------------------------------------------ annealed mixture schedule
+  /** Annealed data schedule: per-epoch source weights interpolating
+    * linearly from the corpus's NATURAL token shares (epoch 0) to the
+    * UNIFORM distribution (last epoch) — the "start on the easy natural
+    * mix, end flat so tail sources get airtime late in training" schedule
+    * (the linear special case of temperature annealing τ: 1 → 0; a
+    * production run swaps the uniform endpoint for any target mix, e.g.
+    * [[mixDoremi]]'s). Emits (epoch, source, weight), epochs 0..3.
+    *
+    * Determinism: shares derive from integer token sums; the
+    * interpolation is one double expression per row, identical both
+    * engines. Scale: |sources| model rows crossed with an epochs-range
+    * literal — everything after the token-count aggregation is model
+    * state. */
+  def mixAnneal(s: SparkSession, dir: String, epochs: Int = 4): DataFrame = {
+    val perSrc = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("ns"))
+    val t = col("epoch").cast("double") / lit((epochs - 1).toDouble)
+    perSrc.crossJoin(broadcast(tot))
+      .crossJoin(s.range(epochs.toLong).toDF("epoch"))
+      .select(col("epoch"), col("source"),
+        (round((lit(1.0) - t) *
+            (col("n_tokens").cast("double") / col("tot").cast("double"))
+          + t * (lit(1.0) / col("ns").cast("double")), 6) + 0.0).as("weight"))
+      .orderBy(col("epoch"), col("source"))
+  }
+
+  val mixAnnealSql: String =
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+      |    CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM per_src
+      |)
+      |SELECT e.epoch, source,
+      |  ROUND((1.0 - CAST(e.epoch AS DOUBLE) / 3.0)
+      |      * (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+      |    + (CAST(e.epoch AS DOUBLE) / 3.0) * (1.0 / CAST(ns AS DOUBLE)), 6)
+      |    + 0.0 AS weight
+      |FROM per_src CROSS JOIN tot CROSS JOIN range(4) e(epoch)
+      |ORDER BY epoch, source""".stripMargin
+
   // --------------------------------------- temperature-scaled mixing
   /** Temperature sampling over source token shares — the multilingual /
     * multi-source rebalancing rule (share^τ / Σ share^τ): τ=1 keeps the
@@ -802,6 +851,7 @@ object SamplingOps {
     "mix_budget" -> ((s: SparkSession, d: String) => mixBudget(s, d)),
     "mix_epochs" -> ((s: SparkSession, d: String) => mixEpochs(s, d)),
     "mix_doremi" -> ((s: SparkSession, d: String) => mixDoremi(s, d)),
+    "mix_anneal" -> ((s: SparkSession, d: String) => mixAnneal(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -816,5 +866,6 @@ object SamplingOps {
     "mix_budget" -> mixBudgetSql,
     "mix_epochs" -> mixEpochsSql,
     "mix_doremi" -> mixDoremiSql,
+    "mix_anneal" -> mixAnnealSql,
   )
 }

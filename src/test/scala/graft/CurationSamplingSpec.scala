@@ -581,6 +581,61 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_quant_error: zero bound violations, consistent with a replay") {
+    val rows = EmbeddingOps.embQuantError(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(rows.map(_._2).sum == vecs.map(_._2.length.toLong).sum)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // plain-Scala replay of the shipped quantizer's per-label max error
+    val wantMax = vecs.groupBy(_._1).map { case (lab, g) =>
+      lab -> r6(g.flatMap { case (_, v) =>
+        val scale = v.map(math.abs).max / 127.0
+        if (scale == 0.0) v.map(math.abs)
+        else v.map(x => math.abs(x -
+          math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5))) * scale))
+      }.max)
+    }
+    rows.foreach { case (lab, _, mx, me, viol) =>
+      assert(viol == 0L,
+        s"label $lab: $viol elements exceed the scale/2 error bound")
+      assert(me <= mx + 1e-9 && me >= 0.0)
+      assert(mx == wantMax(lab), s"label $lab max err $mx != ${wantMax(lab)}")
+    }
+  }
+
+  test("mix_anneal interpolates natural → uniform, each epoch summing to 1") {
+    val rows = SamplingOps.mixAnneal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L, 3L))
+    val ns = rows.map(_._2).distinct.length
+    byEpoch.foreach { case (e, g) =>
+      assert(g.length == ns)
+      assert(math.abs(g.map(_._3).sum - 1.0) < ns * 5e-7, s"epoch $e sum")
+    }
+    // endpoints: epoch 0 == natural token shares, epoch 3 == uniform
+    val natural = SamplingOps.mixWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    byEpoch(0L).foreach { case (_, src, w) =>
+      assert(math.abs(w - natural(src)) <= 1e-6, s"$src epoch0 $w")
+    }
+    byEpoch(3L).foreach { case (_, src, w) =>
+      assert(math.abs(w - 1.0 / ns) <= 1e-6, s"$src epoch3 $w")
+    }
+    // the path is monotone: each source's weight moves one way only
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val ws = g.sortBy(_._1).map(_._3).toSeq
+      val diffs = ws.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      assert(diffs.forall(_ >= -1e-9) || diffs.forall(_ <= 1e-9),
+        s"$src weight path not monotone: $ws")
+    }
+  }
+
   test("emb_centroid_drift == plain-Scala split-half replay; drift is small") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "label", "embedding").collect()
