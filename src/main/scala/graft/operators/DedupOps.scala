@@ -1625,6 +1625,82 @@ object DedupOps {
       |FROM spans GROUP BY doc_id, span_id
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** The scrub step of passage-level decontamination: re-emit every TRAIN
+    * document with its [[ddSubstringContamination]] spans removed — the
+    * pass that turns the contamination REPORT into training-ready text
+    * (drop only the copied passage, keep the rest of the doc, instead of
+    * [[ddDecontaminate]]'s drop-the-whole-doc policy). Same cut contract
+    * as [[ddSubstringCut]]: n_removed = the doc's contaminated
+    * span_tokens sum; unflagged train docs pass through verbatim.
+    *
+    * Scale: the span table inherits the window-hash shape (eval side
+    * distinct + broadcastable); the cut is the doc-keyed span-list join +
+    * one partition-local higher-order projection. */
+  def ddDecontamCut(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spanList = ddSubstringContamination(s, dir, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    docs(s, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spanList, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("keep_idx", filter(sequence(lit(1), size(col("toks"))),
+        i => !exists(col("sp"),
+          x => x.getField("s") <= i && i <= x.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep_idx"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("keep_idx"), i => element_at(col("toks"), i)))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddDecontamCutSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), sites AS (
+      |  SELECT doc_id, source, unnest(range(1, len(t) - 6)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8
+      |), g AS (
+      |  SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+      |    array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM sites
+      |), evw AS (
+      |  SELECT DISTINCT g FROM g WHERE source = 'src0'
+      |), dup AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE source <> 'src0' AND g IN (SELECT g FROM evw)
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |      -1000000) >= 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM dup
+      |), spans AS (
+      |  SELECT doc_id, pos,
+      |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM flagged
+      |), span_tab AS (
+      |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(MAX(pos) + 7 AS BIGINT) AS e
+      |  FROM spans GROUP BY doc_id, span_id
+      |), span_list AS (
+      |  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      |  FROM span_tab GROUP BY doc_id
+      |), kept AS (
+      |  SELECT t.doc_id, t.t,
+      |    list_filter(range(1, len(t.t) + 1),
+      |      i -> sp IS NULL OR len(list_filter(sp, x -> x.s <= i AND i <= x.e)) = 0) AS keep_idx
+      |  FROM (SELECT doc_id, t FROM toks WHERE source <> 'src0') t
+      |  LEFT JOIN span_list USING (doc_id)
+      |)
+      |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(t) - len(keep_idx) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(list_transform(keep_idx, i -> t[i]), ' '), '') AS clean_text
+      |FROM kept ORDER BY doc_id""".stripMargin
+
   /** The cut step of exact-substring dedup: re-emit every document with
     * its duplicated spans removed (the training-ready output — what Lee et
     * al. actually train on). Contract ties to [[ddSubstringSpans]]:
@@ -2025,6 +2101,7 @@ object DedupOps {
     "pipe_dedup_cascade" -> (pipeDedupCascade _),
     "dd_incremental_sem" -> ((s: SparkSession, d: String) => ddIncrementalSem(s, d)),
     "dd_eval_exposure" -> (ddEvalExposure _),
+    "dd_decontam_cut" -> ((s: SparkSession, d: String) => ddDecontamCut(s, d)),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
@@ -2053,6 +2130,7 @@ object DedupOps {
     "pipe_dedup_cascade" -> pipeDedupCascadeSql,
     "dd_incremental_sem" -> ddIncrementalSemSql,
     "dd_eval_exposure" -> ddEvalExposureSql,
+    "dd_decontam_cut" -> ddDecontamCutSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,

@@ -1020,6 +1020,74 @@ object TextQueries {
        |  ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS doc_share
        |FROM grams GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20""".stripMargin
 
+  // ------------------------------------------ per-doc boilerplate share
+  /** Per-document boilerplate fraction: the share of a doc's 5-gram
+    * POSITIONS covered by the corpus's top-20 boilerplate census grams
+    * ([[txtBoilerplate]]) — the doc-level verdict that turns the census
+    * into a filter ("drop docs that are >X % navigation chrome", the
+    * CCNet/RefinedWeb boilerplate-document rule). Occurrence grain, not
+    * distinct: a doc that repeats one boilerplate phrase 50 times IS 50
+    * positions of boilerplate. Docs too short to 5-gram report 0/0 → 0.
+    *
+    * Scale: the census is a 20-row broadcast; the position probe is a
+    * map-side join on the gram string; counts are doc-keyed map-combined. */
+  def txtBoilerplateFrac(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val census = txtBoilerplate(s, dir).select(col("ngram").as("g"))
+    val counts = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("g"))
+      .join(broadcast(census.withColumn("b", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    docs(s, dir).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (round(when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)), 6) + 0.0).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtBoilerplateFracSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents
+       |), census AS (
+       |  SELECT ngram FROM (
+       |    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df FROM (
+       |      SELECT DISTINCT doc_id,
+       |        unnest(CASE WHEN len(t) >= 5
+       |          THEN list_transform(range(1, len(t) - 3),
+       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |          ELSE [] END) AS ngram
+       |      FROM toks)
+       |    GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20)
+       |), positions AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(t) >= 5
+       |      THEN list_transform(range(1, len(t) - 3),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |      ELSE [] END) AS g
+       |  FROM toks
+       |), counts AS (
+       |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN c.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_boiler
+       |  FROM positions p LEFT JOIN census c ON p.g = c.ngram
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  ROUND(CASE WHEN COALESCE(n_grams, 0) > 0
+       |    THEN CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    ELSE 0.0 END, 6) + 0.0 AS boiler_frac
+       |FROM documents d LEFT JOIN counts ON d.doc_id = counts.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ Gopher rule battery
   /** The Gopher quality-rule battery (Rae et al. 2021, App. A1.1) as
     * per-document rule flags plus the combined keep verdict — the
@@ -1330,6 +1398,7 @@ object TextQueries {
     "txt_curriculum" -> ((s: SparkSession, d: String) => txtCurriculum(s, d)),
     "txt_fertility" -> (txtFertility _),
     "txt_zipf" -> (txtZipf _),
+    "txt_boilerplate_frac" -> ((s: SparkSession, d: String) => txtBoilerplateFrac(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1353,5 +1422,6 @@ object TextQueries {
     "txt_curriculum" -> txtCurriculumSql,
     "txt_fertility" -> txtFertilitySql,
     "txt_zipf" -> txtZipfSql,
+    "txt_boilerplate_frac" -> txtBoilerplateFracSql,
   )
 }

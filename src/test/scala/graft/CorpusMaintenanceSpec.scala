@@ -409,6 +409,65 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       "decontamination cannot drop more than the flagged set")
   }
 
+  // ------------------------------------------------------ dd_decontam_cut
+  test("dd_decontam_cut removes exactly the contamination spans; rescan clean") {
+    val spans = DedupOps.ddSubstringContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val perDoc = spans.groupBy(_._1).map { case (id, g) => id -> g.map(_._2).sum }
+    val cut = DedupOps.ddDecontamCut(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val textOf = corpus.toMap
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut.map(_._1).toSet == srcOf.filter(_._2 != "src0").keySet)
+    cut.foreach { case (id, nTok, nRem, clean) =>
+      assert(nRem == perDoc.getOrElse(id, 0L),
+        s"doc $id removed $nRem != span sum ${perDoc.getOrElse(id, 0L)}")
+      if (nRem == 0)
+        assert(clean == textOf(id).trim.split("\\s+").mkString(" "),
+          s"untouched doc $id must pass through verbatim")
+      assert(clean.split("\\s+").count(_.nonEmpty) == nTok - nRem)
+    }
+    // completeness: the scrubbed corpus contains no eval 8-gram verbatim
+    val evalGrams = corpus.filter(p => srcOf(p._1) == "src0")
+      .flatMap { case (_, t) =>
+        t.trim.split("\\s+").sliding(8).filter(_.length == 8).map(_.mkString(" "))
+      }.toSet
+    cut.foreach { case (id, _, _, clean) =>
+      val toks = clean.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).foreach { g =>
+        assert(!evalGrams.contains(g), s"doc $id still carries eval gram '$g'")
+      }
+    }
+    assert(cut.exists(_._3 > 0), "planted contamination should force real cuts")
+  }
+
+  // --------------------------------------------------- txt_boilerplate_frac
+  test("txt_boilerplate_frac == plain-Scala census-position replay") {
+    def grams5(t: Array[String]): Seq[String] =
+      if (t.length < 5) Seq.empty
+      else t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+    val toksOf = corpus.map { case (id, t) => id -> t.trim.split("\\s+") }
+    val census = toksOf.flatMap { case (id, t) => grams5(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => (g, v.size.toLong) }
+      .toSeq.sortBy { case (g, df) => (-df, g) }.take(20).map(_._1).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = toksOf.map { case (id, t) =>
+      val ps = grams5(t)
+      val nb = ps.count(census)
+      (id, ps.size.toLong, nb.toLong,
+        if (ps.isEmpty) 0.0 else r6(nb.toDouble / ps.size) + 0.0)
+    }.toSet
+    val got = graft.operators.TextQueries.txtBoilerplateFrac(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(2)} spurious=${(got -- want).take(2)}")
+    assert(got.exists(_._4 > 0.0), "census grams must cover some positions")
+  }
+
   // --------------------------------------------------- dd_incremental_sem
   test("dd_incremental_sem == plain-Scala delta-vs-corpus nearest neighbor") {
     val vecs = Tables.load(spark, dir, "embeddings")
