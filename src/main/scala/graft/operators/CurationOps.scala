@@ -964,7 +964,44 @@ object CurationOps {
        |FROM a3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------ behavioral sequence build
+  /** Event-stream → training-sequence assembly: per user, the first
+    * `maxLen` events in (ts, event_id) order joined into one
+    * space-separated event-type string — the sequence-model data-prep
+    * step (next-event prediction / behavioral LM) that turns the raw
+    * event log into examples. Emits (user_id, n_events, seq_len, seq).
+    *
+    * Scale: the per-user rank filter sits directly on row_number so
+    * WindowGroupLimit caps each user at maxLen rows PER MAP TASK before
+    * the shuffle; the collect_list then aggregates BOUNDED (≤ maxLen)
+    * state per user — never a whole activity history. One user-keyed
+    * shuffle shared by the rank and the count. */
+  def evtSequences(s: SparkSession, dir: String, maxLen: Int = 32): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("seq"),
+        count(lit(1)).as("seq_len"))
+      .join(counts, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("seq_len"), col("seq"))
+      .orderBy(col("user_id"))
+  }
+
+  val evtSequencesSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(LEAST(COUNT(*), 32) AS BIGINT) AS seq_len,
+      |  array_to_string((list(event_type ORDER BY ts, event_id))[1:32], ' ') AS seq
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sequences" -> ((s: SparkSession, d: String) => evtSequences(s, d)),
     "txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
     "txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
     "txt_quality_cal" -> (txtQualityCal _),
@@ -982,6 +1019,7 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_sequences" -> evtSequencesSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

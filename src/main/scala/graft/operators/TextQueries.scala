@@ -1260,6 +1260,86 @@ object TextQueries {
        |FROM sh JOIN own USING (s)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  // --------------------------------------- novelty saturation curve
+  /** Data diminishing-returns curve: walk the corpus in doc_id order,
+    * split it into 10 equal slices, and report how many NEVER-SEEN-BEFORE
+    * shingles each slice contributes — the saturation curve behind "is
+    * more of this source still buying new content?" scaling decisions
+    * (a flattening curve says the source is mined out; [[txtNovelty]] is
+    * the per-doc grain of the same attribution). Emits
+    * (decile, n_docs, n_new_shingles, cum_new, cum_share).
+    *
+    * Scale: ownership = one hash-keyed min aggregation (the txtNovelty
+    * shuffle); the decile rollup and cumulative window run on 10 rows.
+    * The NTILE decile is a global single-reducer window — fine for the
+    * ID-dense driver corpus, but at 100 TB swap it for the
+    * [[SamplingOps.dsShuffle]] two-phase rank (or a doc_id range bucket
+    * when IDs are dense) — the curve itself is unchanged. */
+  def txtNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val deciles = docs(s, dir)
+      .select(col("doc_id"),
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))).cast("long").as("decile"))
+    val owner = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(shingles(col("toks"), 3), x => xxhash64(x)))).as("hs"))
+      .groupBy(col("hs")).agg(min(col("doc_id")).as("doc_id"))
+    val perDecile = deciles
+      .join(owner.groupBy(col("doc_id")).agg(count(lit(1)).as("n_owned")),
+        Seq("doc_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_owned")), lit(0L)).as("n_new_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = owner.agg(count(lit(1)).as("total"))
+    perDecile
+      .withColumn("cum_new", sum(col("n_new_shingles")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_docs"), col("n_new_shingles"),
+        col("cum_new"),
+        (round(col("cum_new").cast("double") / col("total").cast("double"), 6)
+          + 0.0).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val txtNoveltyCurveSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [] END) AS s
+       |  FROM toks
+       |), own AS (
+       |  SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s
+       |), owned AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_owned FROM own GROUP BY doc_id
+       |), dec AS (
+       |  SELECT doc_id,
+       |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile
+       |  FROM documents
+       |), per AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(n_owned), 0) AS BIGINT) AS n_new_shingles
+       |  FROM dec LEFT JOIN owned USING (doc_id)
+       |  GROUP BY decile
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM own
+       |)
+       |SELECT decile, n_docs, n_new_shingles,
+       |  CAST(SUM(n_new_shingles) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new,
+       |  ROUND(CAST(SUM(n_new_shingles) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(tot.total AS DOUBLE), 6) + 0.0 AS cum_share
+       |FROM per CROSS JOIN tot ORDER BY decile""".stripMargin
+
   // ------------------------------------------------ PII detect + redact
   /** PII detection and redaction — the privacy pass every training-data
     * pipeline runs before anything ships: count and mask emails, phone
@@ -1399,6 +1479,7 @@ object TextQueries {
     "txt_fertility" -> (txtFertility _),
     "txt_zipf" -> (txtZipf _),
     "txt_boilerplate_frac" -> ((s: SparkSession, d: String) => txtBoilerplateFrac(s, d)),
+    "txt_novelty_curve" -> (txtNoveltyCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1423,5 +1504,6 @@ object TextQueries {
     "txt_fertility" -> txtFertilitySql,
     "txt_zipf" -> txtZipfSql,
     "txt_boilerplate_frac" -> txtBoilerplateFracSql,
+    "txt_novelty_curve" -> txtNoveltyCurveSql,
   )
 }

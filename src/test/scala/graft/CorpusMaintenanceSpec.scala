@@ -409,6 +409,56 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       "decontamination cannot drop more than the flagged set")
   }
 
+  // ---------------------------------------------------- txt_novelty_curve
+  test("txt_novelty_curve is the decile rollup of per-doc novelty; saturates") {
+    val curve = graft.operators.TextQueries.txtNoveltyCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (1L to 10L))
+    assert(curve.map(_._2).sum == corpus.size)
+    // consistency with the per-doc attribution
+    val perDoc = graft.operators.TextQueries.txtNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sortedIds = corpus.map(_._1).sorted
+    val deciles = sortedIds.zipWithIndex.groupBy { case (_, i) =>
+      // NTILE(10): first (n mod 10) groups get ceil(n/10)
+      val n = sortedIds.size; val q = n / 10; val r = n % 10
+      if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
+    }
+    deciles.foreach { case (d, ids) =>
+      val want = ids.map(p => perDoc.getOrElse(p._1, 0L)).sum
+      val got = curve(d.toInt)._3
+      assert(got == want, s"decile ${d + 1}: $got != $want")
+    }
+    // cumulative closure: every shingle has exactly one owner
+    assert(curve.last._5 == 1.0, s"cum_share must close at 1.0: ${curve.last}")
+    assert(curve.map(_._4).toSeq == curve.map(_._3).scanLeft(0L)(_ + _).tail.toSeq)
+    // saturation: later slices contribute fewer new shingles than the first
+    assert(curve.head._3 > curve.last._3,
+      "an id-ordered walk must show diminishing novelty on this corpus")
+  }
+
+  // -------------------------------------------------------- evt_sequences
+  test("evt_sequences == plain-Scala ordered replay with the cap") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).map { case (u, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      (u, g.length.toLong, math.min(g.length, 32).toLong,
+        ordered.take(32).mkString(" "))
+    }.toSet
+    val got = graft.operators.CurationOps.evtSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(2)} spurious=${(got -- want).take(2)}")
+    got.foreach { case (u, n, sl, seq) =>
+      assert(sl == math.min(n, 32L) &&
+        seq.split(" ").length.toLong == sl, s"user $u")
+    }
+  }
+
   // ------------------------------------------------------ dd_decontam_cut
   test("dd_decontam_cut removes exactly the contamination spans; rescan clean") {
     val spans = DedupOps.ddSubstringContamination(spark, dir).collect()
