@@ -1000,8 +1000,111 @@ object CurationOps {
       |  array_to_string((list(event_type ORDER BY ts, event_id))[1:32], ' ') AS seq
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------- behavioral transition matrix
+  /** First-order Markov transition matrix over per-user event sequences:
+    * order each user's events by (ts, event_id), pair each event with its
+    * predecessor, and report per (prev_type, next_type) the transition
+    * count and conditional probability p(next|prev). The behavioral-data
+    * complement of [[evtSequences]] — the sequence assembly makes training
+    * examples, this makes the sanity report you read BEFORE training on
+    * them (degenerate corpora show near-diagonal or near-uniform rows).
+    *
+    * Scale: one user-keyed shuffle for the lag window (the same
+    * partitioning [[evtSequences]] uses — co-scheduled if both run); the
+    * pair counts map-combine to a |types|² frame, and the conditional
+    * normalization windows over THAT model-sized frame, not the event
+    * log. Nothing downstream of the first agg is corpus-sized. */
+  def evtTransitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        (round(col("n_trans").cast("double") /
+          sum(col("n_trans")).over(byPrev).cast("double"), 6) + 0.0).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val evtTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n_trans,
+      |  ROUND(CAST(n_trans AS DOUBLE)
+      |    / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+      |    + 0.0 AS p
+      |FROM pairs ORDER BY prev_type, next_type""".stripMargin
+
+  // ------------------------------------------- event-value outlier scan
+  /** Per-event-type z-score outliers over the `value` stream: events whose
+    * value sits more than `zThr` sample standard deviations from their
+    * type's mean — the instrumentation-bug / bot-burst screen run before
+    * behavioral sequences ([[evtSequences]]) are trusted as training data.
+    * Moments use the [[EmbeddingOps]] DECIMAL(30,15) discipline (exact,
+    * order-free) with the same degenerate guards (n=1 → sd=0 → no
+    * outliers; clamp the variance numerator at 0).
+    *
+    * Scale: ONE event-type-keyed shuffle; |types| is tiny so the windowed
+    * moments are effectively a broadcast model — at extreme per-type
+    * volume the same moments come from a map-combined groupBy + broadcast
+    * join, verdict arithmetic unchanged. */
+  def evtOutliers(s: SparkSession, dir: String, zThr: Double = 3.0): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val wt = Window.partitionBy(col("event_type"))
+    val dec = "decimal(30,15)"
+    e.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("s1", sum(col("value").cast(dec)).over(wt).cast("double"))
+      .withColumn("s2", sum((col("value") * col("value")).cast(dec)).over(wt)
+        .cast("double"))
+      .withColumn("n", count(lit(1)).over(wt).cast("double"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("sd", when(col("n") > 1.0,
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1.0), lit(0.0)))).otherwise(lit(0.0)))
+      .filter(col("sd") > 0.0 &&
+        abs((col("value") - col("m")) / col("sd")) > zThr)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (round((col("value") - col("m")) / col("sd"), 6) + 0.0).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val evtOutliersSql: String =
+    """WITH m AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,15)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(30,15)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+      |  FROM events
+      |), z AS (
+      |  SELECT event_id, event_type, value, s1 / n AS mn,
+      |    CASE WHEN n > 1.0 THEN
+      |      sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+      |    ELSE 0.0 END AS sd
+      |  FROM m
+      |)
+      |SELECT event_id, event_type, value,
+      |  ROUND((value - mn) / sd, 6) + 0.0 AS z
+      |FROM z
+      |WHERE sd > 0.0 AND ABS((value - mn) / sd) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sequences" -> ((s: SparkSession, d: String) => evtSequences(s, d)),
+    "evt_transitions" -> (evtTransitions _),
+    "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
     "txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
     "txt_quality_cal" -> (txtQualityCal _),
@@ -1020,6 +1123,8 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "evt_sequences" -> evtSequencesSql,
+    "evt_transitions" -> evtTransitionsSql,
+    "evt_outliers" -> evtOutliersSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

@@ -186,6 +186,70 @@ object DedupOps {
       |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------- asymmetric containment pairs
+  /** Shingle-containment near-dup pairs: `C(A→B) = |A∩B| / |A|` over the
+    * same df-capped discriminative 3-gram universe as [[ddNgramJaccard]].
+    * Containment is the dedup signal Jaccard structurally misses — a short
+    * doc pasted whole into a much longer one scores
+    * `J = |A|/|B| ≈ 0` but `C(A→B) ≈ 1` (quotes, boilerplate wrappers,
+    * aggregation pages); it's Broder's original resemblance/containment
+    * split, and production pipelines screen on BOTH. Emits both directions
+    * per unordered pair and keeps those where either direction ≥ `thr`.
+    *
+    * Scale: identical shape to [[ddNgramJaccard]] — the df cap bounds
+    * every shingle bucket, so candidate work is O(Σ df²) not O(n²); the
+    * containment report adds only arithmetic on the pair frame. */
+  def ddContainment(s: SparkSession, dir: String, dfCap: Int = 50,
+      thr: Double = 0.5): DataFrame = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        round(col("n_inter") / col("ca.n"), 6).as("cont_a_in_b"),
+        round(col("n_inter") / col("cb.n"), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= thr)
+      .localCheckpoint()
+    sh.unpersist()
+    pairs.orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+      |  ROUND(n_inter / ca.n, 6) AS cont_a_in_b,
+      |  ROUND(n_inter / cb.n, 6) AS cont_b_in_a
+      |FROM inter
+      |JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE GREATEST(ROUND(n_inter / ca.n, 6), ROUND(n_inter / cb.n, 6)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------- semantic delta-vs-corpus screen
   /** The SEMANTIC side of [[ddIncremental]]'s ingest asymmetry: each
     * arriving (delta) vector reports its nearest corpus neighbor and a
@@ -2104,6 +2168,7 @@ object DedupOps {
     "dd_decontam_cut" -> ((s: SparkSession, d: String) => ddDecontamCut(s, d)),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
+    "dd_containment" -> ((s: SparkSession, d: String) => ddContainment(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => ddMinHashLsh(s, d)),
     "dd_simhash" -> (ddSimHashDupCheck _),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
@@ -2133,6 +2198,7 @@ object DedupOps {
     "dd_decontam_cut" -> ddDecontamCutSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_minhash_lsh" -> ddMinHashLshSql,
     "dd_simhash" -> ddSimHashDupCheckSql,
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,

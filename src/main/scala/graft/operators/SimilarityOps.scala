@@ -1047,8 +1047,77 @@ object SimilarityOps {
     """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
       |WHERE FALSE""".stripMargin
 
+  // ---------------------------------------------- mutual-kNN graph stats
+  /** Mutual-kNN graph over the embedding corpus, blocked by label: within
+    * each label, every vector's top-`k` cosine neighbors form directed
+    * edges, and an edge is MUTUAL when both endpoints rank each other.
+    * Mutual-degree is the standard density/hubness diagnostic read before
+    * trusting a kNN graph for graph-based dedup or label propagation —
+    * low-mutuality vectors are hubs or outliers whose edges are
+    * one-sided. Emits (vec_id, label, n_knn, n_mutual).
+    *
+    * Scale: the pair join is label-blocked (Σ n_label² work, the
+    * [[DedupOps.ddEmbedCosine]] bound — at 100 TB the blocks come from a
+    * clustering pass instead of given labels, same shape); the top-k
+    * window partitions by source vector; the mutuality check joins the
+    * EDGE set (corpus × k rows) against its own reversal on (src, dst) —
+    * edge-sized, never pair-sized. */
+  def embKnnMutual(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        (VF.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+    val wk = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val edges = pairs
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("label"), col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("mut", lit(1L))
+    val report = edges
+      .join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_knn"),
+        sum(coalesce(col("mut"), lit(0L))).as("n_mutual"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    edges.unpersist()
+    report
+  }
+
+  val embKnnMutualSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+      |    list_dot_product(a.ve, b.ve)
+      |      / (sqrt(list_dot_product(a.ve, a.ve))
+      |         * sqrt(list_dot_product(b.ve, b.ve))) AS cos
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |), e AS (
+      |  SELECT label, src, dst FROM (
+      |    SELECT label, src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+      |    FROM p) WHERE rn <= 5
+      |), m AS (
+      |  SELECT e1.src, e1.dst FROM e e1 JOIN e e2
+      |    ON e1.src = e2.dst AND e1.dst = e2.src
+      |)
+      |SELECT e.src AS vec_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_knn,
+      |  CAST(COUNT(m.dst) AS BIGINT) AS n_mutual
+      |FROM e LEFT JOIN m ON e.src = m.src AND e.dst = m.dst
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
+    "emb_knn_mutual" -> ((s: SparkSession, d: String) => embKnnMutual(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     // annIvf's RAW-corpus output is deliberately not oracle-gated (no
     // honest oracle on an isotropic corpus — see its scaladoc); its
@@ -1073,6 +1142,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> bruteTopKSql,
+    "emb_knn_mutual" -> embKnnMutualSql,
     // sim_ann_lsh achieves full top-k recall on the driver corpus (2-bit
     // multi-probe × 8 tables), so the exact top-k IS its oracle — the
     // driver certifies ANN == brute end-to-end every round. Verified exact

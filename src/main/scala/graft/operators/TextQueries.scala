@@ -1457,6 +1457,177 @@ object TextQueries {
        |FROM scanned ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- per-source vocabulary KL drift
+  /** Per-source unigram-distribution divergence from the corpus:
+    * `KL(p_source ‖ p_corpus) = Σ_t p_s(t) · ln(p_s(t)/p_c(t))` over the
+    * lowercased token vocabulary. The source-homogeneity audit a mixture
+    * designer reads next to [[SamplingOps.mixWeights]]: a source whose
+    * vocabulary distribution sits far from the corpus (high KL) is the one
+    * whose up/down-weighting actually moves the trained model, and a KL
+    * near zero says the source is redundant with the mix. Always finite —
+    * every source token appears in the corpus by construction, so no
+    * smoothing is needed (p_c(t) > 0 whenever p_s(t) > 0).
+    *
+    * Per-term contributions are cast to DECIMAL(30,15) before the
+    * per-source sum (exact, order-free — the entropy/BM25/ppl discipline);
+    * ln evaluates per element identically on both engines.
+    *
+    * Scale: (source, term) counts map-combine; the corpus term frame is
+    * vocabulary-sized (term-keyed join, broadcastable when the vocab
+    * fits); source totals are a |sources|-row broadcast; one final
+    * source-keyed model-sized agg. Nothing after the first groupBy is
+    * corpus-sized. */
+  def txtSourceKl(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = st.groupBy(col("term")).agg(sum(col("n_st")).as("cf"))
+    val sTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("tot_s"))
+    val cTot = st.agg(sum(col("n_st")).as("tot_c"))
+    val ps = col("n_st").cast("double") / col("tot_s").cast("double")
+    val pc = col("cf").cast("double") / col("tot_c").cast("double")
+    val report = st
+      .join(ct, Seq("term"))
+      .join(broadcast(sTot), Seq("source"))
+      .crossJoin(broadcast(cTot))
+      .select(col("source"), col("tot_s"),
+        (ps * log(ps / pc)).cast("decimal(30,15)").as("c"))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_tokens"),
+        (round(sum(col("c")).cast("double"), 6) + 0.0).as("kl"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    st.unpersist()
+    report
+  }
+
+  val txtSourceKlSql: String =
+    """WITH terms AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), st AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st
+      |  FROM terms GROUP BY 1, 2
+      |), ct AS (
+      |  SELECT term, CAST(SUM(n_st) AS BIGINT) AS cf FROM st GROUP BY 1
+      |), stot AS (
+      |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS tot_s FROM st GROUP BY 1
+      |), ctot AS (
+      |  SELECT CAST(SUM(n_st) AS BIGINT) AS tot_c FROM st
+      |)
+      |SELECT st.source, MAX(tot_s) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(
+      |    (CAST(n_st AS DOUBLE) / CAST(tot_s AS DOUBLE))
+      |      * ln((CAST(n_st AS DOUBLE) / CAST(tot_s AS DOUBLE))
+      |          / (CAST(cf AS DOUBLE) / CAST(tot_c AS DOUBLE)))
+      |    AS DECIMAL(30,15))) AS DOUBLE), 6) + 0.0 AS kl
+      |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- winnowing fingerprints
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every k-token gram, slide a w-hash window, and in
+    * each window select the minimum hash — rightmost on ties — giving a
+    * position-robust fingerprint set with guaranteed density bounds
+    * (every match of length ≥ w+k−1 tokens shares a fingerprint, and
+    * expected density is 2/(w+1)). The local-fingerprint complement of
+    * [[txtFingerprint]]'s whole-doc hash and the CDC chunker's boundary
+    * trick, at sub-chunk grain. Emits per doc: gram count, selections
+    * (n_sel), distinct fingerprints (n_fp), and how many of those also
+    * appear in ANOTHER doc (n_fp_shared — the plagiarism/dup signal).
+    *
+    * The rightmost-tie rule rides inside the window min via a sortable
+    * key: `md5(gram) ++ lpad(10⁷ − pos)` — lexicographic min is (min
+    * hash, max pos); both engines compare the same ASCII. Docs with
+    * fewer than w grams have no full window and emit nothing, per the
+    * original formulation.
+    *
+    * Scale: grams are corpus-sized ×1 (no quadratic stage anywhere); ONE
+    * doc-keyed shuffle serves the window min, the full-window filter and
+    * the per-doc rollup; the fp-document-frequency frame is
+    * fingerprint-vocabulary-sized and joins on fp. */
+  def txtWinnowing(s: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokens() materializes through a projection boundary BEFORE the
+    // shingle transform: inlined, the regex split re-evaluates for every
+    // element_at inside the lambda (~3·grams per doc — measured 10× the
+    // whole operator's cost at sf0.1; the txtLangId r2 lesson again)
+    val grams = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(shingles(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("h"))
+    val key = concat(col("h"),
+      lpad((lit(10000000L) - col("pos")).cast("string"), 8, "0"))
+    // n_grams IS the max gram position (1-indexed, contiguous), already
+    // computed by the partition max the full-window filter needs — carry
+    // it through sel instead of re-traversing the gram subtree for a
+    // separate per-doc count
+    val sel = grams
+      .withColumn("sel", min(key).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)))
+      .withColumn("np", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("np") - (w - 1))
+      .select(col("doc_id"), col("np").as("n_grams"),
+        substring(col("sel"), 1, 32).as("fp"),
+        (lit(10000000L) - substring(col("sel"), 33, 8).cast("long")).as("fp_pos"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpDocs = sel.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    val report = sel
+      .join(fpDocs, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_sel"),
+        countDistinct(col("fp")).as("n_fp"),
+        countDistinct(when(col("n_docs") >= 2, col("fp"))).as("n_fp_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_sel"), col("n_fp"),
+        col("n_fp_shared"),
+        (round(col("n_sel") / (col("n_grams") - (w - 1)), 6) + 0.0).as("density"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    sel.unpersist()
+    report
+  }
+
+  val txtWinnowingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    md5(array_to_string(t[pos:pos+2], ' ')) AS h
+      |  FROM (SELECT doc_id, unnest(range(1, len(t) - 1)) AS pos, t
+      |        FROM toks WHERE len(t) >= 3)
+      |), keyd AS (
+      |  SELECT doc_id, pos,
+      |    h || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS kk
+      |  FROM g
+      |), win AS (
+      |  SELECT doc_id, pos,
+      |    MIN(kk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    MAX(pos) OVER (PARTITION BY doc_id) AS np
+      |  FROM keyd
+      |), sel AS (
+      |  SELECT DISTINCT doc_id, np AS n_grams, substr(sel, 1, 32) AS fp,
+      |    10000000 - CAST(substr(sel, 33, 8) AS BIGINT) AS fp_pos
+      |  FROM win WHERE pos <= np - 3
+      |), fpdocs AS (
+      |  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sel GROUP BY 1
+      |)
+      |SELECT s.doc_id, MAX(s.n_grams) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sel,
+      |  CAST(COUNT(DISTINCT s.fp) AS BIGINT) AS n_fp,
+      |  CAST(COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN s.fp END) AS BIGINT)
+      |    AS n_fp_shared,
+      |  ROUND(COUNT(*) / (MAX(s.n_grams) - 3), 6) + 0.0 AS density
+      |FROM sel s JOIN fpdocs USING (fp) GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1480,6 +1651,8 @@ object TextQueries {
     "txt_zipf" -> (txtZipf _),
     "txt_boilerplate_frac" -> ((s: SparkSession, d: String) => txtBoilerplateFrac(s, d)),
     "txt_novelty_curve" -> (txtNoveltyCurve _),
+    "txt_source_kl" -> ((s: SparkSession, d: String) => txtSourceKl(s, d)),
+    "txt_winnowing" -> ((s: SparkSession, d: String) => txtWinnowing(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1505,5 +1678,7 @@ object TextQueries {
     "txt_zipf" -> txtZipfSql,
     "txt_boilerplate_frac" -> txtBoilerplateFracSql,
     "txt_novelty_curve" -> txtNoveltyCurveSql,
+    "txt_source_kl" -> txtSourceKlSql,
+    "txt_winnowing" -> txtWinnowingSql,
   )
 }

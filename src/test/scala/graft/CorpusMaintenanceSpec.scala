@@ -652,4 +652,195 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       assert(sizes.max - sizes.min <= 1, s"$src: unbalanced buckets $sizes")
     }
   }
+
+  // ------------------------------------------------------ evt_transitions
+  test("evt_transitions == plain-Scala sequence replay; rows are distributions") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val pairCounts = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = graft.operators.CurationOps.evtTransitions(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(got.map(p => p._1 -> p._2).toMap == pairCounts,
+      "transition counts must equal the per-user ordered replay")
+    // each prev row is a probability distribution (rounded-sum tolerance)
+    got.groupBy(_._1._1).foreach { case (prev, g) =>
+      val tot = g.map(_._2).sum.toDouble
+      g.foreach { case ((_, nxt), n, p) =>
+        assert(math.abs(p - BigDecimal(n / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"p($nxt|$prev)")
+      }
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-4, s"row $prev must sum to ~1")
+    }
+  }
+
+  // -------------------------------------------------------- txt_source_kl
+  test("txt_source_kl == plain-Scala KL over lowercased tokens; KL >= 0") {
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bysrc = corpus.toSeq
+      .flatMap { case (id, t) =>
+        t.trim.toLowerCase.split("\\s+").map(tok => (srcOf(id), tok))
+      }
+    val stC = bysrc.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val cfC = bysrc.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val totS = bysrc.groupBy(_._1).map { case (s0, xs) => s0 -> xs.size.toLong }
+    val totC = bysrc.size.toDouble
+    val want = stC.groupBy(_._1._1).map { case (s0, g) =>
+      // DECIMAL-exact order-free sum, mirrored with BigDecimal
+      val kl = g.toSeq.map { case ((_, t), n) =>
+        val ps = n.toDouble / totS(s0).toDouble
+        val pc = cfC(t).toDouble / totC
+        BigDecimal(ps * math.log(ps / pc)).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s0 -> (totS(s0),
+        BigDecimal(kl.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.TextQueries.txtSourceKl(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s0, (n, kl)) =>
+      assert(got(s0)._1 == n, s"$s0 token total")
+      assert(math.abs(got(s0)._2 - kl) < 1e-6, s"$s0 kl: ${got(s0)._2} != $kl")
+      assert(got(s0)._2 >= 0.0, s"KL($s0) must be non-negative")
+    }
+  }
+
+  // ------------------------------------------------------- dd_containment
+  test("dd_containment == plain-Scala containment over df-capped shingles") {
+    def sh3(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.map { case (id, t) => id -> sh3(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val disc = all.map { case (id, g) => id -> g.filter(df(_) <= 50) }
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, ga) <- disc.toSeq; (b, gb) <- disc.toSeq if a < b
+      i = (ga intersect gb).size if i > 0
+      ca = BigDecimal(i.toDouble / ga.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(i.toDouble / gb.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.5
+    } yield (a, b, i.toLong, ga.size.toLong, gb.size.toLong, ca, cb)).toSet
+    val got = DedupOps.ddContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the asymmetry law: containment of the smaller side always >= jaccard
+    got.foreach { case (a, b, i, na, nb, ca, cb) =>
+      val j = i.toDouble / (na + nb - i)
+      assert(math.max(ca, cb) >= j - 1e-9, s"pair ($a,$b)")
+    }
+  }
+
+  // ------------------------------------------------------- txt_winnowing
+  test("txt_winnowing == plain-Scala MOSS winnowing (rightmost-min rule)") {
+    val (k, w) = (3, 4)
+    val perDoc = corpus.map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val grams = if (toks.length < k) Array.empty[String]
+        else toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+      val hs = grams.map(md5hex)
+      // windows of w hashes; select min hash, rightmost position on ties
+      val sels = hs.indices.dropRight(w - 1).map { i =>
+        val win = (i until i + w).map(p => (hs(p), p))
+        win.minBy { case (h, p) => (h, -p) }
+      }.toSet
+      id -> (grams.length.toLong, sels)
+    }.toMap
+    val fpOwners = perDoc.toSeq
+      .flatMap { case (id, (_, sels)) => sels.map(_._1).toSet.map((f: String) => (f, id)) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet.size }
+    val want = perDoc.collect { case (id, (ng, sels)) if sels.nonEmpty =>
+      val fps = sels.map(_._1)
+      (id, ng, sels.size.toLong, fps.size.toLong,
+        fps.count(f => fpOwners(f) >= 2).toLong,
+        BigDecimal(sels.size.toDouble / (ng - (w - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.TextQueries.txtWinnowing(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // density bound: selections per window position cannot exceed 1, and
+    // the winnowing guarantee keeps density well above 1/w on real text
+    got.foreach { case (id, ng, nSel, nFp, _, _) =>
+      assert(nSel <= ng - (w - 1), s"doc $id selects more than its windows")
+      assert(nFp <= nSel, s"doc $id distinct fps exceed selections")
+    }
+  }
+
+  // ------------------------------------------------------- emb_knn_mutual
+  test("emb_knn_mutual == plain-Scala label-blocked kNN + mutuality") {
+    val k = 5
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val edges = vecs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.flatMap { case (src, lab, va) =>
+        g.filter(_._1 != src)
+          .map { case (dst, _, vb) => (dst, cos(va, vb)) }
+          .sortBy { case (dst, c) => (-c, dst) }.take(k)
+          .map { case (dst, _) => (src, lab, dst) }
+      }
+    }
+    val eset = edges.map { case (s0, _, d0) => (s0, d0) }.toSet
+    val want = edges.groupBy(e => (e._1, e._2)).map { case ((s0, lab), g) =>
+      (s0, lab, g.size.toLong,
+        g.count { case (_, _, d0) => eset.contains((d0, s0)) }.toLong)
+    }.toSet
+    val got = graft.operators.SimilarityOps.embKnnMutual(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // structural laws: degree ≤ k; mutual ≤ degree; mutual edges symmetric
+    got.foreach { case (id, _, nk, nm) =>
+      assert(nk <= k && nm <= nk, s"vec $id")
+    }
+  }
+
+  // --------------------------------------------------------- evt_outliers
+  test("evt_outliers == plain-Scala per-type z-score replay") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = evs.groupBy(_._2).toSeq.flatMap { case (typ, g) =>
+      val n = g.length.toDouble
+      // mirror the DECIMAL(30,15) order-free sums with BigDecimal
+      val s1 = g.map(e => BigDecimal(e._3)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s2 = g.map(e => BigDecimal(e._3 * e._3)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val m = s1 / n
+      val sd = if (n > 1.0) math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1.0), 0.0)) else 0.0
+      if (sd <= 0.0) Seq.empty
+      else g.filter(e => math.abs((e._3 - m) / sd) > 3.0)
+        .map(e => (e._1, typ, e._3,
+          BigDecimal((e._3 - m) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSet
+    val got = graft.operators.CurationOps.evtOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    got.foreach { case (id, _, _, z) =>
+      assert(math.abs(z) > 3.0 - 1e-6, s"event $id z=$z under threshold") }
+  }
 }
