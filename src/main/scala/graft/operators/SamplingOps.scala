@@ -839,8 +839,48 @@ object SamplingOps {
       |    AS BIGINT) AS shuffle_rank
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- soft-dedup weighting
+  /** Soft deduplication: keep every copy but weight each document by the
+    * inverse of its exact-duplicate multiplicity (`1/n_copies` over the
+    * [[graft.functions.TextFunctions.fingerprint]] groups) — the
+    * repetition-aware loss-weighting alternative to hard dropping, so a
+    * doc duplicated 10× contributes the same expected gradient mass as a
+    * unique one. Emits per doc the multiplicity, the weight, and the
+    * effective (weight-scaled) token count the epoch planner sums.
+    *
+    * Scale: ONE fingerprint-keyed shuffle (a window count over the fp
+    * partition — no join back); everything else is map-side arithmetic. */
+  def sampSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val wfp = Window.partitionBy(col("fp"))
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("n_copies", count(lit(1)).over(wfp))
+      .select(col("doc_id"), col("n_copies"), col("n_tokens"),
+        (round(lit(1.0) / col("n_copies"), 6) + 0.0).as("weight"),
+        (round(col("n_tokens") / col("n_copies"), 6) + 0.0).as("eff_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampSoftDedupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+      |  FROM f
+      |)
+      |SELECT doc_id, n_copies, n_tokens,
+      |  ROUND(CAST(1.0 AS DOUBLE) / n_copies, 6) + 0.0 AS weight,
+      |  ROUND(n_tokens / n_copies, 6) + 0.0 AS eff_tokens
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_shuffle" -> ((s: SparkSession, d: String) => dsShuffle(s, d)),
+    "samp_softdedup" -> (sampSoftDedup _),
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
@@ -856,6 +896,7 @@ object SamplingOps {
 
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
+    "samp_softdedup" -> sampSoftDedupSql,
     "samp_stratified" -> sampStratifiedSql,
     "samp_fixed" -> sampFixedSql,
     "samp_weighted" -> sampWeightedSql,

@@ -1628,6 +1628,53 @@ object TextQueries {
       |FROM sel s JOIN fpdocs USING (fp) GROUP BY 1
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- language-ID confidence
+  /** Per-document language-ID confidence margin: the marker-score argmax
+    * ([[txtLangId]]'s model) plus how far the winner sits above the
+    * runner-up. Margin 0 with a nonzero top score = a genuine tie
+    * (mixed-language or template text); top score 0 = no evidence at all
+    * ('und'). Real pipelines threshold on exactly this signal before
+    * trusting a language route — fastText's confidence gap at this call
+    * site. Integer arithmetic end to end; one map pass.
+    *
+    * Scores materialize through a projection boundary, then the top-2 come
+    * from ONE sort_array over the score vector (the argmax itself reuses
+    * [[langIdFromScores]]' fixed priority order so the prediction is
+    * IDENTICAL to txt_langid's, tie behavior included). */
+  def txtLangIdMargin(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id") +:
+      LangMarkers.map { case (lang, m) => markerCount(col("text"), m).as(s"s_$lang") }: _*)
+    val pred = langIdFromScores(LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") })
+    val desc = sort_array(array(LangMarkers.map { case (lang, _) => col(s"s_$lang") }: _*),
+      asc = false)
+    scored.select(col("doc_id"), pred.as("lang_pred"),
+      desc.getItem(0).as("top_score"),
+      desc.getItem(1).as("second_score"),
+      (desc.getItem(0) - desc.getItem(1)).as("margin"),
+      when(desc.getItem(0) === 0 || desc.getItem(0) === desc.getItem(1), 1L)
+        .otherwise(0L).as("ambiguous"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtLangIdMarginSql: String = {
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      lang -> duckStopCount(duckToks, markers)
+    }
+    val best = s"GREATEST(${scoreExprs.map(_._2).mkString(", ")})"
+    val cases = scoreExprs.map { case (lang, sc) =>
+      s"WHEN $sc > 0 AND $sc = $best THEN '$lang'"
+    }.mkString(" ")
+    val lst = s"list_reverse(list_sort([${scoreExprs.map("CAST(" + _._2 + " AS BIGINT)").mkString(", ")}]))"
+    s"""SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS lang_pred,
+       |  $lst[1] AS top_score,
+       |  $lst[2] AS second_score,
+       |  $lst[1] - $lst[2] AS margin,
+       |  CAST(CASE WHEN $lst[1] = 0 OR $lst[1] = $lst[2] THEN 1 ELSE 0 END
+       |    AS BIGINT) AS ambiguous
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1653,6 +1700,7 @@ object TextQueries {
     "txt_novelty_curve" -> (txtNoveltyCurve _),
     "txt_source_kl" -> ((s: SparkSession, d: String) => txtSourceKl(s, d)),
     "txt_winnowing" -> ((s: SparkSession, d: String) => txtWinnowing(s, d)),
+    "txt_langid_margin" -> (txtLangIdMargin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1680,5 +1728,6 @@ object TextQueries {
     "txt_novelty_curve" -> txtNoveltyCurveSql,
     "txt_source_kl" -> txtSourceKlSql,
     "txt_winnowing" -> txtWinnowingSql,
+    "txt_langid_margin" -> txtLangIdMarginSql,
   )
 }

@@ -719,4 +719,40 @@ object StreamOps {
         when(col("exact_id").isNotNull, "exact").otherwise("new").as("verdict"),
         col("exact_id").as("match_id"))
   }
+
+  case class TransPair(prev_type: String, next_type: String)
+  case class TransState(events: List[(Long, Long, String)])
+  case class TransSnapshot(user_id: Long, pairs: Seq[TransPair])
+
+  /** Streaming twin of [[graft.operators.CurationOps.evtTransitions]]:
+    * per-user event-sequence state re-emits the user's full ordered
+    * transition-pair list on every arrival (update mode); the global
+    * transition matrix is the pair rollup of each user's LAST snapshot —
+    * StreamingSpec asserts that rollup equals the batch matrix count for
+    * count. Same snapshot-state shape as [[streamingSessionize]] (and the
+    * same honesty note: state carries the user's history because events
+    * may arrive across micro-batches in any order; a production deployment
+    * bounds it with the [[streamingNearDupTtl]] watermark-eviction
+    * pattern once sequences are assembly-complete). */
+  def streamingTransitions(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[TransSnapshot] = {
+    import spark.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TransState, TransSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TransState]) =>
+          val evs = (state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(r => (r._2, r._3, r._4))).distinct
+          state.update(TransState(evs))
+          val ordered = evs.sortBy(e => (e._1, e._2)).map(_._3)
+          TransSnapshot(uid, ordered.zip(ordered.drop(1)).map {
+            case (p, n) => TransPair(p, n)
+          })
+      }
+  }
 }

@@ -789,4 +789,64 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3,
       f"JL norm-preservation broken: mean ratio $mean%.3f over ${ratios.length} vecs")
   }
+
+  // ----------------------------------------------------- txt_langid_margin
+  test("txt_langid_margin == plain-Scala marker replay; pred matches txt_langid") {
+    import graft.functions.TextFunctions.LangMarkers
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = corpus.map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val scores = LangMarkers.map { case (lang, m) =>
+        lang -> toks.count(m.contains).toLong
+      }
+      val best = scores.map(_._2).max
+      val pred = scores.find { case (_, sc) => sc > 0 && sc == best }
+        .map(_._1).getOrElse("und")
+      val desc = scores.map(_._2).sorted.reverse
+      (id, pred, desc(0), desc(1), desc(0) - desc(1),
+        if (desc(0) == 0 || desc(0) == desc(1)) 1L else 0L)
+    }.toSet
+    val got = graft.operators.TextQueries.txtLangIdMargin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the per-doc argmax must roll up to txt_langid's distribution exactly
+    val dist = got.toSeq.groupBy(_._2).map { case (l, g) => l -> g.size.toLong }
+    val langid = graft.operators.TextQueries.txtLangId(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == langid, s"$dist != $langid")
+    // an ambiguous doc never has a positive margin
+    got.foreach { case (id, _, _, _, m, amb) =>
+      assert((amb == 1L) == (m == 0L), s"doc $id margin=$m amb=$amb") }
+  }
+
+  // ------------------------------------------------------- samp_softdedup
+  test("samp_softdedup weights: group mass ~1, multiplicities match dd_exact") {
+    val rows = SamplingOps.sampSoftDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == nDocs)
+    // multiplicities agree with the exact-dedup group sizes
+    val copies = graft.operators.DedupOps.ddExact(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_doc_id -> n_copies
+    val bySize = rows.groupBy(_._2).map { case (n, g) => n -> g.size.toLong }
+    val wantBySize = copies.values.groupBy(identity)
+      .map { case (n, g) => n -> n * g.size } // n docs per group of size n
+    assert(bySize == wantBySize, s"$bySize != $wantBySize")
+    rows.foreach { case (id, n, tok, w, eff) =>
+      assert(math.abs(w - BigDecimal(1.0 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"doc $id")
+      assert(math.abs(eff - BigDecimal(tok.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"doc $id eff")
+    }
+    // soft-dedup's point: every duplicate group contributes ~unit mass
+    rows.groupBy(_._2).foreach { case (n, g) =>
+      // groups of size n appear g.size/n times; total weight = g.size/n
+      val mass = g.map(_._4).sum
+      assert(math.abs(mass - g.size.toDouble / n) < 1e-3, s"size-$n mass")
+    }
+  }
 }

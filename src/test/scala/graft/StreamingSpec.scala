@@ -347,6 +347,22 @@ class StreamingSpec extends AnyFunSuite {
       "testdata should contain multi-event sessions")
   }
 
+  test("streaming transitions converge to the batch transition matrix") {
+    val streamed = runToCompletion(
+      StreamOps.streamingTransitions(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)).toDF(),
+      "update", "trans_out")
+    val table = lastPerUser(streamed)
+      .select(explode(col("pairs")).as("p"))
+      .groupBy(col("p.prev_type").as("prev_type"),
+        col("p.next_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val batch = graft.operators.CurationOps.evtTransitions(spark, dir)
+      .select(col("prev_type"), col("next_type"), col("n_trans"))
+    assert(canon(table) == canon(batch))
+    assert(table.count() > 0, "testdata should produce transitions")
+  }
+
   test("streaming substring cut == batch cut doc-for-doc (stateless append)") {
     // sketch over the corpus's duplicated windows, as the batch side builds
     // it; stream the same docs through multiple micro-batches. Sketch is
