@@ -782,6 +782,73 @@ object DedupOps {
       |    / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------- cosine threshold-sweep report
+  /** Near-dup threshold sweep: for each candidate cosine threshold, how
+    * many pairs and how many distinct vectors the semantic-dedup pass
+    * would touch — the report a pipeline owner reads to PICK the
+    * [[ddEmbeddingCosine]]/[[ddSemDedup]] threshold (the SemDeDup paper's
+    * dedup-fraction-vs-epsilon curve). Thresholds with zero pairs still
+    * emit (the sweep's whole point is seeing where the curve dies).
+    *
+    * Scale: ONE block-pair scan at the loosest threshold ([[
+    * embeddingCosinePairs]]'s bounded shape); the sweep itself is
+    * arithmetic on the pair graph — explode ×|thrs| then model-sized
+    * aggs. Nothing recomputes the n² work per threshold. */
+  def ddCosThresholds(s: SparkSession, dir: String,
+      thrs: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)): DataFrame = {
+    val pairs = embeddingCosinePairs(s, dir, threshold = thrs.min)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byThr = pairs
+      .select(explode(array(thrs.map(lit): _*)).as("thr"),
+        col("id_a"), col("id_b"), col("cos"))
+      .filter(col("cos") >= col("thr"))
+    val np = byThr.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+    val nv = byThr
+      .select(col("thr"), explode(array(col("id_a"), col("id_b"))).as("v"))
+      .distinct()
+      .groupBy(col("thr")).agg(count(lit(1)).as("n_vecs"))
+    val thrDf = s.range(1)
+      .select(explode(array(thrs.map(lit): _*)).as("thr"))
+    val report = thrDf
+      .join(np, Seq("thr"), "left")
+      .join(nv, Seq("thr"), "left")
+      .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy(col("thr"))
+      .localCheckpoint()
+    pairs.unpersist()
+    report
+  }
+
+  val ddCosThresholdsSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.ve, b.ve)
+      |      / (sqrt(list_dot_product(a.ve, a.ve))
+      |         * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.ve, b.ve)
+      |      / (sqrt(list_dot_product(a.ve, a.ve))
+      |         * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.2
+      |), t AS (
+      |  SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.7, 0.9]) AS thr
+      |), f AS (
+      |  SELECT thr, id_a, id_b FROM t JOIN p ON cos >= thr
+      |), np AS (
+      |  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1
+      |), nv AS (
+      |  SELECT thr, CAST(COUNT(DISTINCT vv) AS BIGINT) AS n_vecs FROM (
+      |    SELECT thr, id_a AS vv FROM f
+      |    UNION SELECT thr, id_b AS vv FROM f) GROUP BY 1
+      |)
+      |SELECT t.thr, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs
+      |FROM t LEFT JOIN np USING (thr) LEFT JOIN nv USING (thr)
+      |ORDER BY thr""".stripMargin
+
   // ---------------------------------------------------- decontamination
   /** Benchmark decontamination: flag training documents sharing ≥ `minShared`
     * discriminative 3-gram shingles with any eval-set document (the overlap
@@ -2173,6 +2240,7 @@ object DedupOps {
     "dd_simhash" -> (ddSimHashDupCheck _),
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
+    "dd_cos_thresholds" -> ((s: SparkSession, d: String) => ddCosThresholds(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2203,6 +2271,7 @@ object DedupOps {
     "dd_simhash" -> ddSimHashDupCheckSql,
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
+    "dd_cos_thresholds" -> ddCosThresholdsSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

@@ -1675,6 +1675,69 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- vocabulary coverage
+  /** Token coverage by the top-`k` vocabulary types, for a ladder of
+    * budgets: what share of all corpus token OCCURRENCES the k most
+    * frequent types capture — the tokenizer/vocab budget-planning curve
+    * (a 50k-type budget covering 97% of tokens means 3% of the stream
+    * falls to byte-fallback). Ties on count break by term so the cut is
+    * engine-independent. Emits (k, n_types, covered_tokens, total_tokens,
+    * coverage).
+    *
+    * Scale: term counts map-combine; the rank window runs over the
+    * VOCABULARY frame (the txt_vocab precedent — vocabulary-sized, not
+    * corpus-sized; two-phase rank is the swap-in if a vocab ever
+    * outgrows one reducer); the k-ladder explode multiplies the vocab
+    * frame by |ks|, then everything is model-sized. */
+  def txtVocabCoverage(s: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cf").desc, col("term"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = uni.agg(sum(col("cf")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val report = uni
+      .select(explode(array(ks.map(lit): _*)).as("k"), col("r"), col("cf"))
+      .filter(col("r") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cf")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("n_types"),
+        col("covered_tokens"), col("total_tokens"),
+        (round(col("covered_tokens") / col("total_tokens"), 6) + 0.0)
+          .as("coverage"))
+      .orderBy(col("k"))
+      .localCheckpoint()
+    uni.unpersist()
+    report
+  }
+
+  val txtVocabCoverageSql: String =
+    """WITH terms AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), uni AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM terms GROUP BY 1
+      |), ranked AS (
+      |  SELECT term, cf,
+      |    ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS r
+      |  FROM uni
+      |), tot AS (
+      |  SELECT CAST(SUM(cf) AS BIGINT) AS total_tokens FROM uni
+      |), ks AS (
+      |  SELECT unnest([10, 100, 1000, 10000]) AS k
+      |)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(cf) AS BIGINT) AS covered_tokens,
+      |  MAX(total_tokens) AS total_tokens,
+      |  ROUND(SUM(cf) / MAX(total_tokens), 6) + 0.0 AS coverage
+      |FROM ks JOIN ranked ON r <= k CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1701,6 +1764,7 @@ object TextQueries {
     "txt_source_kl" -> ((s: SparkSession, d: String) => txtSourceKl(s, d)),
     "txt_winnowing" -> ((s: SparkSession, d: String) => txtWinnowing(s, d)),
     "txt_langid_margin" -> (txtLangIdMargin _),
+    "txt_vocab_coverage" -> ((s: SparkSession, d: String) => txtVocabCoverage(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1729,5 +1793,6 @@ object TextQueries {
     "txt_source_kl" -> txtSourceKlSql,
     "txt_winnowing" -> txtWinnowingSql,
     "txt_langid_margin" -> txtLangIdMarginSql,
+    "txt_vocab_coverage" -> txtVocabCoverageSql,
   )
 }

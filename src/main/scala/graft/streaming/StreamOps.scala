@@ -720,6 +720,44 @@ object StreamOps {
         col("exact_id").as("match_id"))
   }
 
+  case class SoftDoc(doc_id: Long, n_copies: Long, weight: Double,
+    eff_tokens: Double)
+  case class SoftState(members: List[(Long, Long)])
+  case class SoftGroup(fp: String, docs: Seq[SoftDoc])
+
+  /** Streaming twin of [[graft.operators.SamplingOps.sampSoftDedup]]:
+    * fingerprint-keyed state accumulates the duplicate group's members and
+    * re-emits the WHOLE group with refreshed 1/n weights on every arrival
+    * — soft-dedup's weights are retroactive (an 11th copy changes the
+    * other ten), so a per-doc append emission would ship stale weights by
+    * construction; the snapshot emission is the honest streaming form.
+    * State is bounded by the duplicate-group size (tiny in a deduped-ish
+    * corpus; the pathological all-identical corpus degrades to one group
+    * holding everything, the same worst case the batch window has). */
+  def streamingSoftDedup(docs: DataFrame)(
+      implicit spark: SparkSession): Dataset[SoftGroup] = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    import spark.implicits._
+    docs
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SoftState, SoftGroup](GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[SoftState]) =>
+          val members = (state.getOption.map(_.members).getOrElse(Nil) ++
+            rows.map(r => (r._2, r._3))).distinct
+          state.update(SoftState(members))
+          val n = members.size.toLong
+          def r6(x: Double): Double = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+          SoftGroup(fp, members.sortBy(_._1).map { case (id, tok) =>
+            SoftDoc(id, n, r6(1.0 / n), r6(tok.toDouble / n))
+          })
+      }
+  }
+
   case class TransPair(prev_type: String, next_type: String)
   case class TransState(events: List[(Long, Long, String)])
   case class TransSnapshot(user_id: Long, pairs: Seq[TransPair])

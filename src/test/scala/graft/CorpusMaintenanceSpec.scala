@@ -843,4 +843,40 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     got.foreach { case (id, _, _, z) =>
       assert(math.abs(z) > 3.0 - 1e-6, s"event $id z=$z under threshold") }
   }
+
+  // ---------------------------------------------------- dd_cos_thresholds
+  test("dd_cos_thresholds == plain-Scala sweep; monotone; consistent with dd_embed_cosine") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      c = BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.2
+    } yield (a, b, c)
+    val thrs = Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)
+    val want = thrs.map { t =>
+      val f = pairs.filter(_._3 >= t)
+      (t, f.size.toLong,
+        f.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }.toSet
+    val got = DedupOps.ddCosThresholds(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // curve laws: both counts non-increasing in threshold
+    val curve = got.toSeq.sortBy(_._1)
+    curve.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3, s"non-monotone at ${w(1)._1}")
+    }
+    // the 0.4 row must price exactly the dd_embed_cosine pair set
+    val at04 = curve.find(_._1 == 0.4).get
+    assert(at04._2 == DedupOps.ddEmbeddingCosine(spark, dir).count(),
+      "0.4 sweep row != dd_embed_cosine pair count")
+  }
 }

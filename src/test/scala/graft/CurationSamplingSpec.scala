@@ -849,4 +849,34 @@ class CurationSamplingSpec extends AnyFunSuite {
       assert(math.abs(mass - g.size.toDouble / n) < 1e-3, s"size-$n mass")
     }
   }
+
+  // ---------------------------------------------------- txt_vocab_coverage
+  test("txt_vocab_coverage == plain-Scala ranked-coverage replay; curve laws") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).toSeq
+    val cf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = toks.size.toLong
+    val ks = Seq(10, 100, 1000, 10000)
+    val want = ks.map { k =>
+      val top = ranked.take(k)
+      val cov = top.map(_._2).sum
+      (k.toLong, top.size.toLong, cov, total,
+        BigDecimal(cov.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.TextQueries.txtVocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // curve laws: coverage non-decreasing in k; closes at 1.0 once k >= vocab
+    val curve = got.toSeq.sortBy(_._1)
+    curve.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0)._5 <= w(1)._5 + 1e-12, s"coverage dips at k=${w(1)._1}") }
+    curve.foreach(r => assert(r._2 == r._1.min(cf.size.toLong),
+      s"n_types at k=${r._1} must be min(k, vocab)"))
+    if (cf.size <= ks.max) assert(curve.last._5 == 1.0, "full-vocab coverage must close at 1.0")
+  }
 }

@@ -363,6 +363,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.count() > 0, "testdata should produce transitions")
   }
 
+  test("streaming soft-dedup snapshots converge to the batch weights") {
+    val d = Tables.load(spark, dir, "documents")
+    val sdDir = Files.createTempDirectory("graft-softdedup").toString
+    d.repartition(4).write.mode("overwrite").parquet(sdDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingSoftDedup(
+        StreamOps.readParquetStream(spark, sdDir, d.schema)).toDF(),
+      "update", "softdedup_out")
+    // last snapshot per fingerprint group, flattened to doc rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("emit_order").desc)
+    val table = streamed.withColumn("emit_order", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(explode(col("docs")).as("d"))
+      .select(col("d.doc_id"), col("d.n_copies"), col("d.weight"),
+        col("d.eff_tokens"))
+    val batch = graft.operators.SamplingOps.sampSoftDedup(spark, dir)
+      .select(col("doc_id"), col("n_copies"), col("weight"), col("eff_tokens"))
+    assert(canon(table) == canon(batch))
+    assert(table.count() == Tables.load(spark, dir, "documents").count())
+  }
+
   test("streaming substring cut == batch cut doc-for-doc (stateless append)") {
     // sketch over the corpus's duplicated windows, as the batch side builds
     // it; stream the same docs through multiple micro-batches. Sketch is
