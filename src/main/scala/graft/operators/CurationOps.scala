@@ -1101,10 +1101,46 @@ object CurationOps {
       |WHERE sd > 0.0 AND ABS((value - mn) / sd) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------- hourly activity profile
+  /** Hour-of-day activity profile per event type: event counts and
+    * within-type share for each UTC hour — the bot/batch-job screen on
+    * behavioral data (organic traffic has a diurnal curve; a near-uniform
+    * or single-spike hourly profile flags machine traffic whose sequences
+    * [[evtSequences]] should not treat as human examples). Sessions run
+    * in UTC so `hour(ts)` is engine-portable.
+    *
+    * Scale: one map pass + a (type, hour)-keyed map-combined count; the
+    * share normalizes over the ≤ 24·|types| model frame. */
+  def evtHourlyProfile(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+      .groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hh"), col("n_events"),
+        (round(col("n_events").cast("double") /
+          sum(col("n_events")).over(byType).cast("double"), 6) + 0.0)
+          .as("share"))
+      .orderBy(col("event_type"), col("hh"))
+  }
+
+  val evtHourlyProfileSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, hh, n_events,
+      |  ROUND(CAST(n_events AS DOUBLE)
+      |    / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+      |    + 0.0 AS share
+      |FROM c ORDER BY event_type, hh""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sequences" -> ((s: SparkSession, d: String) => evtSequences(s, d)),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
+    "evt_hourly_profile" -> (evtHourlyProfile _),
     "txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
     "txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
     "txt_quality_cal" -> (txtQualityCal _),
@@ -1125,6 +1161,7 @@ object CurationOps {
     "evt_sequences" -> evtSequencesSql,
     "evt_transitions" -> evtTransitionsSql,
     "evt_outliers" -> evtOutliersSql,
+    "evt_hourly_profile" -> evtHourlyProfileSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

@@ -849,6 +849,88 @@ object DedupOps {
       |FROM t LEFT JOIN np USING (thr) LEFT JOIN nv USING (thr)
       |ORDER BY thr""".stripMargin
 
+  // ------------------------------------------- pair-evidence explanation
+  /** Explainability for the near-dup verdict: for every [[ddNgramJaccard]]
+    * pair, the `top` RAREST shared shingles (by corpus df, ties on text) —
+    * the "show me why these two matched" report a reviewer reads before
+    * trusting a dedup pass to delete documents, and the artifact an
+    * appeals/debugging workflow stores next to the drop decision. Rarity-
+    * first ordering surfaces the most discriminative evidence (a df=2
+    * shared shingle is proof; a df=50 one is weather).
+    *
+    * Scale: the shingle self-join is the same df-capped bounded-bucket
+    * shape as the pair detector itself; the semi-join against the pair
+    * report keeps only verdict pairs, and the per-pair top-k window runs
+    * on the shared-shingle frame (≤ dfCap·pairs rows). Strings survive to
+    * the output only — the joins key on the shingle text here because the
+    * EVIDENCE is the text; at extreme scale the join keys on the hash and
+    * recovers strings for the report rows only ([[graft.operators.
+    * TextQueries]] boilerplate-census discipline). */
+  def ddPairEvidence(s: SparkSession, dir: String, top: Int = 3,
+      dfCap: Int = 50): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = ngramJaccardPairs(s, dir, dfCap).select(col("id_a"), col("id_b"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("df"), col("shingle"))
+    val report = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("shingle"), col("a.df").as("df"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .withColumn("rank", row_number().over(wp))
+      .filter(col("rank") <= top)
+      .select(col("id_a"), col("id_b"), col("rank"), col("shingle"), col("df"))
+      .orderBy(col("id_a"), col("id_b"), col("rank"))
+      .localCheckpoint()
+    sh.unpersist()
+    report
+  }
+
+  val ddPairEvidenceSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), dfc AS (
+      |  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
+      |), sh AS (
+      |  SELECT sh0.doc_id, sh0.s, df FROM sh0 JOIN dfc USING (s) WHERE df <= 50
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id
+      |  JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS shingle, a.df
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN pairs p ON a.doc_id = p.id_a AND b.doc_id = p.id_b
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY df, shingle)
+      |    AS BIGINT) AS rank,
+      |  shingle, df
+      |FROM shared
+      |QUALIFY rank <= 3
+      |ORDER BY id_a, id_b, rank""".stripMargin
+
   // ---------------------------------------------------- decontamination
   /** Benchmark decontamination: flag training documents sharing ≥ `minShared`
     * discriminative 3-gram shingles with any eval-set document (the overlap
@@ -2241,6 +2323,7 @@ object DedupOps {
     "dd_simhash_pairs" -> ((s: SparkSession, d: String) => ddSimHashPairsCheck(s, d)),
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_cos_thresholds" -> ((s: SparkSession, d: String) => ddCosThresholds(s, d)),
+    "dd_pair_evidence" -> ((s: SparkSession, d: String) => ddPairEvidence(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2272,6 +2355,7 @@ object DedupOps {
     "dd_simhash_pairs" -> ddSimHashPairsCheckSql,
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_cos_thresholds" -> ddCosThresholdsSql,
+    "dd_pair_evidence" -> ddPairEvidenceSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

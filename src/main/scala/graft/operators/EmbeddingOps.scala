@@ -1018,7 +1018,36 @@ object EmbeddingOps {
     sb.toString
   }
 
+  // ------------------------------------------------ norm-health histogram
+  /** Vector-norm histogram per label (0.25-wide buckets): the embedding-
+    * space health check read before any cosine-based curation — norm
+    * collapse (all mass in one bucket near 0) or a bimodal norm split
+    * within a label flags an encoder defect that cosine normalization
+    * would silently hide. Bucket = `floor(‖v‖·4)/4`, identical arithmetic
+    * both engines. Emits (label, nrm_bucket, n_vecs).
+    *
+    * Scale: one map pass + a (label, bucket)-keyed map-combined count —
+    * model-sized output, no joins. */
+  def embNormHist(s: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(VF.norm(VF.asDouble(col("embedding"))) * 4) / 4
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), bucket.as("nrm_bucket"))
+      .groupBy(col("label"), col("nrm_bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("nrm_bucket"))
+  }
+
+  val embNormHistSql: String =
+    """SELECT label,
+      |  floor(sqrt(list_dot_product(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 4) / 4
+      |    AS nrm_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_norm_hist" -> (embNormHist _),
     "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
     "emb_centroid_drift" -> (embCentroidDrift _),
     "emb_quant_error" -> (embQuantError _),
@@ -1036,6 +1065,7 @@ object EmbeddingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_norm_hist" -> embNormHistSql,
     "samp_coreset" -> sampCoresetSql,
     "emb_centroid_drift" -> embCentroidDriftSql,
     "emb_quant_error" -> embQuantErrorSql,

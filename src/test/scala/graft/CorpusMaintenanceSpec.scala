@@ -879,4 +879,38 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(at04._2 == DedupOps.ddEmbeddingCosine(spark, dir).count(),
       "0.4 sweep row != dd_embed_cosine pair count")
   }
+
+  // ----------------------------------------------------- dd_pair_evidence
+  test("dd_pair_evidence: every jaccard pair explained by its rarest shared shingles") {
+    def sh3(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.map { case (id, t) => id -> sh3(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val disc = all.map { case (id, g) => id -> g.filter(df(_) <= 50) }
+      .filter(_._2.nonEmpty).toMap
+    val wantPairs = (for {
+      (a, ga) <- disc.toSeq; (b, gb) <- disc.toSeq if a < b
+      i = (ga intersect gb).size if i > 0
+      j = BigDecimal(i.toDouble / (ga.size + gb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.2
+    } yield (a, b) -> (ga intersect gb)).toMap
+    val want = wantPairs.flatMap { case ((a, b), shared) =>
+      shared.toSeq.map(s0 => (s0, df(s0))).sortBy { case (s0, d0) => (d0, s0) }
+        .take(3).zipWithIndex
+        .map { case ((s0, d0), i) => (a, b, (i + 1).toLong, s0, d0) }
+    }.toSet
+    val got = DedupOps.ddPairEvidence(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // completeness: every verdict pair carries at least one evidence row
+    val covered = got.map(e => (e._1, e._2))
+    assert(covered == wantPairs.keySet,
+      "evidence must cover exactly the jaccard verdict pairs")
+  }
 }

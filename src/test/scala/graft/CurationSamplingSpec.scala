@@ -879,4 +879,40 @@ class CurationSamplingSpec extends AnyFunSuite {
       s"n_types at k=${r._1} must be min(k, vocab)"))
     if (cf.size <= ks.max) assert(curve.last._5 == 1.0, "full-vocab coverage must close at 1.0")
   }
+
+  // ------------------------------------------------------- emb_norm_hist
+  test("emb_norm_hist == plain-Scala bucket replay; counts conserve") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val want = vecs.map { case (lab, v) =>
+      var (acc, i) = (0.0, 0)
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      (lab, math.floor(math.sqrt(acc) * 4) / 4)
+    }.groupBy(identity).map { case ((lab, b), g) => (lab, b, g.size.toLong) }.toSet
+    val got = EmbeddingOps.embNormHist(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.toSeq.map(_._3).sum == nVecs, "histogram must conserve vectors")
+  }
+
+  // -------------------------------------------------- evt_hourly_profile
+  test("evt_hourly_profile == plain-Scala UTC-hour replay; shares sum to 1") {
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour.toLong))
+    val want = evs.groupBy(identity).map { case ((t, h), g) => (t, h) -> g.size.toLong }
+    val got = CurationOps.evtHourlyProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    got.groupBy(_._1).foreach { case (t, g) =>
+      val tot = g.map(_._3).sum.toDouble
+      g.foreach { case (_, h, n, sh) =>
+        assert(math.abs(sh - BigDecimal(n / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$t/$h") }
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"type $t shares")
+    }
+  }
 }
