@@ -1136,8 +1136,53 @@ object CurationOps {
       |    + 0.0 AS share
       |FROM c ORDER BY event_type, hh""".stripMargin
 
+  // ------------------------------------------------- corpus summary row
+  /** One-row corpus dashboard header: doc/token/source/language counts,
+    * the exact-duplicate share, and mean doc length — the numbers every
+    * pipeline report leads with, computed in two passes (one over docs,
+    * one fingerprint-keyed window for the dup share) so the row is cheap
+    * enough to run on every ingest.
+    *
+    * Scale: the profile agg is map-combined; the dup share reuses the
+    * [[graft.operators.SamplingOps.sampSoftDedup]] window shape. */
+  def pipeSummary(s: SparkSession, dir: String): DataFrame = {
+    val wfp = Window.partitionBy(col("fp"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(wfp))
+    base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+      (round(avg(col("n_tokens").cast("double")), 6) + 0.0)
+        .as("mean_tokens"))
+  }
+
+  val pipeSummarySql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents
+      |), m AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY fp) AS n_copies FROM f
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS mean_tokens
+      |FROM m""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sequences" -> ((s: SparkSession, d: String) => evtSequences(s, d)),
+    "pipe_summary" -> (pipeSummary _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1162,6 +1207,7 @@ object CurationOps {
     "evt_transitions" -> evtTransitionsSql,
     "evt_outliers" -> evtOutliersSql,
     "evt_hourly_profile" -> evtHourlyProfileSql,
+    "pipe_summary" -> pipeSummarySql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

@@ -1448,6 +1448,62 @@ object DedupOps {
       |SELECT node AS doc_id, MIN(root) AS group_rep, (node = MIN(root)) AS is_canonical
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // --------------------------------- MinHash estimator accuracy audit
+  /** The FULL estimator-accuracy report behind [[ddMinHashEst]]: for every
+    * exact-jaccard verdict pair, the true jaccard, the 32-perm MinHash
+    * estimate (`matching perms / perms`), and the absolute error — the
+    * statistical-honesty audit that says the signatures actually estimate
+    * what the LSH stage assumes they do. An exact-duplicate pair (j = 1)
+    * must estimate exactly 1: identical shingle sets give identical mins
+    * under every permutation (asserted in spec; no hash luck involved). */
+  private[graft] def ddMinHashEstReport(s: SparkSession, dir: String,
+      numPerms: Int = 32, dfCap: Int = 50): DataFrame = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until numPerms).map { i =>
+      min(xxhash64(col("hs"), lit(i))).as(s"h$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val pairs = ngramJaccardPairs(s, dir, dfCap)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val matches = (0 until numPerms).map { i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    val report = pairs
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), col("jaccard").as("true_j"),
+        (round(matches.cast("double") / numPerms, 6) + 0.0).as("est_j"))
+      .select(col("id_a"), col("id_b"), col("true_j"), col("est_j"),
+        (round(abs(col("est_j") - col("true_j")), 6) + 0.0).as("abs_err"))
+      .localCheckpoint()
+    sh.unpersist()
+    report
+  }
+
+  /** Driver-gated violation form of [[ddMinHashEstReport]]: verdict pairs
+    * whose 32-perm estimate misses the true jaccard by more than `tol` —
+    * 0.35 ≈ 4σ of the binomial estimator's worst-case std
+    * `sqrt(j(1−j)/32) ≤ 0.089`, so any row is a real defect in the
+    * signature aggregation or banding input, not sampling noise.
+    * Deterministic (fixed permutation family), hence a fair empty-relation
+    * contract — the [[BloomSketch]]/recall-check pattern.
+    *
+    * Scale: one signature aggregation (map-combined mins, doc-keyed) and
+    * two broadcast-able joins against the pair report; nothing quadratic
+    * beyond the already-bounded pair detector. */
+  def ddMinHashEst(s: SparkSession, dir: String,
+      tol: Double = 0.35): DataFrame =
+    ddMinHashEstReport(s, dir)
+      .filter(col("abs_err") > tol)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val ddMinHashEstSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS DOUBLE) AS true_j, CAST(NULL AS DOUBLE) AS est_j,
+      |  CAST(NULL AS DOUBLE) AS abs_err
+      |WHERE FALSE""".stripMargin
+
   /** LSH's banding can't be expressed in the oracle's SQL — but its OUTPUT
     * contract can: candidates are exact-re-verified, so the result is the
     * exact Jaccard pair set minus LSH false negatives, and on this corpus
@@ -2324,6 +2380,7 @@ object DedupOps {
     "dd_embed_cosine" -> ((s: SparkSession, d: String) => ddEmbeddingCosine(s, d)),
     "dd_cos_thresholds" -> ((s: SparkSession, d: String) => ddCosThresholds(s, d)),
     "dd_pair_evidence" -> ((s: SparkSession, d: String) => ddPairEvidence(s, d)),
+    "dd_minhash_est" -> ((s: SparkSession, d: String) => ddMinHashEst(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2356,6 +2413,7 @@ object DedupOps {
     "dd_embed_cosine" -> ddEmbeddingCosineSql,
     "dd_cos_thresholds" -> ddCosThresholdsSql,
     "dd_pair_evidence" -> ddPairEvidenceSql,
+    "dd_minhash_est" -> ddMinHashEstSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

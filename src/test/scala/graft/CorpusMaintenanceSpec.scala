@@ -913,4 +913,25 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(covered == wantPairs.keySet,
       "evidence must cover exactly the jaccard verdict pairs")
   }
+
+  // ------------------------------------------------------- dd_minhash_est
+  test("dd_minhash_est: no estimator violations; exact dups estimate exactly 1") {
+    assert(DedupOps.ddMinHashEst(spark, dir).count() == 0,
+      "32-perm MinHash estimate must sit within 4 sigma of true jaccard")
+    val report = DedupOps.ddMinHashEstReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(report.nonEmpty, "verdict pairs must exist at sf0.001")
+    // identical shingle sets -> identical per-perm mins, NO hash luck:
+    // every true_j = 1 pair must estimate exactly 1.0
+    val exact = report.filter(_._3 == 1.0)
+    exact.foreach { case (a, b, _, est, _) =>
+      assert(est == 1.0, s"exact-dup pair ($a,$b) estimated $est") }
+    // the estimator must beat the trivial constant-0 predictor on average
+    val meanErr = report.map(_._5).sum / report.length
+    val meanJ = report.map(_._3).sum / report.length
+    assert(meanErr < meanJ, f"mean |err| $meanErr%.3f should beat constant-0 $meanJ%.3f")
+    report.foreach { case (a, b, _, est, err) =>
+      assert(est >= 0.0 && est <= 1.0 && err <= 0.35 + 1e-9, s"pair ($a,$b)") }
+  }
 }

@@ -915,4 +915,27 @@ class CurationSamplingSpec extends AnyFunSuite {
       assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4, s"type $t shares")
     }
   }
+
+  // ---------------------------------------------------------- pipe_summary
+  test("pipe_summary == plain-Scala corpus profile; consistent with dd_exact") {
+    val d = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val toks = d.map(_._4.trim.split("\\s+").length.toLong)
+    val fps = d.map(_._4.trim.toLowerCase.split("\\s+").mkString(" "))
+    val copies = fps.groupBy(identity).map { case (f, g) => f -> g.size }
+    val row = CurationOps.pipeSummary(spark, dir).collect().head
+    assert(row.getLong(0) == d.length.toLong)
+    assert(row.getLong(1) == toks.sum)
+    assert(row.getLong(2) == d.map(_._2).distinct.length.toLong)
+    assert(row.getLong(3) == d.map(_._3).distinct.length.toLong)
+    assert(row.getLong(4) == fps.count(f => copies(f) > 1).toLong)
+    assert(math.abs(row.getDouble(5) - BigDecimal(toks.sum.toDouble / d.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // dup share consistent with dd_exact: dup docs = total - groups-of-1...
+    val groups = graft.operators.DedupOps.ddExact(spark, dir).collect()
+      .map(r => r.getLong(2))
+    assert(row.getLong(4) == groups.filter(_ > 1).sum,
+      "n_dup_docs must equal the docs inside multi-copy fingerprint groups")
+  }
 }
