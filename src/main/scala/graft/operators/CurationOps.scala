@@ -1079,6 +1079,23 @@ object CurationOps {
       .orderBy(col("event_id"))
   }
 
+  /** Frozen per-type (mean, sd) model for [[evtOutliers]]' streaming twin:
+    * the same DECIMAL-exact moments as the batch window, computed as a
+    * map-combined groupBy so the result is a broadcastable |types|-row
+    * frame (exact sums are order-free, so groupBy ≡ window value-wise). */
+  private[graft] def evtValueMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast(dec)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(dec)).cast("double").as("s2"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("event_type"), (col("s1") / col("n")).as("m"),
+        when(col("n") > 1.0,
+          sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1.0), lit(0.0)))).otherwise(lit(0.0)).as("sd"))
+  }
+
   val evtOutliersSql: String =
     """WITH m AS (
       |  SELECT event_id, event_type, value,

@@ -1046,8 +1046,82 @@ object EmbeddingOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_vecs
       |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- label-margin audit
+  /** Per-label separation margin: for every vector, cosine to its OWN
+    * label centroid minus the best cosine to any OTHER centroid, rolled
+    * up per label as (mean margin, confused-vector count). The
+    * metric-space quality gate read before trusting labels for
+    * cluster-balanced sampling or cluster-scoped dedup — a label whose
+    * mean margin hugs 0 (or with many margin<0 vectors) isn't separable
+    * in this embedding space and its per-label curation decisions are
+    * noise. Margins use the same rounded-centroid broadcast discipline as
+    * [[embAssign]], so the per-vector scores are bit-identical across
+    * engines; the rollup mean routes through a DECIMAL sum.
+    *
+    * Scale: centroids are broadcast model state; scoring is a map-side
+    * cross of corpus × |labels|; ONE vec-keyed map-combined agg then a
+    * label-keyed model-sized rollup. */
+  def embLabelMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = centroidVectors(
+      centroidRows(e).withColumnRenamed("label", "c_label"), "c_label")
+    val vecs = e.select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val per = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (VF.dot(col("ve"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_raw"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("c_label"), col("cos_raw"))).as("own"),
+        max(when(col("label") =!= col("c_label"), col("cos_raw"))).as("other"))
+      .select(col("label"), (col("own") - col("other")).as("margin"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum(col("margin").cast("decimal(30,15)")).cast("double") /
+          count(lit(1)), 6) + 0.0).as("mean_margin"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_confused"))
+      .orderBy(col("label"))
+  }
+
+  val embLabelMarginSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label AS c_label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cents AS (
+      |  SELECT c_label, list(c ORDER BY dim) AS cv,
+      |    sqrt(list_dot_product(list(c ORDER BY dim), list(c ORDER BY dim)))
+      |      AS cnrm
+      |  FROM comp GROUP BY c_label
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |    list_dot_product(list_transform(e.embedding, v -> CAST(v AS DOUBLE)), cv)
+      |      / (sqrt(list_dot_product(
+      |           list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+      |           list_transform(e.embedding, v -> CAST(v AS DOUBLE)))) * cnrm)
+      |      AS cos_raw
+      |  FROM embeddings e CROSS JOIN cents c
+      |), per AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN label = c_label THEN cos_raw END)
+      |      - MAX(CASE WHEN label <> c_label THEN cos_raw END) AS margin
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(margin AS DECIMAL(30,15))) AS DOUBLE)
+      |    / COUNT(*), 6) + 0.0 AS mean_margin,
+      |  CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_confused
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_hist" -> (embNormHist _),
+    "emb_label_margin" -> (embLabelMargin _),
     "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
     "emb_centroid_drift" -> (embCentroidDrift _),
     "emb_quant_error" -> (embQuantError _),
@@ -1066,6 +1140,7 @@ object EmbeddingOps {
 
   val oracles: Map[String, String] = Map(
     "emb_norm_hist" -> embNormHistSql,
+    "emb_label_margin" -> embLabelMarginSql,
     "samp_coreset" -> sampCoresetSql,
     "emb_centroid_drift" -> embCentroidDriftSql,
     "emb_quant_error" -> embQuantErrorSql,

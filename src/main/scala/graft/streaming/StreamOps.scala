@@ -720,6 +720,32 @@ object StreamOps {
         col("exact_id").as("match_id"))
   }
 
+  /** Streaming twin of [[graft.operators.CurationOps.evtHourlyProfile]]'s
+    * count core: (event_type, UTC hour) counts as an update-mode streaming
+    * aggregation (the share normalization is a model-frame window the
+    * consumer applies to the final counts — window functions don't exist
+    * in streaming plans, and the counts ARE the state). */
+  def streamingHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+      .groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming twin of [[graft.operators.CurationOps.evtOutliers]]:
+    * score-on-arrival against a FROZEN per-type moments model
+    * ([[graft.operators.CurationOps.evtValueMoments]], broadcast) — the
+    * production anomaly-screen shape, where the model retrains on a batch
+    * cadence and the stream only pays a stateless broadcast join + filter
+    * per event. */
+  def streamingEvtOutliers(events: DataFrame, moments: DataFrame,
+      zThr: Double = 3.0): DataFrame =
+    events
+      .join(broadcast(moments), Seq("event_type"))
+      .filter(col("sd") > 0.0 &&
+        abs((col("value") - col("m")) / col("sd")) > zThr)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (round((col("value") - col("m")) / col("sd"), 6) + 0.0).as("z"))
+
   case class SoftDoc(doc_id: Long, n_copies: Long, weight: Double,
     eff_tokens: Double)
   case class SoftState(members: List[(Long, Long)])

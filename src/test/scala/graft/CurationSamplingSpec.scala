@@ -938,4 +938,47 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(row.getLong(4) == groups.filter(_ > 1).sum,
       "n_dup_docs must equal the docs inside multi-copy fingerprint groups")
   }
+
+  // ------------------------------------------------------ emb_label_margin
+  test("emb_label_margin == plain-Scala rounded-centroid margin replay") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    val dims = vecs.head._3.length
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.groupBy(_._2).map { case (lab, g) =>
+      lab -> Array.tabulate(dims) { d =>
+        // DECIMAL-exact sum -> double -> /n -> round 6, the exact
+        // centroidRows/centroidVectors op sequence
+        r6(g.map(v => BigDecimal(v._3(d)).setScale(15,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g.size)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (s0, i) = (0.0, 0); while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val margins = vecs.map { case (_, lab, v) =>
+      val scores = cents.map { case (cl, cv) =>
+        cl -> dot(v, cv) / (nrm(v) * nrm(cv))
+      }
+      lab -> (scores(lab) - scores.filter(_._1 != lab).values.max)
+    }
+    val want = margins.groupBy(_._1).map { case (lab, g) =>
+      (lab, g.size.toLong,
+        r6(g.map(m => BigDecimal(m._2).setScale(15,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g.size),
+        g.count(_._2 < 0).toLong)
+    }.toSet
+    val got = EmbeddingOps.embLabelMargin(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the audit's whole point is honesty about (non-)separability: the
+    // report must bound its own confusion count, not assert separation
+    got.foreach { case (lab, n, _, conf) =>
+      assert(conf >= 0 && conf <= n, s"label $lab") }
+  }
 }

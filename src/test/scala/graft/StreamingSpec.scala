@@ -363,6 +363,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.count() > 0, "testdata should produce transitions")
   }
 
+  test("streaming hourly counts converge to the batch hourly profile") {
+    val streamed = runToCompletion(
+      StreamOps.streamingHourlyCounts(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema)),
+      "update", "hourly_out")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hh")).orderBy(col("emit_order").desc)
+    val table = streamed.withColumn("emit_order", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("hh"), col("n_events"))
+    val batch = graft.operators.CurationOps.evtHourlyProfile(spark, dir)
+      .select(col("event_type"), col("hh"), col("n_events"))
+    assert(canon(table) == canon(batch))
+  }
+
+  test("streaming event outliers == batch z-score verdicts on arrival") {
+    val moments = graft.operators.CurationOps.evtValueMoments(spark, dir)
+    val streamed = runToCompletion(
+      StreamOps.streamingEvtOutliers(
+        StreamOps.readParquetStream(spark, streamDir, eventsSchema), moments),
+      "append", "evtout_out")
+    val batch = graft.operators.CurationOps.evtOutliers(spark, dir)
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming soft-dedup snapshots converge to the batch weights") {
     val d = Tables.load(spark, dir, "documents")
     val sdDir = Files.createTempDirectory("graft-softdedup").toString
