@@ -272,11 +272,185 @@ object MultimodalOps {
       |FROM codes c LEFT JOIN near n ON c.doc_id = n.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------------------- media near-dup groups
+  /** Media near-dup GROUPS: connected components over the [[mmPhash]]
+    * Hamming≤1 pair graph with min-id canonical election — the media-side
+    * twin of [[graft.operators.DedupOps.ddDedupGroups]], turning the
+    * per-item partner counts into the keep/drop decision a curation pass
+    * executes. Every item emits (singletons are their own canonical).
+    *
+    * Scale: the pair stage is [[mmPhash]]'s 2-block pigeonhole join
+    * (complete at Hamming ≤ 1); components run the clique-seeded
+    * O(log diameter) label propagation. */
+  def mmDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val codes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (col("pos") % 16).as("slot"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
+      .withColumn("tot", sum(col("ss")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("ss") * 16 > col("tot"),
+        pow(lit(2.0), col("slot").cast("double")).cast("long"))
+        .otherwise(lit(0L))).as("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = codes.select(col("doc_id"), col("phash"),
+      col("phash").bitwiseAND(lit(255L)).as("b0"),
+      shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("b1"))
+    def side(t: Int, blk: String, idAs: String, phAs: String) =
+      blocked.select(col(blk).as("blk"), lit(t).as("t"),
+        col("doc_id").as(idAs), col("phash").as(phAs))
+    val edges = (side(0, "b0", "id_a", "pa") unionByName side(1, "b1", "id_a", "pa"))
+      .join(side(0, "b0", "id_b", "pb") unionByName side(1, "b1", "id_b", "pb"),
+        Seq("blk", "t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+      .distinct()
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 1)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // materialize BEFORE the CC loop — every propagation round re-reads
+      // the edge set, and an unmaterialized subtree would re-run the
+      // pigeonhole join per round (the dedupLabels checkpointed-pairs
+      // discipline; ~1 s/round saved at sf0.1). Remaining cost is the CC
+      // loop itself: the sf0.1 phash graph is CHAINS (4,415 nodes in 128
+      // components via single-bit steps), so label propagation pays its
+      // designed O(log diameter) rounds — ~5 s at sf0.1 — where the
+      // lexical dedup graph's cliques settle in one.
+      .localCheckpoint()
+    val labels = DedupOps.connectedComponents(edges)
+    val out = codes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("label"), col("doc_id")).as("group_rep"))
+      .withColumn("is_canonical", col("doc_id") === col("group_rep"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    codes.unpersist()
+    out
+  }
+
+  val mmDedupGroupsSql: String =
+    """WITH RECURSIVE chars AS (
+      |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS ch
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents)
+      |), ss AS (
+      |  SELECT doc_id, pos % 16 AS slot,
+      |    CAST(SUM(ascii(ch)) AS BIGINT) AS ss
+      |  FROM chars GROUP BY 1, 2
+      |), tt AS (
+      |  SELECT doc_id, slot, ss, SUM(ss) OVER (PARTITION BY doc_id) AS tot
+      |  FROM ss
+      |), codes AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN ss * 16 > tot
+      |      THEN CAST(POWER(2, slot) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM tt GROUP BY doc_id
+      |), blocked AS (
+      |  SELECT doc_id, phash, phash & 255 AS b0, (phash >> 8) & 255 AS b1
+      |  FROM codes
+      |), sides AS (
+      |  SELECT b0 AS blk, 0 AS t, doc_id, phash FROM blocked
+      |  UNION ALL
+      |  SELECT b1 AS blk, 1 AS t, doc_id, phash FROM blocked
+      |), edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sides a JOIN sides b ON a.blk = b.blk AND a.t = b.t
+      |  WHERE a.doc_id <> b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 1
+      |), reach AS (
+      |  SELECT doc_id AS node, doc_id AS root FROM codes
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT c.doc_id, c.phash, MIN(root) AS group_rep,
+      |  (c.doc_id = MIN(root)) AS is_canonical
+      |FROM reach JOIN codes c ON node = c.doc_id
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------- audio window segmentation
+  /** Fixed-size overlapping window grid over the opaque byte stream — the
+    * audio-segmentation plumbing step (split a waveform into analysis
+    * windows before feature extraction): windows of `win` bytes at stride
+    * `stride`, each fingerprinted, plus the tail window when the stream
+    * doesn't divide evenly. A codec-aware splitter (sample-accurate
+    * boundaries) drops into the same grid; the bytes here are the
+    * [[withBinary]] stand-in payload. Emits
+    * (doc_id, win_id, off, win_len, win_fp).
+    *
+    * Scale: pure map-side array math + one explode — no shuffle at all;
+    * output is ~len/stride rows per item. */
+  def mmAudioWindows(s: SparkSession, dir: String, win: Int = 256,
+      stride: Int = 192): DataFrame = {
+    val d = withBinary(Tables.load(s, dir, "documents"))
+    val len = octet_length(col("content"))
+    // number of stride-aligned starts: full windows plus one tail window
+    // when bytes remain past the last full window (or the item is shorter
+    // than one window but non-empty)
+    val nFull = when(len >= win,
+      floor((len - win).cast("double") / stride).cast("long") + 1)
+      .otherwise(lit(0L))
+    val hasTail = when(len === 0, lit(0L))
+      .otherwise(when(nFull === 0 || (len - ((nFull - 1) * stride + win)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    d.select(col("doc_id"), col("content"), len.as("len"),
+        nFull.as("n_full"), hasTail.as("has_tail"))
+      // guard BEFORE the sequence: sequence(0, -1) would descend, not empty
+      .filter(col("n_full") + col("has_tail") > 0)
+      .select(col("doc_id"), col("content"), col("len"),
+        posexplode(sequence(lit(0L), col("n_full") + col("has_tail") - 1)))
+      .select(col("doc_id"), col("col").as("win_id"),
+        (col("col") * stride + 1).as("off"),
+        least(lit(win), col("len") - col("col") * stride).as("win_len"),
+        col("content"), col("len"))
+      .filter(col("win_len") > 0)
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        col("off").cast("long").as("off"),
+        col("win_len").cast("long").as("win_len"),
+        md5(substring(col("content"), col("off").cast("int"),
+          col("win_len").cast("int"))).as("win_fp"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
+  // oracle works on the TEXT payload directly: the corpus is ASCII (the
+  // mmPhash ascii() precedent), so byte offsets == char offsets and
+  // md5(text slice) == md5(byte slice)
+  val mmAudioWindowsSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text AS content,
+       |    CAST(length(text) AS BIGINT) AS len
+       |  FROM documents
+       |), grid AS (
+       |  SELECT doc_id, content, len,
+       |    CASE WHEN len >= 256 THEN (len - 256) // 192 + 1 ELSE 0 END AS n_full
+       |  FROM b
+       |), g2 AS (
+       |  SELECT doc_id, content, len, n_full,
+       |    CASE WHEN len = 0 THEN 0
+       |      WHEN n_full = 0 OR len - ((n_full - 1) * 192 + 256) > 0 THEN 1
+       |      ELSE 0 END AS has_tail
+       |  FROM grid
+       |), wins AS (
+       |  SELECT doc_id, CAST(unnest(range(0, n_full + has_tail)) AS BIGINT)
+       |      AS win_id, content, len
+       |  FROM g2 WHERE n_full + has_tail > 0
+       |)
+       |SELECT doc_id, win_id,
+       |  CAST(win_id * 192 + 1 AS BIGINT) AS off,
+       |  CAST(LEAST(256, len - win_id * 192) AS BIGINT) AS win_len,
+       |  md5(substring(content, CAST(win_id * 192 + 1 AS INT),
+       |    CAST(LEAST(256, len - win_id * 192) AS INT))) AS win_fp
+       |FROM wins
+       |WHERE LEAST(256, len - win_id * 192) > 0
+       |ORDER BY doc_id, win_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> (mmPhash _),
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
+    "mm_dedup_groups" -> (mmDedupGroups _),
+    "mm_audio_windows" -> ((s: SparkSession, d: String) => mmAudioWindows(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +458,7 @@ object MultimodalOps {
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
+    "mm_dedup_groups" -> mmDedupGroupsSql,
+    "mm_audio_windows" -> mmAudioWindowsSql,
   )
 }

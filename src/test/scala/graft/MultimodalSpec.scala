@@ -75,4 +75,68 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(got.exists(_._3 > 0), "testdata's dup pairs should collide")
   }
+
+  test("mm_dedup_groups: components consistent with mm_phash partner counts") {
+    val groups = MultimodalOps.mmDedupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val near = MultimodalOps.mmPhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(groups.length == near.size, "every item must emit")
+    val bySize = groups.groupBy(_._3).map { case (g, xs) => g -> xs.length }
+    groups.foreach { case (id, _, rep, canon) =>
+      assert(canon == (id == rep), s"doc $id canonical flag")
+      assert(rep <= id, s"doc $id rep $rep must be the component min")
+      // partner count zero <-> singleton component (edges are Ham<=1 pairs)
+      assert((near(id) > 0) == (bySize(rep) > 1),
+        s"doc $id n_near=${near(id)} but component size ${bySize(rep)}")
+    }
+    // transitivity: two docs sharing a rep via a chain stay together under
+    // a plain-Scala union-find over the brute Ham<=1 pair graph
+    val codes = groups.map(g => g._1 -> g._2).toMap
+    val parent = scala.collection.mutable.Map(codes.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- codes.keys; b <- codes.keys if a < b
+         if java.lang.Long.bitCount(codes(a) ^ codes(b)) <= 1)
+      parent(find(a)) = find(b)
+    val wantComps = codes.keys.groupBy(find).values
+      .map(_.toSet).toSet
+    val gotComps = groups.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    assert(gotComps == wantComps, "components must equal brute union-find")
+  }
+
+  test("mm_audio_windows == plain-Scala grid replay; tiling laws hold") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val (win, stride) = (256, 192)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = texts.flatMap { case (id, t) =>
+      val len = t.getBytes("UTF-8").length
+      val nFull = if (len >= win) (len - win) / stride + 1 else 0
+      val hasTail = if (len == 0) 0
+        else if (nFull == 0 || len - ((nFull - 1) * stride + win) > 0) 1 else 0
+      (0 until nFull + hasTail).map { k =>
+        val off = k * stride
+        val wl = math.min(win, len - off)
+        (id, k.toLong, off.toLong + 1, wl.toLong, md5hex(t.substring(off, off + wl)))
+      }.filter(_._4 > 0)
+    }.toSet
+    val got = MultimodalOps.mmAudioWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // tiling: consecutive full windows overlap by win - stride bytes and
+    // the final window reaches exactly the end of the stream
+    got.groupBy(_._1).foreach { case (id, g) =>
+      val len = texts.toMap.apply(id).getBytes("UTF-8").length.toLong
+      val last = g.maxBy(_._2)
+      assert(last._3 + last._4 - 1 == len, s"doc $id last window must end at len")
+      val sorted = g.toSeq.sortBy(_._2)
+      sorted.sliding(2).withFilter(_.length == 2).foreach { p =>
+        assert(p(1)._3 - p(0)._3 == stride, s"doc $id stride") }
+    }
+  }
 }
