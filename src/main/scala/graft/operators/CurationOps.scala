@@ -1197,9 +1197,148 @@ object CurationOps {
       |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS mean_tokens
       |FROM m""".stripMargin
 
+  // ------------------------------------------------- user feature table
+  /** Per-user behavioral feature vector from the event log: activity
+    * volume, type diversity, active-span days, and value moments — the
+    * feature-engineering table a behavioral model trains on (and the join
+    * key side for [[evtSequences]]' examples). Value mean routes through
+    * a DECIMAL sum; span uses integer epoch-day arithmetic so both
+    * engines agree exactly.
+    *
+    * Scale: ONE user-keyed map-combined aggregation; every output is a
+    * scalar per user. */
+  def evtUserProfiles(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (max(col("day")) - min(col("day")) + 1).as("span_days"),
+        (round(sum(col("value").cast(dec)).cast("double") /
+          count(lit(1)), 6) + 0.0).as("mean_value"),
+        (round(max(col("value")), 6) + 0.0).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val evtUserProfilesSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(MAX(epoch_us(ts) // 86400000000) -
+      |       MIN(epoch_us(ts) // 86400000000) + 1 AS BIGINT) AS span_days,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,15))) AS DOUBLE)
+      |    / COUNT(*), 6) + 0.0 AS mean_value,
+      |  ROUND(MAX(value), 6) + 0.0 AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- k-fold splits
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-derived uniform bucket of doc_id (the [[dsSplit]] entropy
+    * discipline — replayable on any engine, no rand()), with per-fold
+    * size and token accounting. Emits one row per (fold) with counts —
+    * the fold-balance report; the assignment itself is the deterministic
+    * expression any consumer re-derives inline.
+    *
+    * Scale: one map pass + a k-row map-combined agg. */
+  def dsKfold(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val fold = pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(k.toLong))
+    docs(s, dir)
+      .select(fold.as("fold"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("fold"))
+  }
+
+  val dsKfoldSql: String =
+    s"""SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % 5 AS BIGINT) AS fold,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |    AS n_tokens
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------- collocation mining
+  /** Adjacent-pair collocations by pointwise mutual information:
+    * `pmi = ln(n_ab · N / (n_a · n_b))` over lowercased adjacent token
+    * pairs with support ≥ `minCount`, top-`top` by (pmi desc, pair) — the
+    * classic collocation/multi-word-expression miner (phrase vocab for a
+    * tokenizer, or template detection when pmi is implausibly high).
+    *
+    * Scale: pair counts and unigram counts both map-combine; the PMI join
+    * is vocabulary-keyed twice; the global top-k sorts the SURVIVOR frame
+    * (support-filtered, vocabulary-bounded), not the corpus. */
+  def txtCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+      top: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val pairs = toked
+      .select(col("toks"), posexplode(col("toks")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("toks")) - 1)
+      .select(col("w1"), element_at(col("toks"), col("p") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = uni.agg(sum(col("n")).as("nn"))
+    val wr = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    val report = pairs
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (round(log(col("n_ab").cast("double") * col("nn").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6) + 0.0)
+          .as("pmi"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= top)
+      .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
+        col("n_ab"), col("pmi"))
+      .orderBy(col("rank"))
+      .localCheckpoint()
+    uni.unpersist()
+    report
+  }
+
+  val txtCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), prs AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+      |), pc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM prs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |), uni AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn FROM uc
+      |), scored AS (
+      |  SELECT w1, w2, n_ab,
+      |    ROUND(ln(CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)
+      |      / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))), 6) + 0.0 AS pmi
+      |  FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w
+      |  CROSS JOIN tot
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+      |    AS rank,
+      |  w1, w2, n_ab, pmi
+      |FROM scored
+      |QUALIFY rank <= 20
+      |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sequences" -> ((s: SparkSession, d: String) => evtSequences(s, d)),
     "pipe_summary" -> (pipeSummary _),
+    "evt_user_profiles" -> (evtUserProfiles _),
+    "ds_kfold" -> ((s: SparkSession, d: String) => dsKfold(s, d)),
+    "txt_collocations" -> ((s: SparkSession, d: String) => txtCollocations(s, d)),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1225,6 +1364,9 @@ object CurationOps {
     "evt_outliers" -> evtOutliersSql,
     "evt_hourly_profile" -> evtHourlyProfileSql,
     "pipe_summary" -> pipeSummarySql,
+    "evt_user_profiles" -> evtUserProfilesSql,
+    "ds_kfold" -> dsKfoldSql,
+    "txt_collocations" -> txtCollocationsSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

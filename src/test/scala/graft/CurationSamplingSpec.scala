@@ -981,4 +981,77 @@ class CurationSamplingSpec extends AnyFunSuite {
     got.foreach { case (lab, n, _, conf) =>
       assert(conf >= 0 && conf <= n, s"label $lab") }
   }
+
+  // ----------------------------------------------------- evt_user_profiles
+  test("evt_user_profiles == plain-Scala per-user feature replay") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime * 1000 +
+          r.getTimestamp(3).getNanos / 1000 % 1000))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(_._1).map { case (u, g) =>
+      val days = g.map(_._4 / 86400000000L)
+      val sumV = g.map(e => BigDecimal(e._3)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (u, g.length.toLong, g.map(_._2).distinct.length.toLong,
+        days.max - days.min + 1,
+        r6(sumV / g.length), r6(g.map(_._3).max))
+    }.toSet
+    val got = CurationOps.evtUserProfiles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
+
+  // --------------------------------------------------------------- ds_kfold
+  test("ds_kfold: md5-derived folds conserve docs and replay deterministically") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = d.map { case (id, t) =>
+      val fold = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 5
+      (fold, t.trim.split("\\s+").length.toLong)
+    }.groupBy(_._1).map { case (f, g) =>
+      (f, g.length.toLong, g.map(_._2).sum)
+    }.toSet
+    val got = CurationOps.dsKfold(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.toSeq.map(_._2).sum == nDocs, "folds must conserve docs")
+    val again = CurationOps.dsKfold(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got, "fold assignment must be replayable")
+  }
+
+  // ------------------------------------------------------- txt_collocations
+  test("txt_collocations == plain-Scala PMI replay") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val docsToks = texts.map(_.trim.toLowerCase.split("\\s+").toSeq)
+    val pairCounts = docsToks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .filter(_._2 >= 5)
+    val uni = docsToks.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val nn = docsToks.map(_.size).sum.toDouble
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = pairCounts.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, r6(math.log(nab.toDouble * nn / (uni(a).toDouble * uni(b).toDouble))))
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }
+      .take(20).zipWithIndex
+      .map { case ((a, b, nab, pmi), i) => (i + 1L, a, b, nab, pmi) }.toSet
+    val got = CurationOps.txtCollocations(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
 }
