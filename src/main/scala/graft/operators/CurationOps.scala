@@ -1153,6 +1153,67 @@ object CurationOps {
       |    + 0.0 AS share
       |FROM c ORDER BY event_type, hh""".stripMargin
 
+  // -------------------------------------------- behavioral drift audit
+  /** Early-vs-late behavioral drift: split the event log at the midpoint
+    * of its time range and report each event type's within-half share on
+    * both sides plus the delta — the distribution-shift screen run before
+    * treating months of behavioral data as one stationary corpus (a type
+    * whose share moved says the product, the users, or the
+    * instrumentation changed mid-window). Midpoint and half-assignment
+    * are integer epoch-µs arithmetic, engine-exact.
+    *
+    * Scale: one map pass + a |types|-row map-combined agg; the global
+    * min/max crosses as a broadcast scalar. */
+  def evtDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val range = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val wAll = Window.partitionBy()
+    e.crossJoin(broadcast(range))
+      .select(col("event_type"),
+        when(col("us") <= (col("lo") + col("hi")) / 2, 1L).otherwise(0L)
+          .as("early"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("early")).as("n_early"),
+        sum(lit(1L) - col("early")).as("n_late"))
+      .withColumn("tot_early", sum(col("n_early")).over(wAll))
+      .withColumn("tot_late", sum(col("n_late")).over(wAll))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        (round(col("n_early").cast("double") / col("tot_early"), 6) + 0.0)
+          .as("share_early"),
+        (round(col("n_late").cast("double") / col("tot_late"), 6) + 0.0)
+          .as("share_late"),
+        (round(col("n_late").cast("double") / col("tot_late") -
+          col("n_early").cast("double") / col("tot_early"), 6) + 0.0)
+          .as("drift"))
+      .orderBy(col("event_type"))
+  }
+
+  val evtDriftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us FROM events
+      |), r AS (
+      |  SELECT MIN(us) AS lo, MAX(us) AS hi FROM e
+      |), flagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN us <= (lo + hi) // 2 THEN 1 ELSE 0 END AS early
+      |  FROM e CROSS JOIN r
+      |), c AS (
+      |  SELECT event_type, CAST(SUM(early) AS BIGINT) AS n_early,
+      |    CAST(SUM(1 - early) AS BIGINT) AS n_late
+      |  FROM flagged GROUP BY 1
+      |), t AS (
+      |  SELECT event_type, n_early, n_late,
+      |    SUM(n_early) OVER () AS tot_early, SUM(n_late) OVER () AS tot_late
+      |  FROM c
+      |)
+      |SELECT event_type, n_early, n_late,
+      |  ROUND(CAST(n_early AS DOUBLE) / tot_early, 6) + 0.0 AS share_early,
+      |  ROUND(CAST(n_late AS DOUBLE) / tot_late, 6) + 0.0 AS share_late,
+      |  ROUND(CAST(n_late AS DOUBLE) / tot_late
+      |    - CAST(n_early AS DOUBLE) / tot_early, 6) + 0.0 AS drift
+      |FROM t ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- corpus summary row
   /** One-row corpus dashboard header: doc/token/source/language counts,
     * the exact-duplicate share, and mean doc length — the numbers every
@@ -1339,6 +1400,7 @@ object CurationOps {
     "evt_user_profiles" -> (evtUserProfiles _),
     "ds_kfold" -> ((s: SparkSession, d: String) => dsKfold(s, d)),
     "txt_collocations" -> ((s: SparkSession, d: String) => txtCollocations(s, d)),
+    "evt_drift" -> (evtDrift _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1367,6 +1429,7 @@ object CurationOps {
     "evt_user_profiles" -> evtUserProfilesSql,
     "ds_kfold" -> dsKfoldSql,
     "txt_collocations" -> txtCollocationsSql,
+    "evt_drift" -> evtDriftSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

@@ -186,6 +186,68 @@ object DedupOps {
       |WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------- jaccard distribution sweep
+  /** Pair-similarity histogram for the LEXICAL detector — the
+    * [[ddCosThresholds]] curve on the shingle side: every candidate pair
+    * with ANY shared discriminative shingle, bucketed by jaccard in 0.1
+    * steps. Read to pick the [[ddNgramJaccard]] threshold: the dead zone
+    * between the near-dup mass and the background tells you where the
+    * cut is safe, and a histogram without a gap says jaccard alone can't
+    * separate this corpus. Buckets = `floor(j·10)/10` on the 6-dp-rounded
+    * jaccard, identical arithmetic both engines.
+    *
+    * Scale: identical candidate shape to [[ddNgramJaccard]] (df-capped
+    * buckets bound the pair work); the histogram is a model-sized agg. */
+  def ddJaccardHist(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val report = inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select((floor(round(col("n_inter") /
+        (col("ca.n") + col("cb.n") - col("n_inter")), 6) * 10) / 10)
+        .as("j_bucket"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("j_bucket"))
+      .localCheckpoint()
+    sh.unpersist()
+    report
+  }
+
+  val ddJaccardHistSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT floor(ROUND(n_inter / (ca.n + cb.n - n_inter), 6) * 10) / 10
+      |    AS j_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM inter
+      |JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------- asymmetric containment pairs
   /** Shingle-containment near-dup pairs: `C(A→B) = |A∩B| / |A|` over the
     * same df-capped discriminative 3-gram universe as [[ddNgramJaccard]].
@@ -2381,6 +2443,7 @@ object DedupOps {
     "dd_cos_thresholds" -> ((s: SparkSession, d: String) => ddCosThresholds(s, d)),
     "dd_pair_evidence" -> ((s: SparkSession, d: String) => ddPairEvidence(s, d)),
     "dd_minhash_est" -> ((s: SparkSession, d: String) => ddMinHashEst(s, d)),
+    "dd_jaccard_hist" -> ((s: SparkSession, d: String) => ddJaccardHist(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2414,6 +2477,7 @@ object DedupOps {
     "dd_cos_thresholds" -> ddCosThresholdsSql,
     "dd_pair_evidence" -> ddPairEvidenceSql,
     "dd_minhash_est" -> ddMinHashEstSql,
+    "dd_jaccard_hist" -> ddJaccardHistSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

@@ -934,4 +934,33 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     report.foreach { case (a, b, _, est, err) =>
       assert(est >= 0.0 && est <= 1.0 && err <= 0.35 + 1e-9, s"pair ($a,$b)") }
   }
+
+  // ------------------------------------------------------- dd_jaccard_hist
+  test("dd_jaccard_hist == plain-Scala bucket replay; mass above 0.2 matches detector") {
+    def sh3(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.map { case (id, t) => id -> sh3(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val disc = all.map { case (id, g) => id -> g.filter(df(_) <= 50) }
+      .filter(_._2.nonEmpty).toMap
+    val js = for {
+      (a, ga) <- disc.toSeq; (b, gb) <- disc.toSeq if a < b
+      i = (ga intersect gb).size if i > 0
+    } yield BigDecimal(i.toDouble / (ga.size + gb.size - i))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = js.groupBy(j => math.floor(j * 10) / 10)
+      .map { case (b, g) => (b, g.size.toLong) }.toSet
+    val got = DedupOps.ddJaccardHist(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // consistency: histogram mass at buckets >= 0.2 equals the detector's
+    // pair count (the detector filters on the SAME rounded jaccard)
+    val above = got.filter(_._1 >= 0.2).map(_._2).sum
+    assert(above == DedupOps.ddNgramJaccard(spark, dir).count(),
+      "mass above the 0.2 cut must equal dd_ngram_jaccard's pair count")
+  }
 }

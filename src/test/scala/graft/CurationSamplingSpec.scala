@@ -1054,4 +1054,31 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
   }
+
+  // --------------------------------------------------------------- evt_drift
+  test("evt_drift == plain-Scala midpoint-split replay; shares sum to 1 per half") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000))
+    val (lo, hi) = (evs.map(_._2).min, evs.map(_._2).max)
+    val mid = (lo + hi) / 2 // integer floor, positive epochs
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byType = evs.groupBy(_._1)
+    val totE = evs.count(_._2 <= mid).toDouble
+    val totL = evs.length - totE
+    val want = byType.map { case (t, g) =>
+      val ne = g.count(_._2 <= mid).toLong
+      val nl = g.length - ne
+      (t, ne, nl, r6(ne / totE), r6(nl / totL), r6(nl / totL - ne / totE))
+    }.toSet
+    val got = CurationOps.evtDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(math.abs(got.toSeq.map(_._4).sum - 1.0) < 1e-4, "early shares")
+    assert(math.abs(got.toSeq.map(_._5).sum - 1.0) < 1e-4, "late shares")
+  }
 }
