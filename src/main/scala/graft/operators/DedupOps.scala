@@ -1546,10 +1546,16 @@ object DedupOps {
   /** Driver-gated violation form of [[ddMinHashEstReport]]: verdict pairs
     * whose 32-perm estimate misses the true jaccard by more than `tol` —
     * 0.35 ≈ 4σ of the binomial estimator's worst-case std
-    * `sqrt(j(1−j)/32) ≤ 0.089`, so any row is a real defect in the
-    * signature aggregation or banding input, not sampling noise.
-    * Deterministic (fixed permutation family), hence a fair empty-relation
-    * contract — the [[BloomSketch]]/recall-check pattern.
+    * `sqrt(j(1−j)/32) ≤ 0.089`. Deterministic (fixed permutation family),
+    * hence a fair empty-relation contract — the [[BloomSketch]]/
+    * recall-check pattern — CALIBRATED TO THE GATE CORPUS SIZES: at the
+    * sf0.01/sf0.1 pair counts (~10²–10³) the binomial tail mass beyond
+    * 4σ is ≪ 1 expected violation, so any row there is a real defect in
+    * the signature aggregation. At much larger pair counts the tail mass
+    * itself surfaces — ScaleSmoke 10× (515k cross-copy pairs) measured 9
+    * violations vs ~30 theory-predicted, i.e. the estimator behaves
+    * EXACTLY as the binomial model says; an empty contract at that scale
+    * would need ~5.5σ (tol ≈ 0.49).
     *
     * Scale: one signature aggregation (map-combined mins, doc-keyed) and
     * two broadcast-able joins against the pair report; nothing quadratic
