@@ -1153,6 +1153,38 @@ object CurationOps {
       |    + 0.0 AS share
       |FROM c ORDER BY event_type, hh""".stripMargin
 
+  // ------------------------------------------ engagement distribution
+  /** User-activity histogram: users bucketed by floor(log2(n_events)) —
+    * the engagement power-law read (how heavy is the heavy tail) that
+    * decides whether [[evtSequences]]' per-user cap and the per-user
+    * shuffle need skew handling. Integer-exact buckets via bit length.
+    *
+    * Scale: one user-keyed map-combined count, then a log-bucket rollup
+    * over the |users| frame. */
+  def evtActivityHist(s: SparkSession, dir: String): DataFrame = {
+    // floor(log2(n)) spelled as integer arithmetic: length of the binary
+    // representation minus 1 — no floating log whose boundary could
+    // diverge between engines
+    val lg = (length(conv(col("n_events").cast("string"), 10, 2)) - 1)
+      .cast("long")
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .select(lg.as("log2_bucket"), col("n_events"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("log2_bucket"))
+  }
+
+  val evtActivityHistSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS log2_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------- behavioral drift audit
   /** Early-vs-late behavioral drift: split the event log at the midpoint
     * of its time range and report each event type's within-half share on
@@ -1401,6 +1433,7 @@ object CurationOps {
     "ds_kfold" -> ((s: SparkSession, d: String) => dsKfold(s, d)),
     "txt_collocations" -> ((s: SparkSession, d: String) => txtCollocations(s, d)),
     "evt_drift" -> (evtDrift _),
+    "evt_activity_hist" -> (evtActivityHist _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1430,6 +1463,7 @@ object CurationOps {
     "ds_kfold" -> dsKfoldSql,
     "txt_collocations" -> txtCollocationsSql,
     "evt_drift" -> evtDriftSql,
+    "evt_activity_hist" -> evtActivityHistSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

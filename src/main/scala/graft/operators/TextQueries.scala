@@ -1738,6 +1738,90 @@ object TextQueries {
       |FROM ks JOIN ranked ON r <= k CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- hashed doc embedding
+  /** Feature-hashing document vectors (the hashing trick): every
+    * lowercased token routes to `dim` buckets via a portable md5-derived
+    * hash, per-doc bucket counts come out in LONG form (doc_id, dim,
+    * val), zero buckets omitted — a deterministic bag-of-words embedding
+    * computable with no model and no vocabulary table, the classic
+    * fallback when the embeddings table doesn't exist yet (Weinberger et
+    * al. 2009). Composes with the cosine machinery after a pivot, and
+    * with [[txtVocabCoverage]] as the budget-free alternative.
+    *
+    * Scale: explode → ONE (doc, dim)-keyed map-combined count; output ≤
+    * dim rows per doc. The md5 per distinct token is the cost — at
+    * extreme scale hash once per VOCAB entry and join, same values. */
+  def txtHashEmbed(s: SparkSession, dir: String, dim: Int = 32): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 8),
+      16, 10).cast("long"), lit(dim.toLong))
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"), bucket.as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("val"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  val txtHashEmbedSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % 32
+      |    AS BIGINT) AS dim,
+      |  CAST(COUNT(*) AS BIGINT) AS val
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- source scorecard
+  /** Per-source scorecard: the one-stop rollup a mixture designer scans
+    * before touching weights — volume (docs, tokens), mean doc length,
+    * language spread, and the WITHIN-source exact-duplicate share (a
+    * source that mostly duplicates itself buys fewer tokens than its row
+    * count claims; cross-source dups are [[graft.operators.DedupOps
+    * .ddSourceOverlap]]'s row).
+    *
+    * Scale: one (source, fp)-keyed window + one source-keyed
+    * map-combined rollup. */
+  def srcScorecard(s: SparkSession, dir: String): DataFrame = {
+    val wsf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("fp"))
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(wsf))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (round(avg(col("n_tokens").cast("double")), 6) + 0.0).as("mean_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        (round(sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6) + 0.0).as("dup_share"))
+      .orderBy(col("source"))
+  }
+
+  val srcScorecardSql: String =
+    """WITH f AS (
+      |  SELECT source, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents
+      |), m AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY source, fp) AS n_copies FROM f
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS mean_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  ROUND(CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) + 0.0 AS dup_share
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1765,6 +1849,8 @@ object TextQueries {
     "txt_winnowing" -> ((s: SparkSession, d: String) => txtWinnowing(s, d)),
     "txt_langid_margin" -> (txtLangIdMargin _),
     "txt_vocab_coverage" -> ((s: SparkSession, d: String) => txtVocabCoverage(s, d)),
+    "txt_hash_embed" -> ((s: SparkSession, d: String) => txtHashEmbed(s, d)),
+    "src_scorecard" -> (srcScorecard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1794,5 +1880,7 @@ object TextQueries {
     "txt_winnowing" -> txtWinnowingSql,
     "txt_langid_margin" -> txtLangIdMarginSql,
     "txt_vocab_coverage" -> txtVocabCoverageSql,
+    "txt_hash_embed" -> txtHashEmbedSql,
+    "src_scorecard" -> srcScorecardSql,
   )
 }

@@ -1081,4 +1081,70 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(math.abs(got.toSeq.map(_._4).sum - 1.0) < 1e-4, "early shares")
     assert(math.abs(got.toSeq.map(_._5).sum - 1.0) < 1e-4, "late shares")
   }
+
+  // ---------------------------------------------------------- txt_hash_embed
+  test("txt_hash_embed == plain-Scala hashing-trick replay; mass conserves") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = d.flatMap { case (id, t) =>
+      t.trim.toLowerCase.split("\\s+").map { tok =>
+        (id, java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 32)
+      }
+    }.groupBy(identity).map { case ((id, dm), g) => (id, dm, g.size.toLong) }.toSet
+    val got = graft.operators.TextQueries.txtHashEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // conservation: bucket masses per doc sum to the doc's token count
+    val tokCount = d.map { case (id, t) =>
+      id -> t.trim.split("\\s+").length.toLong }.toMap
+    got.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.toSeq.map(_._3).sum == tokCount(id), s"doc $id mass") }
+  }
+
+  // ------------------------------------------------------------ src_scorecard
+  test("src_scorecard == plain-Scala per-source replay; consistent with pipe_summary") {
+    val d = Tables.load(spark, dir, "documents")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = d.groupBy(_._1).map { case (src, g) =>
+      val toks = g.map(_._3.trim.split("\\s+").length.toLong)
+      val fps = g.map(_._3.trim.toLowerCase.split("\\s+").mkString(" "))
+      val copies = fps.groupBy(identity).map { case (f, x) => f -> x.size }
+      val dups = fps.count(copies(_) > 1).toLong
+      (src, g.length.toLong, toks.sum, r6(toks.sum.toDouble / g.length),
+        g.map(_._2).distinct.length.toLong, dups,
+        r6(dups.toDouble / g.length))
+    }.toSet
+    val got = graft.operators.TextQueries.srcScorecard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // volume totals must agree with the corpus-level pipe_summary row
+    val sum0 = CurationOps.pipeSummary(spark, dir).collect().head
+    assert(got.toSeq.map(_._2).sum == sum0.getLong(0), "doc totals")
+    assert(got.toSeq.map(_._3).sum == sum0.getLong(1), "token totals")
+  }
+
+  // --------------------------------------------------------- evt_activity_hist
+  test("evt_activity_hist == plain-Scala log2 buckets; conserves users and events") {
+    val counts = Tables.load(spark, dir, "events")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (_, g) => g.size.toLong }.toSeq
+    val want = counts.groupBy(n => 63L - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, g) => (b, g.size.toLong, g.sum) }.toSet
+    val got = CurationOps.evtActivityHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.toSeq.map(_._2).sum == counts.length.toLong, "users conserve")
+    assert(got.toSeq.map(_._3).sum == counts.sum, "events conserve")
+  }
 }
