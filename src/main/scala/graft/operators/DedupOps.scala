@@ -248,6 +248,105 @@ object DedupOps {
       |JOIN cnt cb ON id_b = cb.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------- cross-detector agreement report
+  /** Lexical-vs-semantic dedup agreement: classify every near-dup pair by
+    * which detector found it — `both`, `lexical_only` ([[ddNgramJaccard]]
+    * j ≥ 0.2), or `semantic_only` ([[ddEmbeddingCosine]] cos ≥ 0.4) — the
+    * multi-signal policy report behind "do we need both passes?"
+    * (semantic_only = paraphrases the shingle detector misses;
+    * lexical_only = token overlap below the embedding's sensitivity;
+    * both ≈ exact-ish copies). Restricted to ids carried by BOTH tables
+    * (documents ∩ embeddings — [[graft.operators.CurationOps
+    * .pipeIntegrity]] audits the orphans), so the `only` classes measure
+    * detector behavior, not table coverage. Every class row emits, zero
+    * or not.
+    *
+    * Scale: both pair detectors keep their bounded candidate shapes; the
+    * agreement join is pair-frame-sized, the report 3 rows. */
+  def ddSignalAgreement(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"))
+      .join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def restrict(p: DataFrame): DataFrame = p
+      .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val lex = restrict(ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b")))
+      .withColumn("in_lex", lit(1))
+    val sem = restrict(embeddingCosinePairs(s, dir)
+      .select(col("id_a"), col("id_b")))
+      .withColumn("in_sem", lit(1))
+    val classes = lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+      .select(when(col("in_lex").isNotNull && col("in_sem").isNotNull, "both")
+        .when(col("in_lex").isNotNull, "lexical_only")
+        .otherwise("semantic_only").as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_pairs"))
+    val names = s.range(1).select(
+      explode(array(lit("both"), lit("lexical_only"), lit("semantic_only")))
+        .as("verdict"))
+    val report = names.join(classes, Seq("verdict"), "left")
+      .select(col("verdict"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("verdict"))
+      .localCheckpoint()
+    ids.unpersist()
+    report
+  }
+
+  val ddSignalAgreementSql: String =
+    """WITH ids AS (
+      |  SELECT d.doc_id FROM documents d
+      |  JOIN embeddings e ON d.doc_id = e.vec_id
+      |), toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), lex AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |    AND id_a IN (SELECT doc_id FROM ids)
+      |    AND id_b IN (SELECT doc_id FROM ids)
+      |), v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), sem AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.ve, b.ve)
+      |      / (sqrt(list_dot_product(a.ve, a.ve))
+      |         * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
+      |    AND a.vec_id IN (SELECT doc_id FROM ids)
+      |    AND b.vec_id IN (SELECT doc_id FROM ids)
+      |), cls AS (
+      |  SELECT CASE
+      |      WHEN l.id_a IS NOT NULL AND s2.id_a IS NOT NULL THEN 'both'
+      |      WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+      |      ELSE 'semantic_only' END AS verdict
+      |  FROM lex l FULL OUTER JOIN sem s2
+      |    ON l.id_a = s2.id_a AND l.id_b = s2.id_b
+      |), names AS (
+      |  SELECT unnest(['both', 'lexical_only', 'semantic_only']) AS verdict
+      |)
+      |SELECT names.verdict,
+      |  CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs
+      |FROM names LEFT JOIN (
+      |  SELECT verdict, COUNT(*) AS n_pairs FROM cls GROUP BY 1) c
+      |  USING (verdict)
+      |ORDER BY verdict""".stripMargin
+
   // ------------------------------------- asymmetric containment pairs
   /** Shingle-containment near-dup pairs: `C(A→B) = |A∩B| / |A|` over the
     * same df-capped discriminative 3-gram universe as [[ddNgramJaccard]].
@@ -2450,6 +2549,7 @@ object DedupOps {
     "dd_pair_evidence" -> ((s: SparkSession, d: String) => ddPairEvidence(s, d)),
     "dd_minhash_est" -> ((s: SparkSession, d: String) => ddMinHashEst(s, d)),
     "dd_jaccard_hist" -> ((s: SparkSession, d: String) => ddJaccardHist(s, d)),
+    "dd_signal_agreement" -> (ddSignalAgreement _),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2484,6 +2584,7 @@ object DedupOps {
     "dd_pair_evidence" -> ddPairEvidenceSql,
     "dd_minhash_est" -> ddMinHashEstSql,
     "dd_jaccard_hist" -> ddJaccardHistSql,
+    "dd_signal_agreement" -> ddSignalAgreementSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

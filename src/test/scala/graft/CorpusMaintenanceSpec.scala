@@ -963,4 +963,28 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(above == DedupOps.ddNgramJaccard(spark, dir).count(),
       "mass above the 0.2 cut must equal dd_ngram_jaccard's pair count")
   }
+
+  // -------------------------------------------------- dd_signal_agreement
+  test("dd_signal_agreement: classes partition the restricted detector pair sets") {
+    val shared = {
+      val ds = Tables.load(spark, dir, "documents")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val vs = Tables.load(spark, dir, "embeddings")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ds intersect vs
+    }
+    def restrict(p: Array[(Long, Long)]): Set[(Long, Long)] =
+      p.filter(e => shared(e._1) && shared(e._2)).toSet
+    val lex = restrict(DedupOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val sem = restrict(DedupOps.ddEmbeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val got = DedupOps.ddSignalAgreement(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("both", "lexical_only", "semantic_only"))
+    assert(got("both") == (lex intersect sem).size.toLong, "both")
+    assert(got("lexical_only") == (lex diff sem).size.toLong, "lexical_only")
+    assert(got("semantic_only") == (sem diff lex).size.toLong, "semantic_only")
+    assert(got.values.sum == (lex union sem).size.toLong, "partition law")
+  }
 }
