@@ -1185,6 +1185,67 @@ object CurationOps {
       |  CAST(SUM(n_events) AS BIGINT) AS n_events
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- cadence regularity
+  /** Per-user inter-arrival cadence: mean gap and coefficient of
+    * variation (std/mean) over consecutive event gaps in (ts, event_id)
+    * order — the metronome detector (organic users are bursty, cv ≳ 1;
+    * schedulers and bots tick, cv ≈ 0), read next to
+    * [[evtHourlyProfile]] before trusting a user's sequences as human
+    * examples. Gap moments use the DECIMAL discipline with the
+    * [[evtOutliers]] degenerate guards; users need ≥ 2 gaps to emit.
+    *
+    * Scale: ONE user-keyed shuffle shared by the lag window and the
+    * moment aggregation. */
+  def evtCadence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dec = "decimal(30,15)"
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      // moments in SECONDS: a µs gap squared overflows DECIMAL(30,15)'s
+      // 15 integer digits (day-scale gaps → 1e20); cv is scale-invariant
+      .withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1000000.0)
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec)).cast("double").as("s1"),
+        sum((col("gap") * col("gap")).cast(dec)).cast("double").as("s2"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"),
+        (col("s1") / col("n_gaps")).as("m"),
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_gaps")) /
+          (col("n_gaps") - 1).cast("double"), lit(0.0))).as("sd"))
+      .select(col("user_id"), col("n_gaps"),
+        (round(col("m"), 6) + 0.0).as("mean_gap_s"),
+        (round(when(col("m") > 0.0, col("sd") / col("m")).otherwise(0.0), 6)
+          + 0.0).as("cv"))
+      .orderBy(col("user_id"))
+  }
+
+  val evtCadenceSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+      |      / 1000000.0 AS gap
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(CAST(gap AS DECIMAL(30,15))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(gap * gap AS DECIMAL(30,15))) AS DOUBLE) AS s2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |), z AS (
+      |  SELECT user_id, n_gaps, s1 / n_gaps AS mn,
+      |    sqrt(GREATEST((s2 - s1 * s1 / n_gaps)
+      |      / CAST(n_gaps - 1 AS DOUBLE), 0.0)) AS sd
+      |  FROM m WHERE n_gaps >= 2
+      |)
+      |SELECT user_id, n_gaps,
+      |  ROUND(mn, 6) + 0.0 AS mean_gap_s,
+      |  ROUND(CASE WHEN mn > 0.0 THEN sd / mn ELSE 0.0 END, 6) + 0.0 AS cv
+      |FROM z ORDER BY user_id""".stripMargin
+
   // -------------------------------------------- behavioral drift audit
   /** Early-vs-late behavioral drift: split the event log at the midpoint
     * of its time range and report each event type's within-half share on
@@ -1434,6 +1495,7 @@ object CurationOps {
     "txt_collocations" -> ((s: SparkSession, d: String) => txtCollocations(s, d)),
     "evt_drift" -> (evtDrift _),
     "evt_activity_hist" -> (evtActivityHist _),
+    "evt_cadence" -> (evtCadence _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1464,6 +1526,7 @@ object CurationOps {
     "txt_collocations" -> txtCollocationsSql,
     "evt_drift" -> evtDriftSql,
     "evt_activity_hist" -> evtActivityHistSql,
+    "evt_cadence" -> evtCadenceSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

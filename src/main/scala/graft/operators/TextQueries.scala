@@ -1822,6 +1822,63 @@ object TextQueries {
       |    / COUNT(*), 6) + 0.0 AS dup_share
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- signal-redundancy audit
+  /** Pearson correlation between the cheap per-doc quality signals —
+    * token count vs the composite [[graft.functions.TextFunctions
+    * .qualityScore]] — the redundancy audit run before stacking filters
+    * (an |r| near 1 says the second filter buys nothing; near 0 says the
+    * signals cut different documents). All four moment sums route
+    * through DECIMAL(30,15); the final r is assembled from the exact
+    * sums in ONE identical expression on both engines.
+    *
+    * Scale: one map pass, one map-combined 1-row aggregation. */
+  def txtSignalCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    val base = docs(s, dir).select(
+      tokenCount(col("text")).cast("double").as("x"),
+      qualityScore(col("text")).as("y"))
+    base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+      .select(col("n_docs"),
+        (round((col("n_docs") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_docs") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n_docs") * col("syy") - col("sy") * col("sy"))), 6) + 0.0)
+          .as("r_len_quality"))
+  }
+
+  val txtSignalCorrSql: String = {
+    val stops = duckStopCount(duckToks, EnglishStops)
+    val q =
+      s"""ROUND(LEAST(GREATEST(
+         |    LEAST(len($duckToks) / 64.0, 1.0) * 0.5
+         |    + LEAST(($stops * 1.0 / len($duckToks)) * 5.0, 1.0) * 0.4
+         |    + (1.0 - LEAST(((length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g'))) * 1.0
+         |         / GREATEST(length(text), 1)) * 10.0, 1.0)) * 0.1,
+         |    0.0), 1.0), 6)""".stripMargin
+    s"""WITH sig AS (
+       |  SELECT CAST(len($duckToks) AS DOUBLE) AS x, $q AS y
+       |  FROM documents
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy
+       |  FROM sig
+       |)
+       |SELECT n_docs,
+       |  ROUND((n_docs * sxy - sx * sy)
+       |    / (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)),
+       |    6) + 0.0 AS r_len_quality
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1851,6 +1908,7 @@ object TextQueries {
     "txt_vocab_coverage" -> ((s: SparkSession, d: String) => txtVocabCoverage(s, d)),
     "txt_hash_embed" -> ((s: SparkSession, d: String) => txtHashEmbed(s, d)),
     "src_scorecard" -> (srcScorecard _),
+    "txt_signal_corr" -> (txtSignalCorr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1882,5 +1940,6 @@ object TextQueries {
     "txt_vocab_coverage" -> txtVocabCoverageSql,
     "txt_hash_embed" -> txtHashEmbedSql,
     "src_scorecard" -> srcScorecardSql,
+    "txt_signal_corr" -> txtSignalCorrSql,
   )
 }

@@ -1147,4 +1147,67 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == counts.length.toLong, "users conserve")
     assert(got.toSeq.map(_._3).sum == counts.sum, "events conserve")
   }
+
+  // ---------------------------------------------------------- txt_signal_corr
+  test("txt_signal_corr: |r| <= 1 and sign matches a plain-Scala estimate") {
+    val row = graft.operators.TextQueries.txtSignalCorr(spark, dir).collect().head
+    val (n, r) = (row.getLong(0), row.getDouble(1))
+    assert(n == nDocs)
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r=$r out of range")
+    // independent plain-Scala estimate (naive double sums — tolerance-based)
+    val sig = Tables.load(spark, dir, "documents").select("text").collect()
+      .map { rr =>
+        val t = rr.getString(0)
+        val toks = t.trim.split("\\s+")
+        val stop = toks.count(Seq("the", "a", "an", "is", "are", "of", "to",
+          "and", "in", "that", "it").contains).toDouble
+        val punct = t.count("[.,!?;:()-]".toSet.map((c: Char) => c).contains).toDouble
+        val q = math.min(math.max(
+          math.min(toks.length / 64.0, 1.0) * 0.5 +
+            math.min(stop / toks.length * 5.0, 1.0) * 0.4 +
+            (1.0 - math.min(punct / math.max(t.length, 1) * 10.0, 1.0)) * 0.1,
+          0.0), 1.0)
+        (toks.length.toDouble, q)
+      }
+    val nn = sig.length.toDouble
+    val (sx, sy) = (sig.map(_._1).sum, sig.map(_._2).sum)
+    val sxy = sig.map(p => p._1 * p._2).sum
+    val sxx = sig.map(p => p._1 * p._1).sum
+    val syy = sig.map(p => p._2 * p._2).sum
+    val rWant = (nn * sxy - sx * sy) /
+      (math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy))
+    assert(math.abs(r - rWant) < 1e-3, s"r=$r vs plain-Scala $rWant")
+  }
+
+  // -------------------------------------------------------------- evt_cadence
+  test("evt_cadence == plain-Scala gap-moment replay") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(_._1).flatMap { case (u, g) =>
+      val us = g.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = us.zip(us.drop(1)).map(p => (p._2 - p._1).toDouble / 1000000.0)
+      if (gaps.length < 2) None
+      else {
+        val s1 = gaps.map(x => BigDecimal(x)
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val s2 = gaps.map(x => BigDecimal(x * x)
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val n = gaps.length
+        val m = s1 / n
+        val sd = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1).toDouble, 0.0))
+        Some((u, n.toLong, r6(m), r6(if (m > 0.0) sd / m else 0.0)))
+      }
+    }.toSet
+    val got = CurationOps.evtCadence(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    got.foreach { case (u, _, mg, cv) =>
+      assert(mg >= 0.0 && cv >= 0.0, s"user $u") }
+  }
 }
