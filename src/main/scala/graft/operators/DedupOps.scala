@@ -1428,6 +1428,70 @@ object DedupOps {
 
   /** [[ddDedupGroups]]' label table without the report sort — shared with
     * [[ddCanonical]], which destroys ordering in its own grouping. */
+  // ----------------------------------------- group-aware (leak-proof) split
+  /** Leakage-proof dataset split: every document routes to
+    * train/val/test by the md5 bucket of its near-dup COMPONENT
+    * representative, not its own id — so a duplicate group can never
+    * straddle splits BY CONSTRUCTION. This is the fix for what
+    * [[graft.operators.CurationOps.dsSplitLeakage]] measures: that audit
+    * quantifies cross-split near-dup pairs under the naive per-doc
+    * split; this operator makes the count structurally zero for detected
+    * components (pairs below the detector threshold remain the audit's
+    * residual). Bucket mapping is byte-identical to
+    * CurationOps.splitCol (first md5 hex char: <c train, <e val, else
+    * test) so group-split and per-doc split distributions are
+    * comparable. Emits (doc_id, group_rep, split).
+    *
+    * Scale: pays the [[ddDedupGroups]] component subtree; the split
+    * assignment itself is one map-side expression. */
+  def dsGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("group_rep").cast("string").cast("binary")), 1, 1)
+    dedupLabels(s, dir)
+      .select(col("doc_id"), col("group_rep"),
+        when(bucket < "c", "train").when(bucket < "e", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsGroupSplitSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), rare AS (
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS node, doc_id AS root FROM documents
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      |), labs AS (
+      |  SELECT node AS doc_id, MIN(root) AS group_rep FROM reach GROUP BY node
+      |)
+      |SELECT doc_id, group_rep,
+      |  CASE WHEN substring(md5(CAST(group_rep AS VARCHAR)), 1, 1) < 'c'
+      |    THEN 'train'
+      |    WHEN substring(md5(CAST(group_rep AS VARCHAR)), 1, 1) < 'e'
+      |    THEN 'val' ELSE 'test' END AS split
+      |FROM labs ORDER BY doc_id""".stripMargin
+
   private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
     // ngramJaccardPairs returns a checkpointed pair set, so the union's two
     // branches re-read materialized blocks, not the jaccard pipeline; the
@@ -2550,6 +2614,7 @@ object DedupOps {
     "dd_minhash_est" -> ((s: SparkSession, d: String) => ddMinHashEst(s, d)),
     "dd_jaccard_hist" -> ((s: SparkSession, d: String) => ddJaccardHist(s, d)),
     "dd_signal_agreement" -> (ddSignalAgreement _),
+    "ds_group_split" -> (dsGroupSplit _),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2585,6 +2650,7 @@ object DedupOps {
     "dd_minhash_est" -> ddMinHashEstSql,
     "dd_jaccard_hist" -> ddJaccardHistSql,
     "dd_signal_agreement" -> ddSignalAgreementSql,
+    "ds_group_split" -> dsGroupSplitSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

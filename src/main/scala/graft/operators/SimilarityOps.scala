@@ -1115,9 +1115,82 @@ object SimilarityOps {
       |FROM e LEFT JOIN m ON e.src = m.src AND e.dst = m.dst
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- two-NN intrinsic dimension
+  /** Two-NN intrinsic-dimension estimate (Facco et al. 2017) per label
+    * block: for each vector, the euclidean-distance ratio of its 2nd to
+    * 1st nearest neighbor gives `μ`, and the label's MLE is
+    * `d̂ = n / Σ ln μ` — the "how many dimensions does this embedding
+    * space actually use" diagnostic behind compression decisions (PQ
+    * subspaces, JL target dims) and cluster-quality expectations.
+    * Contributions are `½·ln(d²₂/d²₁)` so both engines stay in squared
+    * distances (`‖a‖² + ‖b‖² − 2a·b`, sequential folds); vectors whose
+    * nearest neighbor is EXACTLY coincident (d²₁ = 0, μ undefined) are
+    * excluded and counted — at high exclusion rates the estimate is
+    * dup-noise, which is its own finding. DECIMAL-exact per-label sum.
+    *
+    * Scale: the [[embKnnMutual]] label-blocked pair bound with a top-2
+    * window instead of top-k; the rollup is model-sized. */
+  def embIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("n2", VF.dot(col("ve"), col("ve")))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        (col("a.n2") + col("b.n2") -
+          VF.dot(col("a.ve"), col("b.ve")) * 2).as("d2"))
+    val wk = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    val two = pairs
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= 2)
+      .groupBy(col("label"), col("src"))
+      .agg(max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("d2nd"))
+      .filter(col("d2nd").isNotNull)
+    two.groupBy(col("label"))
+      .agg(sum(when(col("d1") > 0.0, 1L).otherwise(0L)).as("n_used"),
+        sum(when(col("d1") <= 0.0, 1L).otherwise(0L)).as("n_coincident"),
+        sum(when(col("d1") > 0.0,
+          (log(col("d2nd") / col("d1")) * 0.5).cast("decimal(30,15)"))).as("slm"))
+      .select(col("label"), col("n_used"), col("n_coincident"),
+        (round(col("n_used").cast("double") / col("slm").cast("double"), 6)
+          + 0.0).as("d_hat"))
+      .orderBy(col("label"))
+  }
+
+  val embIntrinsicDimSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+      |    list_dot_product(a.ve, a.ve) + list_dot_product(b.ve, b.ve)
+      |      - list_dot_product(a.ve, b.ve) * 2 AS d2
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |), two AS (
+      |  SELECT label, src,
+      |    MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+      |    MAX(CASE WHEN rn = 2 THEN d2 END) AS d2nd
+      |  FROM (SELECT label, src, d2,
+      |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+      |        FROM p) WHERE rn <= 2
+      |  GROUP BY 1, 2 HAVING MAX(CASE WHEN rn = 2 THEN d2 END) IS NOT NULL
+      |)
+      |SELECT label,
+      |  CAST(SUM(CASE WHEN d1 > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+      |  CAST(SUM(CASE WHEN d1 <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_coincident,
+      |  ROUND(CAST(SUM(CASE WHEN d1 > 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN d1 > 0.0
+      |        THEN CAST(ln(d2nd / d1) * 0.5 AS DECIMAL(30,15)) END)
+      |      AS DOUBLE), 6) + 0.0 AS d_hat
+      |FROM two GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
     "emb_knn_mutual" -> ((s: SparkSession, d: String) => embKnnMutual(s, d)),
+    "emb_intrinsic_dim" -> (embIntrinsicDim _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     // annIvf's RAW-corpus output is deliberately not oracle-gated (no
     // honest oracle on an isotropic corpus — see its scaladoc); its
@@ -1143,6 +1216,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> bruteTopKSql,
     "emb_knn_mutual" -> embKnnMutualSql,
+    "emb_intrinsic_dim" -> embIntrinsicDimSql,
     // sim_ann_lsh achieves full top-k recall on the driver corpus (2-bit
     // multi-probe × 8 tables), so the exact top-k IS its oracle — the
     // driver certifies ANN == brute end-to-end every round. Verified exact

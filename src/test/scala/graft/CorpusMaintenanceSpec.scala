@@ -987,4 +987,29 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(got("semantic_only") == (sem diff lex).size.toLong, "semantic_only")
     assert(got.values.sum == (lex union sem).size.toLong, "partition law")
   }
+
+  // ------------------------------------------------------- ds_group_split
+  test("ds_group_split: no near-dup component straddles splits; reps match groups") {
+    val rows = DedupOps.dsGroupSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == corpus.size, "every doc must emit")
+    // within a component, ONE split — by construction
+    rows.groupBy(_._2).foreach { case (rep, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"component $rep straddles") }
+    // reps agree with the dedup-groups operator
+    val want = DedupOps.ddDedupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, rep, _) =>
+      assert(rep == want(id), s"doc $id rep") }
+    // split replays the md5-bucket rule on the rep
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, rep, sp) =>
+      val b = md5hex(rep.toString).head
+      val wantSp = if (b < 'c') "train" else if (b < 'e') "val" else "test"
+      assert(sp == wantSp, s"doc $id split") }
+    // all three splits occupied on this corpus
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
 }

@@ -1210,4 +1210,42 @@ class CurationSamplingSpec extends AnyFunSuite {
     got.foreach { case (u, _, mg, cv) =>
       assert(mg >= 0.0 && cv >= 0.0, s"user $u") }
   }
+
+  // --------------------------------------------------------- emb_intrinsic_dim
+  test("emb_intrinsic_dim == plain-Scala two-NN MLE replay") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var (s0, i) = (0.0, 0); while (i < x.length) { s0 += x(i) * y(i); i += 1 }; s0
+      }
+      dot(a, a) + dot(b, b) - dot(a, b) * 2
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vecs.groupBy(_._2).map { case (lab, g) =>
+      val twos = g.flatMap { case (src, _, va) =>
+        val ds = g.filter(_._1 != src)
+          .map { case (dst, _, vb) => (d2(va, vb), dst) }
+          .sortBy { case (d, dst) => (d, dst) }
+        if (ds.length < 2) None else Some((ds(0)._1, ds(1)._1))
+      }
+      val used = twos.filter(_._1 > 0.0)
+      val slm = used.map { case (d1, dn) =>
+        BigDecimal(math.log(dn / d1) * 0.5)
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (lab, used.size.toLong, (twos.size - used.size).toLong,
+        r6(used.size.toDouble / slm))
+    }.toSet
+    val got = graft.operators.SimilarityOps.embIntrinsicDim(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // sanity: estimated intrinsic dim is positive and at most the ambient 64
+    got.foreach { case (lab, _, _, dh) =>
+      assert(dh > 0.0 && dh < 200.0, s"label $lab d_hat=$dh") }
+  }
 }
