@@ -878,9 +878,75 @@ object SamplingOps {
       |  ROUND(n_tokens / n_copies, 6) + 0.0 AS eff_tokens
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- dedup-aware mixture shares
+  /** Mixture shares on EFFECTIVE tokens: each source's share of the
+    * corpus computed twice — on raw token counts and on
+    * [[sampSoftDedup]]-weighted effective tokens (each doc contributes
+    * `n_tokens/n_copies`) — with the shift between them. The
+    * dup-honesty correction to [[mixWeights]]: a source that mostly
+    * duplicates itself claims a larger raw share than the unique content
+    * it actually brings, and `share_shift` is exactly the overweight a
+    * naive mixture would hand it.
+    *
+    * Scale: one fingerprint-keyed window (the softdedup shape) + one
+    * source-keyed map-combined rollup; totals broadcast. */
+  def mixEffective(s: SparkSession, dir: String): DataFrame = {
+    val wfp = Window.partitionBy(col("fp"))
+    val wAll = Window.partitionBy()
+    docs(s, dir)
+      .select(col("source"), fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("n_copies", count(lit(1)).over(wfp))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("raw_tokens"),
+        (round(sum((col("n_tokens") / col("n_copies"))
+          .cast("decimal(30,15)")).cast("double"), 6) + 0.0).as("eff_tokens"))
+      .withColumn("tot_raw", sum(col("raw_tokens")).over(wAll))
+      .withColumn("tot_eff", sum(col("eff_tokens").cast("decimal(30,15)"))
+        .over(wAll).cast("double"))
+      .select(col("source"), col("raw_tokens"), col("eff_tokens"),
+        (round(col("raw_tokens").cast("double") / col("tot_raw"), 6) + 0.0)
+          .as("raw_share"),
+        (round(col("eff_tokens") / col("tot_eff"), 6) + 0.0).as("eff_share"),
+        (round(col("eff_tokens") / col("tot_eff") -
+          col("raw_tokens").cast("double") / col("tot_raw"), 6) + 0.0)
+          .as("share_shift"))
+      .orderBy(col("source"))
+  }
+
+  val mixEffectiveSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), m AS (
+      |  SELECT source, n_tokens,
+      |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+      |  FROM f
+      |), c AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+      |    ROUND(CAST(SUM(CAST(n_tokens / n_copies AS DECIMAL(30,15)))
+      |      AS DOUBLE), 6) + 0.0 AS eff_tokens
+      |  FROM m GROUP BY 1
+      |), t AS (
+      |  SELECT source, raw_tokens, eff_tokens,
+      |    SUM(raw_tokens) OVER () AS tot_raw,
+      |    CAST(SUM(CAST(eff_tokens AS DECIMAL(30,15))) OVER () AS DOUBLE)
+      |      AS tot_eff
+      |  FROM c
+      |)
+      |SELECT source, raw_tokens, eff_tokens,
+      |  ROUND(CAST(raw_tokens AS DOUBLE) / tot_raw, 6) + 0.0 AS raw_share,
+      |  ROUND(eff_tokens / tot_eff, 6) + 0.0 AS eff_share,
+      |  ROUND(eff_tokens / tot_eff
+      |    - CAST(raw_tokens AS DOUBLE) / tot_raw, 6) + 0.0 AS share_shift
+      |FROM t ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_shuffle" -> ((s: SparkSession, d: String) => dsShuffle(s, d)),
     "samp_softdedup" -> (sampSoftDedup _),
+    "mix_effective" -> (mixEffective _),
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
@@ -897,6 +963,7 @@ object SamplingOps {
   val oracles: Map[String, String] = Map(
     "ds_shuffle" -> dsShuffleSql,
     "samp_softdedup" -> sampSoftDedupSql,
+    "mix_effective" -> mixEffectiveSql,
     "samp_stratified" -> sampStratifiedSql,
     "samp_fixed" -> sampFixedSql,
     "samp_weighted" -> sampWeightedSql,

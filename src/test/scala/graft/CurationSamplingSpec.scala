@@ -1248,4 +1248,24 @@ class CurationSamplingSpec extends AnyFunSuite {
     got.foreach { case (lab, _, _, dh) =>
       assert(dh > 0.0 && dh < 200.0, s"label $lab d_hat=$dh") }
   }
+
+  // ------------------------------------------------------------ mix_effective
+  test("mix_effective: shares sum to 1, shifts sum to 0, dups only lose share") {
+    val rows = SamplingOps.mixEffective(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "raw shares")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "eff shares")
+    assert(math.abs(rows.map(_._6).sum) < 1e-4, "shifts are zero-sum")
+    rows.foreach { case (src, raw, eff, rs, es, shift) =>
+      assert(eff <= raw + 1e-6, s"$src effective cannot exceed raw")
+      assert(math.abs(shift - (es - rs)) < 2e-6, s"$src shift identity")
+    }
+    // consistency with softdedup: per-corpus effective mass must match the
+    // doc-level eff_tokens rollup
+    val docEff = SamplingOps.sampSoftDedup(spark, dir).collect()
+      .map(_.getDouble(4)).sum
+    assert(math.abs(rows.map(_._3).sum - docEff) < 1e-3,
+      "source rollup must equal the doc-level effective-token mass")
+  }
 }
