@@ -1942,6 +1942,47 @@ object DedupOps {
     * Tokens cross a projection boundary before the window transform for
     * the same reason as [[shingleSet]] (inlined `split` re-evaluates per
     * `element_at`). */
+  // ---------------------------------------- cross-source span matrix
+  /** Syndication matrix: for every source pair, how many DISTINCT k-token
+    * windows appear verbatim in BOTH — the "who republishes whom" report
+    * that turns [[ddSubstringSpans]]'s corpus-wide duplication signal
+    * into a per-feed provenance decision (dedup at the source level
+    * before paying doc-level span surgery). Emits (src_a, src_b,
+    * n_windows) for pairs sharing ≥ 1 window, src_a < src_b.
+    *
+    * Scale: reduces to DISTINCT (source, window-hash) FIRST, so the
+    * pair join's bucket per hash is ≤ |sources| rows — bounded
+    * quadratic work per window regardless of how many documents repeat
+    * it; the rollup is a |sources|²-max model agg. */
+  def ddCrossSourceSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val sg = docs(s, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("source"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)), i =>
+          xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))).as("hg"))
+      .distinct()
+    sg.as("a").join(sg.as("b"),
+        col("a.hg") === col("b.hg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val ddCrossSourceSpansSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source, array_to_string(t[pos:pos+7], ' ') AS g
+      |  FROM (SELECT source, unnest(range(1, len(t) - 6)) AS pos, t
+      |        FROM toks WHERE len(t) >= 8)
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** One row per k-token window: (doc_id, pos [1-based], hg [xxhash64 of
     * the space-joined window]). */
   private def windowSites(s: SparkSession, dir: String, k: Int): DataFrame =
@@ -2615,6 +2656,7 @@ object DedupOps {
     "dd_jaccard_hist" -> ((s: SparkSession, d: String) => ddJaccardHist(s, d)),
     "dd_signal_agreement" -> (ddSignalAgreement _),
     "ds_group_split" -> (dsGroupSplit _),
+    "dd_cross_source_spans" -> ((s: SparkSession, d: String) => ddCrossSourceSpans(s, d)),
     "dd_dedup_groups" -> (ddDedupGroups _),
     "dd_canonical" -> (ddCanonical _),
     "dd_semdedup" -> (ddSemDedup _),
@@ -2651,6 +2693,7 @@ object DedupOps {
     "dd_jaccard_hist" -> ddJaccardHistSql,
     "dd_signal_agreement" -> ddSignalAgreementSql,
     "ds_group_split" -> dsGroupSplitSql,
+    "dd_cross_source_spans" -> ddCrossSourceSpansSql,
     "dd_dedup_groups" -> ddDedupGroupsSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_semdedup" -> ddSemDedupSql,

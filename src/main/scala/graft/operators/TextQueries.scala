@@ -1879,6 +1879,51 @@ object TextQueries {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------ split-half cohesion
+  /** Split-half topical cohesion: jaccard between the distinct token sets
+    * of a document's first and second halves — near 0 flags
+    * concatenated-unrelated-content documents (the crawl-artifact class
+    * where two pages landed in one record), which every whole-doc quality
+    * signal scores as average. Set ops spell as
+    * `filter(distinct, contains)` on both engines so intersection
+    * semantics can't diverge. Emits (doc_id, n_tokens, cohesion).
+    *
+    * Scale: pure map-side array math, no shuffle. */
+  def txtCohesion(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      tokens(lower(col("text"))).as("toks"))
+    val n = size(col("toks"))
+    val k = (n / 2).cast("int")
+    val a = array_distinct(slice(col("toks"), lit(1), k))
+    val b = array_distinct(slice(col("toks"), k + 1, n - k))
+    val inter = size(filter(a, t => array_contains(b, t)))
+    val uni = size(a) + size(b) - inter
+    d.select(col("doc_id"), n.cast("long").as("n_tokens"),
+        (round(inter.cast("double") / greatest(uni, lit(1)).cast("double"), 6)
+          + 0.0).as("cohesion"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtCohesionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    list_distinct(toks[1:len(toks)//2]) AS a,
+      |    list_distinct(toks[len(toks)//2+1:len(toks)]) AS b
+      |  FROM t
+      |), j AS (
+      |  SELECT doc_id, n,
+      |    len(list_filter(a, x -> list_contains(b, x))) AS i,
+      |    len(a) + len(b) - len(list_filter(a, x -> list_contains(b, x))) AS u
+      |  FROM h
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(i AS DOUBLE) / CAST(GREATEST(u, 1) AS DOUBLE), 6) + 0.0
+      |    AS cohesion
+      |FROM j ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1909,6 +1954,7 @@ object TextQueries {
     "txt_hash_embed" -> ((s: SparkSession, d: String) => txtHashEmbed(s, d)),
     "src_scorecard" -> (srcScorecard _),
     "txt_signal_corr" -> (txtSignalCorr _),
+    "txt_cohesion" -> (txtCohesion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1941,5 +1987,6 @@ object TextQueries {
     "txt_hash_embed" -> txtHashEmbedSql,
     "src_scorecard" -> srcScorecardSql,
     "txt_signal_corr" -> txtSignalCorrSql,
+    "txt_cohesion" -> txtCohesionSql,
   )
 }

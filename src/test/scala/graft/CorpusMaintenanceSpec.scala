@@ -1012,4 +1012,47 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     // all three splits occupied on this corpus
     assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
+
+  // -------------------------------------------------- dd_cross_source_spans
+  test("dd_cross_source_spans == plain-Scala distinct-window pair replay") {
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = corpus.toSeq.groupBy(p => srcOf(p._1)).map { case (src, g) =>
+      src -> g.flatMap { case (_, t) =>
+        val toks = t.trim.split("\\s+")
+        if (toks.length < 8) Seq.empty
+        else toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSeq
+      }.toSet
+    }
+    val want = (for {
+      (a, ga) <- bySrc.toSeq; (b, gb) <- bySrc.toSeq if a < b
+      i = (ga intersect gb).size if i > 0
+    } yield (a, b, i.toLong)).toSet
+    val got = DedupOps.ddCrossSourceSpans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "planted cross-source duplication should surface")
+  }
+
+  // ------------------------------------------------------------ txt_cohesion
+  test("txt_cohesion == plain-Scala split-half jaccard replay") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = corpus.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+")
+      val k = toks.length / 2
+      val (a, b) = (toks.take(k).toSet, toks.drop(k).toSet)
+      val i = (a intersect b).size
+      val u = a.size + b.size - i
+      (id, toks.length.toLong, r6(i.toDouble / math.max(u, 1)))
+    }.toSet
+    val got = graft.operators.TextQueries.txtCohesion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    got.foreach { case (id, _, c) =>
+      assert(c >= 0.0 && c <= 1.0, s"doc $id cohesion $c") }
+  }
 }
