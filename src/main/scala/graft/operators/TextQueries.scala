@@ -1924,6 +1924,55 @@ object TextQueries {
       |    AS cohesion
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- template-header census
+  /** Template-header detection: per source, how many documents open with
+    * the SAME first `k` tokens as at least one other document of that
+    * source — the boilerplate-header signature of templated feeds (news
+    * wrappers, forum scaffolding) that [[txtBoilerplate]]'s position-free
+    * census dilutes. Emits (source, n_docs, n_templated, share); docs
+    * shorter than k tokens don't participate (counted in n_docs of the
+    * table they belong to only when long enough to have a header).
+    *
+    * Scale: one map-side header hash + a (source, header)-keyed window
+    * + a source-keyed model rollup. */
+  def txtTemplateHeaders(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val heads = docs(s, dir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("source"), col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("toks"), 1, k))).as("hh"))
+    heads
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("hh"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_same") >= 2, 1L).otherwise(0L)).as("n_templated"))
+      .select(col("source"), col("n_docs"), col("n_templated"),
+        (round(col("n_templated").cast("double") / col("n_docs"), 6) + 0.0)
+          .as("share"))
+      .orderBy(col("source"))
+  }
+
+  val txtTemplateHeadersSql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ')
+      |      AS hd
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8
+      |), m AS (
+      |  SELECT source, doc_id,
+      |    COUNT(*) OVER (PARTITION BY source, hd) AS n_same
+      |  FROM h
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_same >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_templated,
+      |  ROUND(CAST(SUM(CASE WHEN n_same >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) + 0.0 AS share
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -1955,6 +2004,7 @@ object TextQueries {
     "src_scorecard" -> (srcScorecard _),
     "txt_signal_corr" -> (txtSignalCorr _),
     "txt_cohesion" -> (txtCohesion _),
+    "txt_template_headers" -> ((s: SparkSession, d: String) => txtTemplateHeaders(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1988,5 +2038,6 @@ object TextQueries {
     "src_scorecard" -> srcScorecardSql,
     "txt_signal_corr" -> txtSignalCorrSql,
     "txt_cohesion" -> txtCohesionSql,
+    "txt_template_headers" -> txtTemplateHeadersSql,
   )
 }

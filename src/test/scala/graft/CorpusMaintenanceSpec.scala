@@ -1055,4 +1055,29 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     got.foreach { case (id, _, c) =>
       assert(c >= 0.0 && c <= 1.0, s"doc $id cohesion $c") }
   }
+
+  // ----------------------------------------------------- txt_template_headers
+  test("txt_template_headers == plain-Scala header-census replay") {
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val heads = corpus.toSeq.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 8) None
+      else Some((srcOf(id), toks.take(8).mkString(" ")))
+    }
+    val want = heads.groupBy(_._1).map { case (src, g) =>
+      val byHd = g.groupBy(_._2).map { case (_, x) => x.size }
+      val templated = byHd.filter(_ >= 2).sum.toLong
+      (src, g.size.toLong, templated, r6(templated.toDouble / g.size))
+    }.toSet
+    val got = graft.operators.TextQueries.txtTemplateHeaders(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
 }
