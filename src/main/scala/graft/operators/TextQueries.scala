@@ -1973,6 +1973,77 @@ object TextQueries {
       |    / COUNT(*), 6) + 0.0 AS share
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- language confusion matrix
+  /** Labeled-vs-predicted language confusion: the `lang` column the corpus
+    * SHIPS WITH against [[txtLangId]]'s marker-model prediction, as a
+    * (lang, lang_pred, n_docs) matrix — the label-quality audit that
+    * decides whether the shipped metadata or the detector routes
+    * documents (on this synthetic corpus the columns are independent, so
+    * the matrix honestly shows near-uniform rows — which is the finding).
+    * Prediction arithmetic is IDENTICAL to txt_langid's (same
+    * score-boundary projection, same argmax priority).
+    *
+    * Scale: one map pass + a |langs|²-max map-combined count. */
+  def txtLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id") +: col("lang") +:
+      LangMarkers.map { case (l, m) => markerCount(col("text"), m).as(s"s_$l") }: _*)
+    val pred = langIdFromScores(LangMarkers.map { case (l, _) => l -> col(s"s_$l") })
+    scored.select(col("lang"), pred.as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val txtLangConfusionSql: String = {
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      lang -> duckStopCount(duckToks, markers)
+    }
+    val best = s"GREATEST(${scoreExprs.map(_._2).mkString(", ")})"
+    val cases = scoreExprs.map { case (lang, sc) =>
+      s"WHEN $sc > 0 AND $sc = $best THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       |  SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM documents
+       |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------- byte-hygiene scan
+  /** Encoding/byte-hygiene gate: per source, documents containing
+    * control characters (C0 except tab/newline), non-ASCII bytes, or the
+    * U+FFFD replacement character — the mojibake/binary-contamination
+    * screen run at ingest before any tokenizer sees the stream. A clean
+    * corpus reports zeros; the operator IS the gate that proves it.
+    *
+    * Scale: three codegen'd regexp_counts per row, one source-keyed
+    * map-combined rollup. */
+  def txtEncodingScan(s: SparkSession, dir: String): DataFrame = {
+    val ctrl = regexp_count(col("text"), lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+    val nonAscii = regexp_count(col("text"), lit("[^\\x00-\\x7f]"))
+    val repl = regexp_count(col("text"), lit("�"))
+    docs(s, dir)
+      .select(col("source"),
+        when(ctrl > 0, 1L).otherwise(0L).as("has_ctrl"),
+        when(nonAscii > 0, 1L).otherwise(0L).as("has_nonascii"),
+        when(repl > 0, 1L).otherwise(0L).as("has_replacement"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_ctrl")).as("n_ctrl"),
+        sum(col("has_nonascii")).as("n_nonascii"),
+        sum(col("has_replacement")).as("n_replacement"))
+      .orderBy(col("source"))
+  }
+
+  val txtEncodingScanSql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+      |    '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ctrl,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+      |    '[^\x00-\x7f]')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+      |    '�')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
     "txt_quality" -> (txtQuality _),
@@ -2005,6 +2076,8 @@ object TextQueries {
     "txt_signal_corr" -> (txtSignalCorr _),
     "txt_cohesion" -> (txtCohesion _),
     "txt_template_headers" -> ((s: SparkSession, d: String) => txtTemplateHeaders(s, d)),
+    "txt_lang_confusion" -> (txtLangConfusion _),
+    "txt_encoding_scan" -> (txtEncodingScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2039,5 +2112,7 @@ object TextQueries {
     "txt_signal_corr" -> txtSignalCorrSql,
     "txt_cohesion" -> txtCohesionSql,
     "txt_template_headers" -> txtTemplateHeadersSql,
+    "txt_lang_confusion" -> txtLangConfusionSql,
+    "txt_encoding_scan" -> txtEncodingScanSql,
   )
 }

@@ -1080,4 +1080,42 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
   }
+
+  // ----------------------------------------------------- txt_lang_confusion
+  test("txt_lang_confusion: marginals match txt_langid and the corpus labels") {
+    val rows = graft.operators.TextQueries.txtLangConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == corpus.size.toLong, "matrix must cover corpus")
+    // predicted marginal == txt_langid's distribution
+    val predMarg = rows.groupBy(_._2).map { case (p, g) => p -> g.map(_._3).sum }
+    val langid = graft.operators.TextQueries.txtLangId(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(predMarg == langid, s"$predMarg != $langid")
+    // labeled marginal == the shipped lang column counts
+    val labMarg = rows.groupBy(_._1).map { case (l, g) => l -> g.map(_._3).sum }
+    val shipped = Tables.load(spark, dir, "documents")
+      .select("lang").collect().map(_.getString(0))
+      .groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    assert(labMarg == shipped)
+  }
+
+  // ------------------------------------------------------ txt_encoding_scan
+  test("txt_encoding_scan == plain-Scala byte scan; doc counts conserve") {
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = corpus.toSeq.groupBy(p => srcOf(p._1)).map { case (src, g) =>
+      val ctrl = g.count(_._2.exists(c =>
+        c < 0x20 && c != '\t' && c != '\n' && c != '\r')).toLong
+      val nonAscii = g.count(_._2.exists(_ > 0x7f)).toLong
+      val repl = g.count(_._2.contains('�')).toLong
+      (src, g.size.toLong, ctrl, nonAscii, repl)
+    }.toSet
+    val got = graft.operators.TextQueries.txtEncodingScan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got.toSeq.map(_._2).sum == corpus.size.toLong)
+  }
 }
