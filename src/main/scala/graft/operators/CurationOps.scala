@@ -1246,6 +1246,63 @@ object CurationOps {
       |  ROUND(CASE WHEN mn > 0.0 THEN sd / mn ELSE 0.0 END, 6) + 0.0 AS cv
       |FROM z ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------- sessionization sweep
+  /** Session-gap threshold sweep: total session count and mean
+    * events-per-session at a ladder of inactivity gaps (15 m / 30 m /
+    * 60 m) — how you PICK the [[graft.operators.RelationalQueries
+    * .q38Sessionize]] gap: the knee where halving the threshold stops
+    * splitting sessions. One lag pass computes every per-user gap; each
+    * ladder rung is a conditional count over the same frame (sessions =
+    * users + gaps-exceeding-threshold — the textbook identity).
+    *
+    * Scale: ONE user-keyed lag shuffle; the sweep is three conditional
+    * sums in one map-combined aggregation. */
+  def evtGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val thrs = Seq(900L, 1800L, 3600L)
+    val g = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+    val aggs = countDistinct(col("user_id")).as("nu") +:
+      count(lit(1)).as("ne") +:
+      thrs.map(t => sum(when(col("gap") > t * 1000000L, 1L).otherwise(0L))
+        .as(s"c$t"))
+    val a = g.agg(aggs.head, aggs.tail: _*)
+    val entries = thrs.map { t =>
+      struct(lit(t).as("gap_s"), (col("nu") + col(s"c$t")).as("n_sessions"),
+        col("ne").as("ne"))
+    }
+    a.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.gap_s").as("gap_s"), col("e.n_sessions").as("n_sessions"),
+        (round(col("e.ne").cast("double") / col("e.n_sessions"), 6) + 0.0)
+          .as("events_per_session"))
+      .orderBy(col("gap_s"))
+  }
+
+  val evtGapSweepSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events
+      |), m AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+      |    CAST(COUNT(*) AS BIGINT) AS ne,
+      |    CAST(SUM(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS c900,
+      |    CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS c1800,
+      |    CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS c3600
+      |  FROM g
+      |)
+      |SELECT CAST(t.gap_s AS BIGINT) AS gap_s,
+      |  CAST(nu + CASE t.gap_s WHEN 900 THEN c900 WHEN 1800 THEN c1800
+      |    ELSE c3600 END AS BIGINT) AS n_sessions,
+      |  ROUND(CAST(ne AS DOUBLE) / (nu + CASE t.gap_s WHEN 900 THEN c900
+      |    WHEN 1800 THEN c1800 ELSE c3600 END), 6) + 0.0
+      |    AS events_per_session
+      |FROM m CROSS JOIN (SELECT unnest([900, 1800, 3600]) AS gap_s) t
+      |ORDER BY gap_s""".stripMargin
+
   // -------------------------------------------- behavioral drift audit
   /** Early-vs-late behavioral drift: split the event log at the midpoint
     * of its time range and report each event type's within-half share on
@@ -1496,6 +1553,7 @@ object CurationOps {
     "evt_drift" -> (evtDrift _),
     "evt_activity_hist" -> (evtActivityHist _),
     "evt_cadence" -> (evtCadence _),
+    "evt_gap_sweep" -> (evtGapSweep _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1527,6 +1585,7 @@ object CurationOps {
     "evt_drift" -> evtDriftSql,
     "evt_activity_hist" -> evtActivityHistSql,
     "evt_cadence" -> evtCadenceSql,
+    "evt_gap_sweep" -> evtGapSweepSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

@@ -878,6 +878,82 @@ object SamplingOps {
       |  ROUND(n_tokens / n_copies, 6) + 0.0 AS eff_tokens
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ temperature-ladder sweep
+  /** Temperature ladder for the mixture designer: for each τ, the
+    * DIVERSITY summary of the τ-scaled source weights — effective source
+    * count `exp(−Σ w·ln w)` (perplexity of the weight distribution) and
+    * the heaviest single-source weight. τ=1 is the natural mix; lower τ
+    * flattens. Read next to [[sampTemperature]] (which emits the weights
+    * themselves at fixed τ): the sweep is how you PICK τ — the smallest
+    * flattening that brings eff_sources where you want it. Entropy
+    * contributions route through DECIMAL(30,15).
+    *
+    * Scale: everything after the per-source token agg is model-sized
+    * (|sources| × |ladder|). */
+  def mixTempSweep(s: SparkSession, dir: String): DataFrame = {
+    val taus = Seq(0.3, 0.5, 0.7, 1.0)
+    val perSrc = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val share = col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+    val powed = perSrc.crossJoin(broadcast(tot))
+      .select(col("source") +: taus.map { t =>
+        exp(lit(t) * log(share)).cast("decimal(30,15)").as(s"p${(t * 10).toInt}")
+      }: _*)
+    val z = powed.agg(
+      taus.map(t => sum(col(s"p${(t * 10).toInt}")).as(s"z${(t * 10).toInt}")).head,
+      taus.tail.map(t => sum(col(s"p${(t * 10).toInt}")).as(s"z${(t * 10).toInt}")): _*)
+    val entries = taus.map { t =>
+      val k = (t * 10).toInt
+      val w = col(s"p$k").cast("double") / col(s"z$k").cast("double")
+      struct(lit(t).as("tau"),
+        (w * log(w)).cast("decimal(30,15)").as("wlw"),
+        w.as("w"))
+    }
+    powed.crossJoin(broadcast(z))
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.tau").as("tau"), col("e.wlw").as("wlw"), col("e.w").as("w"))
+      .groupBy(col("tau"))
+      .agg((round(exp(-sum(col("wlw")).cast("double")), 6) + 0.0)
+        .as("eff_sources"),
+        (round(max(col("w")), 6) + 0.0).as("max_w"))
+      .orderBy(col("tau"))
+  }
+
+  val mixTempSweepSql: String =
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_src
+      |), powed AS (
+      |  SELECT source,
+      |    CAST(exp(0.3 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS DECIMAL(30,15)) AS p3,
+      |    CAST(exp(0.5 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS DECIMAL(30,15)) AS p5,
+      |    CAST(exp(0.7 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS DECIMAL(30,15)) AS p7,
+      |    CAST(exp(1.0 * ln(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))) AS DECIMAL(30,15)) AS p10
+      |  FROM per_src CROSS JOIN tot
+      |), z AS (
+      |  SELECT SUM(p3) AS z3, SUM(p5) AS z5, SUM(p7) AS z7, SUM(p10) AS z10
+      |  FROM powed
+      |), e AS (
+      |  SELECT tau,
+      |    CASE tau WHEN 0.3 THEN CAST(p3 AS DOUBLE) / CAST(z3 AS DOUBLE)
+      |      WHEN 0.5 THEN CAST(p5 AS DOUBLE) / CAST(z5 AS DOUBLE)
+      |      WHEN 0.7 THEN CAST(p7 AS DOUBLE) / CAST(z7 AS DOUBLE)
+      |      ELSE CAST(p10 AS DOUBLE) / CAST(z10 AS DOUBLE) END AS w
+      |  FROM powed CROSS JOIN z
+      |  CROSS JOIN (SELECT unnest([0.3, 0.5, 0.7, 1.0]) AS tau) t
+      |)
+      |SELECT tau,
+      |  ROUND(exp(-CAST(SUM(CAST(w * ln(w) AS DECIMAL(30,15))) AS DOUBLE)),
+      |    6) + 0.0 AS eff_sources,
+      |  ROUND(MAX(w), 6) + 0.0 AS max_w
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------- dedup-aware mixture shares
   /** Mixture shares on EFFECTIVE tokens: each source's share of the
     * corpus computed twice — on raw token counts and on
@@ -947,6 +1023,7 @@ object SamplingOps {
     "ds_shuffle" -> ((s: SparkSession, d: String) => dsShuffle(s, d)),
     "samp_softdedup" -> (sampSoftDedup _),
     "mix_effective" -> (mixEffective _),
+    "mix_temp_sweep" -> (mixTempSweep _),
     "samp_stratified" -> (sampStratified _),
     "samp_fixed" -> ((s: SparkSession, d: String) => sampFixed(s, d)),
     "samp_weighted" -> ((s: SparkSession, d: String) => sampWeighted(s, d)),
@@ -964,6 +1041,7 @@ object SamplingOps {
     "ds_shuffle" -> dsShuffleSql,
     "samp_softdedup" -> sampSoftDedupSql,
     "mix_effective" -> mixEffectiveSql,
+    "mix_temp_sweep" -> mixTempSweepSql,
     "samp_stratified" -> sampStratifiedSql,
     "samp_fixed" -> sampFixedSql,
     "samp_weighted" -> sampWeightedSql,

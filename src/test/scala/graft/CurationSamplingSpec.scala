@@ -1268,4 +1268,69 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_._3).sum - docEff) < 1e-3,
       "source rollup must equal the doc-level effective-token mass")
   }
+
+  // ------------------------------------------------------------ mix_temp_sweep
+  test("mix_temp_sweep == plain-Scala ladder replay; flattening laws hold") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val perSrc = toks.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).sum }
+    val tot = perSrc.values.sum.toDouble
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d15(x: Double): BigDecimal = BigDecimal(x)
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    val want = Seq(0.3, 0.5, 0.7, 1.0).map { tau =>
+      val p = perSrc.map { case (s0, n) =>
+        s0 -> d15(math.exp(tau * math.log(n / tot))) }
+      val z = p.values.sum.toDouble
+      val w = p.map { case (s0, pv) => s0 -> pv.toDouble / z }
+      val h = w.values.map(x => d15(x * math.log(x))).sum.toDouble
+      (tau, r6(math.exp(-h)), r6(w.values.max))
+    }.toSet
+    val got = SamplingOps.mixTempSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // flattening laws: lower tau -> more effective sources, smaller max weight
+    val curve = got.toSeq.sortBy(_._1)
+    curve.sliding(2).withFilter(_.length == 2).foreach { p =>
+      assert(p(0)._2 >= p(1)._2 - 1e-9, s"eff_sources dips at tau=${p(1)._1}")
+      assert(p(0)._3 <= p(1)._3 + 1e-9, s"max_w rises at tau=${p(1)._1}")
+    }
+    val nSrc = perSrc.size.toDouble
+    curve.foreach { case (tau, eff, _) =>
+      assert(eff <= nSrc + 1e-6, s"tau=$tau eff_sources exceeds source count") }
+  }
+
+  // ------------------------------------------------------------ evt_gap_sweep
+  test("evt_gap_sweep == plain-Scala session-count replay; monotone in gap") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gaps = evs.groupBy(_._1).values.flatMap { g =>
+      val us = g.sortBy(e => (e._2, e._3)).map(_._2)
+      us.zip(us.drop(1)).map(p => p._2 - p._1)
+    }.toSeq
+    val nu = evs.map(_._1).distinct.length.toLong
+    val ne = evs.length.toLong
+    val want = Seq(900L, 1800L, 3600L).map { t =>
+      val ns = nu + gaps.count(_ > t * 1000000L)
+      (t, ns, r6(ne.toDouble / ns))
+    }.toSet
+    val got = CurationOps.evtGapSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    val curve = got.toSeq.sortBy(_._1)
+    curve.sliding(2).withFilter(_.length == 2).foreach { p =>
+      assert(p(0)._2 >= p(1)._2, s"session count rises at gap=${p(1)._1}") }
+    // the 1800 s rung must agree with q38's sessionization (same gap)
+    val q38 = graft.operators.RelationalQueries.q38Sessionize(spark, dir).count()
+    assert(curve.find(_._1 == 1800L).get._2 == q38,
+      "30-minute rung must equal the sessionize table's session count")
+  }
 }
