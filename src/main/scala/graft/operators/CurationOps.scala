@@ -1246,6 +1246,49 @@ object CurationOps {
       |  ROUND(CASE WHEN mn > 0.0 THEN sd / mn ELSE 0.0 END, 6) + 0.0 AS cv
       |FROM z ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------- value profile table
+  /** Per-type value profile: n / mean / sd / min / max of the `value`
+    * stream per event type — the compact report [[evtOutliers]] derives
+    * its thresholds from, emitted as a table so dashboards and drift
+    * checks read the SAME moments the outlier screen uses (identical
+    * DECIMAL spelling and degenerate guards). */
+  def evtValueProfile(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,15)"
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(dec)).cast("double").as("s2"),
+        (round(min(col("value")), 6) + 0.0).as("min_value"),
+        (round(max(col("value")), 6) + 0.0).as("max_value"))
+      .select(col("event_type"), col("n_events"),
+        (round(col("s1") / col("n_events"), 6) + 0.0).as("mean_value"),
+        (round(when(col("n_events") > 1,
+          sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_events")) /
+            (col("n_events") - 1).cast("double"), lit(0.0))))
+          .otherwise(0.0), 6) + 0.0).as("sd_value"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val evtValueProfileSql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,15))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(30,15))) AS DOUBLE) AS s2,
+      |    ROUND(MIN(value), 6) + 0.0 AS min_value,
+      |    ROUND(MAX(value), 6) + 0.0 AS max_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, n_events,
+      |  ROUND(s1 / n_events, 6) + 0.0 AS mean_value,
+      |  ROUND(CASE WHEN n_events > 1 THEN
+      |    sqrt(GREATEST((s2 - s1 * s1 / n_events)
+      |      / CAST(n_events - 1 AS DOUBLE), 0.0)) ELSE 0.0 END, 6) + 0.0
+      |    AS sd_value,
+      |  min_value, max_value
+      |FROM m ORDER BY event_type""".stripMargin
+
   // -------------------------------------------- sessionization sweep
   /** Session-gap threshold sweep: total session count and mean
     * events-per-session at a ladder of inactivity gaps (15 m / 30 m /
@@ -1554,6 +1597,7 @@ object CurationOps {
     "evt_activity_hist" -> (evtActivityHist _),
     "evt_cadence" -> (evtCadence _),
     "evt_gap_sweep" -> (evtGapSweep _),
+    "evt_value_profile" -> (evtValueProfile _),
     "evt_transitions" -> (evtTransitions _),
     "evt_outliers" -> ((s: SparkSession, d: String) => evtOutliers(s, d)),
     "evt_hourly_profile" -> (evtHourlyProfile _),
@@ -1586,6 +1630,7 @@ object CurationOps {
     "evt_activity_hist" -> evtActivityHistSql,
     "evt_cadence" -> evtCadenceSql,
     "evt_gap_sweep" -> evtGapSweepSql,
+    "evt_value_profile" -> evtValueProfileSql,
     "txt_bpe_apply" -> txtBpeApplySql,
     "txt_bpe_train" -> txtBpeTrainSql,
     "txt_quality_cal" -> txtQualityCalSql,

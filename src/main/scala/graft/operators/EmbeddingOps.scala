@@ -1119,9 +1119,52 @@ object EmbeddingOps {
       |    AS n_confused
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ inter-centroid similarity
+  /** Inter-centroid cosine matrix: pairwise similarity of the label
+    * centroids (upper triangle) — WHICH labels are confusable, the
+    * pair-grain companion to [[embLabelMargin]]'s per-label rollup (a
+    * high-cosine centroid pair explains exactly where that audit's
+    * confused vectors go). Rounded-centroid discipline shared with
+    * [[embAssign]] so the cosines are bit-identical across engines.
+    *
+    * Scale: the matrix is |labels|²/2 rows of model state — the pair join
+    * runs on the broadcastable centroid frame, never the corpus. */
+  def embCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(
+      centroidRows(emb(s, dir)).withColumnRenamed("label", "c_label"), "c_label")
+    cents.as("a").join(cents.as("b"), col("a.c_label") < col("b.c_label"))
+      .select(col("a.c_label").as("label_a"), col("b.c_label").as("label_b"),
+        (round(VF.dot(col("a.cv"), col("b.cv")) /
+          (col("a.cnrm") * col("b.cnrm")), 6) + 0.0).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val embCentroidSimSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(30,15)) AS xd
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label, dim,
+      |    ROUND(CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cents AS (
+      |  SELECT label, list(c ORDER BY dim) AS cv,
+      |    sqrt(list_dot_product(list(c ORDER BY dim), list(c ORDER BY dim)))
+      |      AS cnrm
+      |  FROM comp GROUP BY label
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  ROUND(list_dot_product(a.cv, b.cv) / (a.cnrm * b.cnrm), 6) + 0.0
+      |    AS cos
+      |FROM cents a JOIN cents b ON a.label < b.label
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_hist" -> (embNormHist _),
     "emb_label_margin" -> (embLabelMargin _),
+    "emb_centroid_sim" -> (embCentroidSim _),
     "samp_coreset" -> ((s: SparkSession, d: String) => sampCoreset(s, d)),
     "emb_centroid_drift" -> (embCentroidDrift _),
     "emb_quant_error" -> (embQuantError _),
@@ -1141,6 +1184,7 @@ object EmbeddingOps {
   val oracles: Map[String, String] = Map(
     "emb_norm_hist" -> embNormHistSql,
     "emb_label_margin" -> embLabelMarginSql,
+    "emb_centroid_sim" -> embCentroidSimSql,
     "samp_coreset" -> sampCoresetSql,
     "emb_centroid_drift" -> embCentroidDriftSql,
     "emb_quant_error" -> embQuantErrorSql,

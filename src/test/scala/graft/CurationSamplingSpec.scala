@@ -1333,4 +1333,59 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(curve.find(_._1 == 1800L).get._2 == q38,
       "30-minute rung must equal the sessionize table's session count")
   }
+
+  // ---------------------------------------------------------- emb_centroid_sim
+  test("emb_centroid_sim == plain-Scala rounded-centroid cosine replay") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val dims = vecs.head._2.length
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.groupBy(_._1).map { case (lab, g) =>
+      lab -> Array.tabulate(dims) { d =>
+        r6(g.map(v => BigDecimal(v._2(d)).setScale(15,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g.size)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (s0, i) = (0.0, 0); while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+    }
+    val want = (for {
+      (a, ca) <- cents.toSeq; (b, cb) <- cents.toSeq if a < b
+    } yield (a, b, r6(dot(ca, cb) /
+      (math.sqrt(dot(ca, ca)) * math.sqrt(dot(cb, cb)))))).toSet
+    val got = EmbeddingOps.embCentroidSim(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    val k = cents.size
+    assert(got.size == k * (k - 1) / 2, "full upper triangle must emit")
+  }
+
+  // --------------------------------------------------------- evt_value_profile
+  test("evt_value_profile == plain-Scala moment replay; bounds hold") {
+    val evs = Tables.load(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(_._1).map { case (t, g) =>
+      val n = g.length
+      val s1 = g.map(e => BigDecimal(e._2)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s2 = g.map(e => BigDecimal(e._2 * e._2)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val sd = if (n > 1)
+        math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1).toDouble, 0.0)) else 0.0
+      (t, n.toLong, r6(s1 / n), r6(sd), r6(g.map(_._2).min), r6(g.map(_._2).max))
+    }.toSet
+    val got = CurationOps.evtValueProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    got.foreach { case (t, _, m, sd, lo, hi) =>
+      assert(sd >= 0.0 && lo <= m + 1e-9 && m <= hi + 1e-9, s"type $t bounds") }
+  }
 }
