@@ -1521,8 +1521,10 @@ object CurationOps {
     * tokenizer, or template detection when pmi is implausibly high).
     *
     * Scale: pair counts and unigram counts both map-combine; the PMI join
-    * is vocabulary-keyed twice; the global top-k sorts the SURVIVOR frame
-    * (support-filtered, vocabulary-bounded), not the corpus. */
+    * is vocabulary-keyed twice; the global top-k is a TakeOrdered head
+    * over the SURVIVOR frame (support-filtered, vocabulary-bounded) —
+    * per-partition heaps, no global sort — and only the ≤`top`-row head
+    * is ever ranked. */
   def txtCollocations(s: SparkSession, dir: String, minCount: Int = 5,
       top: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1538,8 +1540,11 @@ object CurationOps {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = uni.agg(sum(col("n")).as("nn"))
-    val wr = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
-    val report = pairs
+    // top-k FIRST (orderBy+limit → TakeOrderedAndProject: per-partition
+    // heads merged, never a global sort), THEN rank the ≤`top`-row head —
+    // the txt_vocab idiom; the two-phase rank keeps even the head ranking
+    // off the unpartitioned-window path
+    val scored = pairs
       .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
       .crossJoin(broadcast(tot))
@@ -1547,10 +1552,11 @@ object CurationOps {
         (round(log(col("n_ab").cast("double") * col("nn").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double"))), 6) + 0.0)
           .as("pmi"))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= top)
-      .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
-        col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(top)
+    val report = Ranking
+      .twoPhaseRank(scored, "rank", 1, col("pmi").desc, col("w1"), col("w2"))
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("pmi"))
       .orderBy(col("rank"))
       .localCheckpoint()
     uni.unpersist()

@@ -902,7 +902,11 @@ object DedupOps {
           // independent of which block each vector hashed into
           val (x, y) = if (a._1 < b._1) (a, b) else (b, a)
           val c = dot(x._2, y._2) / (x._3 * y._3)
-          if (c >= threshold - 1e-9) out += ((x._1, y._1, c))
+          // emit down to the 6-dp HALF_UP rounding half-window: a raw cosine
+          // in [thr - 5e-7, thr) rounds UP to the threshold and must reach
+          // the final rounded filter (which still enforces the contract) —
+          // a tighter guard here would drop pairs the oracle keeps
+          if (c >= threshold - 5e-7) out += ((x._1, y._1, c))
         }
         if (lo == hi) {
           // same-block pairs: computed here and ONLY here

@@ -237,7 +237,7 @@ object MultimodalOps {
   val mmPhashSql: String =
     """WITH chars AS (
       |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS ch
-      |  FROM (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents)
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents)
       |), ss AS (
       |  SELECT doc_id, pos % 16 AS slot,
       |    CAST(SUM(ascii(ch)) AS BIGINT) AS ss
@@ -334,7 +334,7 @@ object MultimodalOps {
   val mmDedupGroupsSql: String =
     """WITH RECURSIVE chars AS (
       |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS ch
-      |  FROM (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents)
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents)
       |), ss AS (
       |  SELECT doc_id, pos % 16 AS slot,
       |    CAST(SUM(ascii(ch)) AS BIGINT) AS ss

@@ -655,16 +655,17 @@ object TextQueries {
     * in identical double arithmetic.
     *
     * Scale: tf → cf is the map-combined vocabulary shuffle every LM op
-    * here pays; the rank sort runs on the VOCABULARY (model-sized), not
-    * the corpus, and the regression is one aggregation over it. */
+    * here pays; the vocabulary rank is TWO-PHASE
+    * ([[Ranking.twoPhaseRank]]), so even a no-df-floor web-scale
+    * vocabulary never sorts on one reducer, and the regression is one
+    * aggregation over the ranked frame. */
   def txtZipf(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(30,15)"
     val cf = docs(s, dir)
       .select(explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val ranked = cf.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cf").desc, col("term"))))
+    val ranked = Ranking
+      .twoPhaseRank(cf, "rk", 32, col("cf").desc, col("term"))
       .select(log(col("rk").cast("double")).as("x"),
         log(col("cf").cast("double")).as("y"), col("cf"))
     ranked.agg(
@@ -1560,8 +1561,17 @@ object TextQueries {
       .select(col("doc_id"), posexplode(shingles(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         md5(col("col").cast("binary")).as("h"))
+    // the sentinel assumes < 10⁷ grams per document (positions 1..10⁷−1
+    // lpad to 8 always-positive digits); beyond that the subtraction goes
+    // negative and '-' sorts before digits, silently flipping the
+    // rightmost-tie rule — so the guard lives INSIDE the key expression
+    // (a detached assert column would be pruned) and raises instead
+    val guardedPos = when(col("pos") < lit(10000000L), col("pos"))
+      .otherwise(raise_error(concat(
+        lit("txt_winnowing: gram position "), col("pos").cast("string"),
+        lit(" >= 10^7 sentinel — rightmost-tie key would misorder"))))
     val key = concat(col("h"),
-      lpad((lit(10000000L) - col("pos")).cast("string"), 8, "0"))
+      lpad((lit(10000000L) - guardedPos).cast("string"), 8, "0"))
     // n_grams IS the max gram position (1-indexed, contiguous), already
     // computed by the partition max the full-window filter needs — carry
     // it through sel instead of re-traversing the gram subtree for a
@@ -1684,23 +1694,24 @@ object TextQueries {
     * engine-independent. Emits (k, n_types, covered_tokens, total_tokens,
     * coverage).
     *
-    * Scale: term counts map-combine; the rank window runs over the
-    * VOCABULARY frame (the txt_vocab precedent — vocabulary-sized, not
-    * corpus-sized; two-phase rank is the swap-in if a vocab ever
-    * outgrows one reducer); the k-ladder explode multiplies the vocab
-    * frame by |ks|, then everything is model-sized. */
+    * Scale: term counts map-combine; the vocabulary rank is TWO-PHASE
+    * ([[Ranking.twoPhaseRank]] — range-partition on (cf desc, term),
+    * local row_number, broadcast per-partition offsets), so a 10⁸–10⁹
+    * web-scale vocabulary never funnels through one reducer; the
+    * k-ladder explode multiplies the vocab frame by |ks|, then
+    * everything is model-sized. */
   def txtVocabCoverage(s: SparkSession, dir: String,
       ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val uni = docs(s, dir)
-      .select(explode(tokens(lower(col("text")))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("cf").desc, col("term"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // twoPhaseRank localCheckpoints its result, so both downstream reads
+    // (the totals agg and the k-ladder) reuse one materialization
+    val uni = Ranking.twoPhaseRank(
+      docs(s, dir)
+        .select(explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf")),
+      "r", 32, col("cf").desc, col("term"))
     val tot = uni.agg(sum(col("cf")).as("total_tokens"),
       count(lit(1)).as("vocab_size"))
-    val report = uni
+    uni
       .select(explode(array(ks.map(lit): _*)).as("k"), col("r"), col("cf"))
       .filter(col("r") <= col("k"))
       .groupBy(col("k"))
@@ -1711,9 +1722,6 @@ object TextQueries {
         (round(col("covered_tokens") / col("total_tokens"), 6) + 0.0)
           .as("coverage"))
       .orderBy(col("k"))
-      .localCheckpoint()
-    uni.unpersist()
-    report
   }
 
   val txtVocabCoverageSql: String =
