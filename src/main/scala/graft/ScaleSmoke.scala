@@ -174,6 +174,22 @@ object ScaleSmoke {
       emb.select(cols: _*)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events clone: offset event_id AND user_id per copy, keep ts/type/
+    // value/props — every clone user replays the identical sequence, so
+    // the user population grows ×factor while per-user state stays
+    // constant. That is the axis the evt_* family scales on (user-keyed
+    // windows / per-user sequence caps); ts is already TimestampType
+    // after Tables.load normalization, so the re-written parquet takes
+    // Tables.load's passthrough branch on reload.
+    val events = Tables.load(spark, src, "events")
+    (0 until factor).map { k =>
+      events.select(
+        (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(s"[scale] derived ${factor}x corpus at $out")
     names.foreach { name =>

@@ -43,6 +43,19 @@ final case class CheckpointStats(
     stateRows: Long,
     stateBytes: Long)
 
+/** One RETAINED checkpoint-history row — the reference's monitor fetches
+  * `/jobs/{jid}/checkpoints` whose payload carries a `history` list
+  * (flinkJobClient.ts:180-188); each committed micro-batch is one entry.
+  * Field names mirror Flink's REST history rows (id / status /
+  * trigger_timestamp / end_to_end_duration / state_size). */
+final case class CheckpointEntry(
+    id: Long, // batchId
+    status: String, // COMPLETED | FAILED
+    triggerTimestamp: String,
+    durationMs: Long,
+    stateRows: Long,
+    stateBytes: Long)
+
 final case class JobDetails(
     job: JobInfo,
     vertices: Seq[VertexInfo],
@@ -71,6 +84,10 @@ final class JobRegistry(spark: SparkSession) {
   private val streamCommits = TrieMap.empty[java.util.UUID, Long]
   private val streamLastBatch = TrieMap.empty[java.util.UUID, Long]
   private val streamFailures = TrieMap.empty[java.util.UUID, Long]
+  // retained checkpoint HISTORY per query (newest last), ring-capped —
+  // Flink retains a bounded history list for /jobs/{jid}/checkpoints
+  private val MaxCheckpointHistory = 64
+  private val streamHistory = TrieMap.empty[java.util.UUID, Vector[CheckpointEntry]]
 
   /** History caps: a long-lived gateway session executes unbounded numbers
     * of statements, and retaining every SparkPlanInfo tree / job row would
@@ -132,8 +149,21 @@ final class JobRegistry(spark: SparkSession) {
       streamProgress.put(e.progress.id, e.progress)
       val isNewBatch = streamLastBatch.put(e.progress.id, e.progress.batchId)
         .forall(_ < e.progress.batchId)
-      if (isNewBatch)
+      if (isNewBatch) {
         streamCommits.updateWith(e.progress.id)(c => Some(c.getOrElse(0L) + 1L))
+        import scala.jdk.CollectionConverters._
+        val dur = e.progress.durationMs.asScala
+          .get("triggerExecution").map(_.longValue()).getOrElse(0L)
+        val entry = CheckpointEntry(
+          id = e.progress.batchId,
+          status = "COMPLETED",
+          triggerTimestamp = e.progress.timestamp,
+          durationMs = dur,
+          stateRows = e.progress.stateOperators.map(_.numRowsTotal).sum,
+          stateBytes = e.progress.stateOperators.map(_.memoryUsedBytes).sum)
+        streamHistory.updateWith(e.progress.id)(h =>
+          Some((h.getOrElse(Vector.empty) :+ entry).takeRight(MaxCheckpointHistory)))
+      }
       streamJobs.updateWith(e.progress.id) {
         case Some(j) => Some(j.copy(
           numRecordsIn = j.numRecordsIn + e.progress.numInputRows,
@@ -143,8 +173,16 @@ final class JobRegistry(spark: SparkSession) {
       }
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      if (e.exception.isDefined)
+      if (e.exception.isDefined) {
         streamFailures.updateWith(e.id)(c => Some(c.getOrElse(0L) + 1L))
+        // a failed run is one FAILED history row (Flink records failed
+        // checkpoints in the same list); id = the batch that didn't commit
+        val failedId = streamLastBatch.get(e.id).map(_ + 1L).getOrElse(0L)
+        val entry = CheckpointEntry(failedId, "FAILED",
+          java.time.Instant.now().toString, 0L, 0L, 0L)
+        streamHistory.updateWith(e.id)(h =>
+          Some((h.getOrElse(Vector.empty) :+ entry).takeRight(MaxCheckpointHistory)))
+      }
       streamJobs.updateWith(e.id) {
         case Some(j) => Some(j.copy(state =
           if (e.exception.isDefined) "FAILED"
@@ -158,7 +196,7 @@ final class JobRegistry(spark: SparkSession) {
         val active = spark.streams.active.map(_.id).toSet
         streamProgress.keys.filterNot(active.contains)
           .take(streamProgress.size - MaxPlans)
-          .foreach { id => streamProgress.remove(id) }
+          .foreach { id => streamProgress.remove(id); streamHistory.remove(id) }
       }
     }
   }
@@ -232,6 +270,15 @@ final class JobRegistry(spark: SparkSession) {
           }
     }
   }
+
+  /** Retained checkpoint history for a streaming query (oldest→newest,
+    * ring-capped at [[MaxCheckpointHistory]]) — the `history` list the
+    * reference reads from `/jobs/{jid}/checkpoints`
+    * (flinkJobClient.ts:180-188). Batch jobs have no checkpoints: empty. */
+  def checkpointHistory(id: String): Seq[CheckpointEntry] =
+    streamHistory.collectFirst {
+      case (uid, h) if uid.toString == id => h
+    }.getOrElse(Vector.empty)
 
   private def flatten(p: SparkPlanInfo): Seq[SparkPlanInfo] =
     p +: p.children.flatMap(flatten)

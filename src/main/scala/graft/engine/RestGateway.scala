@@ -374,16 +374,27 @@ final class RestGateway(root: SparkSession,
         })
 
       case ("GET", Seq("jobs", id, "checkpoints")) =>
+        // Flink REST history-row field names (the reference renders this
+        // payload directly): id / status / trigger_timestamp /
+        // end_to_end_duration / state_size
+        val history = registry.checkpointHistory(id).map(e => Map(
+          "id" -> e.id, "status" -> e.status,
+          "trigger_timestamp" -> e.triggerTimestamp,
+          "end_to_end_duration" -> e.durationMs,
+          "state_size" -> e.stateBytes,
+          "state_rows" -> e.stateRows))
         registry.details(id).flatMap(_.checkpoints) match {
           case Some(c) => reply(ex, 200, Map(
             "counts" -> Map("total" -> c.total, "completed" -> c.completed,
               "failed" -> c.failed),
             "latest" -> Map("completed" -> c.latestCompleted),
             "lastCommitDurationMs" -> c.lastCommitDurationMs,
-            "stateRows" -> c.stateRows, "stateBytes" -> c.stateBytes))
+            "stateRows" -> c.stateRows, "stateBytes" -> c.stateBytes,
+            "history" -> history))
           case None => reply(ex, 200, Map(
             "counts" -> Map("total" -> 0, "completed" -> 0, "failed" -> 0),
-            "latest" -> Map("completed" -> false)))
+            "latest" -> Map("completed" -> false),
+            "history" -> history))
         }
 
       case ("GET", Seq("jobs", id)) =>

@@ -1591,8 +1591,9 @@ object DedupOps {
     * O(|edges|), not O(corpus)).
     *
     * Each round combines min-label propagation (label ← min over
-    * neighbors' labels) with a pointer-jump / path-halving step
-    * (label ← label's own label). Propagation alone needs diameter rounds —
+    * neighbors' labels) with a DOUBLE pointer-jump / path-halving step
+    * (label ← label³(x), two chases of the materialized label table).
+    * Propagation alone needs diameter rounds —
     * an adversarial 1000-link chain would blow any fixed cap — while the
     * jump step halves remaining path length, giving O(log diameter)
     * convergence (the same doubling idea as the large-star/small-star
@@ -1605,16 +1606,36 @@ object DedupOps {
     * maxRounds without converging THROWS: partial labels would silently
     * violate the min-of-component contract. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // materialize AND reset plan statistics. localCheckpoint truncates
+    // lineage but PRESERVES the optimized plan's size estimate
+    // (originStats) — and Catalyst's join size estimate is the PRODUCT of
+    // child sizes, so an iterative join loop over checkpoints compounds
+    // the BigInt estimate multiplicatively: by round ~12 the driver was
+    // grinding million-digit BigInteger.multiplyToomCook3 calls inside
+    // plan stats (jstack-verified; per-round wall time ×5 each round,
+    // 7 s → 354 s total at sf0.1). Rebuilding the frame from the
+    // checkpointed RDD discards originStats, so every round plans against
+    // fresh scan-sized stats. The rebuild is one no-op map over the
+    // materialized rows — label-table-sized, linear, executor-side.
+    // eager=false defers materialization to the frame's FIRST action —
+    // used for `updated`, whose convergence count then materializes the
+    // checkpoint and counts in ONE job instead of two (×rounds, the jobs
+    // are pure fixed overhead at any scale). `propagated` stays eager:
+    // its three consumers sit in independent stages of one job and would
+    // race-compute the subtree otherwise.
+    def mat(df: DataFrame, eager: Boolean = true): DataFrame = {
+      val ck = df.localCheckpoint(eager)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     // seed labels at min(self, min neighbor id) — one aggregation over the
     // symmetric edge set. Near-dup components are overwhelmingly CLIQUES
     // (every copy pairs with every copy), and a clique seeded this way is
     // already at its component minimum, so the loop's first round counts
     // zero changes and exits: one propagation round instead of 2-3 at any
     // corpus size. Non-clique shapes just start one hop closer.
-    var labels = edges.groupBy(col("src"))
+    var labels = mat(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
-      .select(col("src").as("doc_id"), col("label"))
-      .localCheckpoint()
+      .select(col("src").as("doc_id"), col("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxRounds) {
@@ -1623,17 +1644,25 @@ object DedupOps {
       // materialize the propagation once — the path-halving self-join below
       // reads it on BOTH sides, and without the checkpoint each round would
       // evaluate the edges-join + aggregate twice
-      val propagated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label"))
-        .localCheckpoint()
-      // path-halving: follow one hop of label→label (inner join is safe:
-      // every label value is a node id present in the frame)
+      val propagated = mat(
+        labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+          .select(col("doc_id"), col("label"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label")))
+      // pointer-jumping: follow TWO hops of label→label (inner joins are
+      // safe: every label value is a node id present in the frame). Each
+      // hop is a join against the SAME checkpointed frame — no extra
+      // materialization — and two hops per round compress remaining path
+      // length ~4× when combined with the propagation step, cutting the
+      // round count on chain-shaped graphs (the mm_dedup_groups phash
+      // graph) roughly in half for one extra label-table-sized shuffle.
       val hop = propagated
         .select(col("doc_id").as("j_id"), col("mid_label").as("j_lab"))
-      val updated = propagated.join(hop, col("mid_label") === col("j_id"))
-        .select(col("doc_id"), col("label"), col("j_lab").as("next_label"))
-        .localCheckpoint()
+      val hop2 = propagated
+        .select(col("doc_id").as("j_id2"), col("mid_label").as("j_lab2"))
+      val updated = mat(propagated.join(hop, col("mid_label") === col("j_id"))
+        .join(hop2, col("j_lab") === col("j_id2"))
+        .select(col("doc_id"), col("label"), col("j_lab2").as("next_label")),
+        eager = false)
       changed = updated.filter(col("next_label") =!= col("label")).count()
       labels = updated.select(col("doc_id"), col("next_label").as("label"))
       iter += 1

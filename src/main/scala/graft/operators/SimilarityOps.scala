@@ -268,13 +268,18 @@ object SimilarityOps {
     * arithmetic is sequential left-to-right folds over the same doubles an
     * engine-side `list_dot_product` walks, so every distance a mirroring
     * SQL oracle computes is bit-identical. */
-  private def pqModel(base: DataFrame, cells: Int, kCent: Int, m: Int,
-      subDim: Int): (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
+  private def pqModel(base: DataFrame, cells: Int, kCent: Int, m: Int)
+      : (Array[Array[Double]], Seq[Array[Array[Double]]], Int) = {
     val sampled: Array[Array[Double]] = base
       .select(col("vec_id"), col("ve"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(cells + kCent).collect()
       .map(_.getSeq[Double](1).toArray)
+    // the sample already carries the dimensionality — deriving subDim here
+    // saves the caller a separate `size(ve)` head job
+    val dims = sampled.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
     val cents: Array[Array[Double]] = sampled.take(cells)
     // nearest centroid via the same constant-dropped form the engines use:
     // argmin ‖v−c‖² = argmin (c·c − 2·v·c), sequential dots, ties on index
@@ -290,7 +295,7 @@ object SimilarityOps {
     val books: Seq[Array[Array[Double]]] = (0 until m).map { mi =>
       resSample.map(_.slice(mi * subDim, (mi + 1) * subDim))
     }
-    (cents, books)
+    (cents, books, subDim)
   }
 
   /** [[annPq]] over a prepared (vec_id, ve, nrm) frame — shared with the
@@ -299,12 +304,17 @@ object SimilarityOps {
       nprobe: Int, m: Int, kCent: Int, overfetch: Int,
       trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val dims = base.select(size(col("ve"))).head().getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    val subDim = dims / m
-    val (cents, books0) = pqModel(base, cells, kCent, m, subDim)
+    val (cents, books0, subDim) = pqModel(base, cells, kCent, m)
+    // ONE corpus pass computes cell assignment + residual for BOTH the
+    // Lloyd E-step and the ADC encode (they consume the identical frame);
+    // with training on, the pass is localCheckpoint-materialized so the
+    // per-round E-step collects and the encode scan all read it instead
+    // of re-running the 32-centroid argmin (and re-compiling its codegen)
+    val resFrame0 = residualFrame(base, cents)
+    val resFrame =
+      if (trainIters > 0) resFrame0.localCheckpoint() else resFrame0
     val books = if (trainIters > 0)
-      trainedBooks(base, cents, books0, m, subDim, trainIters) else books0
+      trainedBooksFromRes(resFrame, books0, m, subDim, trainIters) else books0
     // toy-corpus guard: when the corpus has fewer than 8 rows per cell the
     // coarse quantizer is mostly singleton cells and pruning certifies
     // sampling luck, not the index — probe everything (the PQ-specific
@@ -350,12 +360,7 @@ object SimilarityOps {
     // method blew the JVM's 64 KB limit and dropped the WHOLE encode+scan
     // stage to interpreted eval (observed as janino "Code grows beyond
     // 64 KB" in the r8 bench). Separate top-level columns split cleanly.
-    val coded = base
-      .select(col("vec_id"),
-        cellsRankedL2(col("ve")).getItem(0).getField("c").as("cell"), col("ve"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
-          (x, c) => x - c).as("res"))
+    val coded = resFrame
       .select(col("vec_id") +: col("cell") +:
         codeCols.zipWithIndex.map { case (c, mi) => c.as(s"code$mi") }: _*)
     // queries probe their nprobe nearest cells and PRECOMPUTE the ADC
@@ -534,13 +539,22 @@ object SimilarityOps {
     * re-rank set. */
   def pqRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 10, floor: Double = 0.9, trainIters: Int = 0): DataFrame = {
+    // the derived corpus feeds BOTH certification sides and, inside
+    // annPqFrom, half a dozen driver actions (dims head, model-sample
+    // collect, Lloyd passes, the toy-corpus count, encode scan, re-rank
+    // joins) — persist it ONCE so every action reads the cached rows
+    // instead of re-deriving the transform from parquet (the
+    // pipe_dedup_cascade shared-universe discipline)
     val corpus = hierClusteredFrom(emb(s, dir), nC2 = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = bruteTopKFrom(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annPqFrom(corpus, nQueries, k, cells = 32, nprobe = 8,
       m = 16, kCent = 16, overfetch = 8, trainIters = trainIters)
       .select(col("query_id"), col("neighbor_id"))
-    recallViolations(truth, approx, floor)
+    val out = recallViolations(truth, approx, floor).localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   /** Spec-side distortion measure: corpus mean of Σ_mi min_e d(mi,e) in
@@ -552,9 +566,7 @@ object SimilarityOps {
       trainIters: Int, cells: Int = 32, kCent: Int = 16, m: Int = 16): Double = {
     val base = emb(s, dir)
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val dims = base.select(size(col("ve"))).head().getInt(0)
-    val subDim = dims / m
-    val (cents, books0) = pqModel(base, cells, kCent, m, subDim)
+    val (cents, books0, subDim) = pqModel(base, cells, kCent, m)
     val books = if (trainIters > 0)
       trainedBooks(base, cents, books0, m, subDim, trainIters) else books0
     val arr1 = ArrayType(DoubleType, containsNull = false)
@@ -639,7 +651,9 @@ object SimilarityOps {
     * both sides are the production operators, not test doubles. */
   def ivfRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 10, floor: Double = 0.9): DataFrame = {
+    // shared-subtree persist, same rationale as [[pqRecallCheck]]
     val corpus = clusteredFrom(emb(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = bruteTopKFrom(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annIvfFrom(corpus, nQueries, k, cells = 32, nprobe = 8)
@@ -650,7 +664,9 @@ object SimilarityOps {
     // divides by the ACTUAL truth-set size per query, not the constant k:
     // a corpus with ≤ k vectors has fewer than k true neighbors, and a
     // /k denominator would emit false violations on a perfect index.
-    recallViolations(truth, approx, floor)
+    val out = recallViolations(truth, approx, floor).localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   /** The IVF-PQ ENCODE as a first-class output, long scalar form
@@ -666,82 +682,68 @@ object SimilarityOps {
     * (md5-sampled centroids, residual codebooks) and re-runs the SAME
     * argmins, and the driver hash-compares every code. That works because
     * every distance on both sides is the identical IEEE op sequence:
-    * constant-dropped form ‖e‖² − 2·v·e (+ 2·c·e for the residual's
-    * expansion (v−c)·e = v·e − c·e, avoiding engine-specific list-zip
-    * subtraction order), all dots sequential left-to-right folds, ties on
-    * index. Near-tie bit divergence would need two codebook entries within
-    * ~1e-15 of each other — measured margins are ~1e-2.
+    * constant-dropped form ‖e‖² − 2·res·e over residuals computed as
+    * per-element subtraction on both engines (Spark zip_with ≡ DuckDB
+    * list_transform — a single IEEE subtract per element, the same
+    * portability pqTrainSql relies on), all dots sequential left-to-right
+    * folds, ties on index. Near-tie bit divergence would need two
+    * codebook entries within ~1e-15 of each other — margins are ~1e-2.
     *
-    * Scale: the model is a few KB of literals; encoding is ONE map-side
-    * projection over the corpus — no shuffle, no UDF, fully codegen'd; the
-    * output is the only corpus-sized thing and it's ~30× smaller than its
-    * input. */
+    * Scale: the model is a few KB of broadcast state; the 256-candidate
+    * argmin work happens inside ONE map task per input split (explode →
+    * broadcast join → partial min-agg), fully codegen'd — see the shape
+    * note in the body — and the only exchange carries the
+    * ~30×-compressed (vec_id, cell, mi, code) table itself. */
   def pqCodes(s: SparkSession, dir: String, cells: Int = 32,
       kCent: Int = 16, m: Int = 16): DataFrame = {
     val base = emb(s, dir)
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val dims = base.select(size(col("ve"))).head().getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    val subDim = dims / m
-    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
+    val (cents, books, subDim) = pqModel(base, cells, kCent, m)
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val arr1 = ArrayType(DoubleType, containsNull = false)
-    def sub(v: org.apache.spark.sql.Column, mi: Int) =
-      slice(v, mi * subDim + 1, subDim)
-    val cellCol =
-      sort_array(array((0 until cells).map { c =>
-        struct((lit(dotSeq(cents(c), cents(c))) -
-          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
-          lit(c).as("c"))
-      }: _*)).getItem(0).getField("c")
-    // per (mi, entry): d = ‖b‖² − 2·(v_mi·b) + 2·(c_mi·b); the c_mi·b term
-    // depends on the row's cell, so it's a literal-vector lookup indexed
-    // by cell (cbDots(mi)(e)(cell) — model state, a few KB)
-    val cbDots: Seq[Seq[Array[Double]]] = (0 until m).map { mi =>
-      (0 until kCent).map { e =>
-        cents.map(c =>
-          dotSeq(c.slice(mi * subDim, (mi + 1) * subDim), books(mi)(e)))
-      }
-    }
-    def codeColFor(mi: Int) =
-      sort_array(array((0 until kCent).map { e =>
-        struct((lit(dotSeq(books(mi)(e), books(mi)(e))) -
-          VF.dot(sub(col("ve"), mi), arrLit(books(mi)(e), arr1)) * 2 +
-          element_at(arrLit(cbDots(mi)(e), arr1), col("cell") + 1) * 2).as("d"),
-          lit(e).as("c"))
-      }: _*)).getItem(0).getField("c")
-    // no final orderBy: the driver's hash compare sorts rows itself, and
-    // with a single input partition a sort has no exchange boundary — the
-    // 256-entry encode projection would FUSE into the sort stage, push the
-    // generated sort_addToSorter past the JVM's 64 KB method limit, and
-    // silently drop the whole stage to interpreted eval (observed in the
-    // r8 bench logs).
+    // Long-form emission is a codegen minefield — every literal-heavy
+    // shape tried (r8→r10) eventually dropped the encode to interpreted
+    // eval: inner posexplode of the computed codes array re-evaluates the
+    // 256-entry encode per row via the injected size()>0 filter (17 MiB
+    // task binary); posexplode_outer is excluded from whole-stage codegen
+    // (0.6 s → 2.9 s); explode-a-literal-index-then-CASE-on-mi puts the
+    // 16-branch × 16-entry argmin in ONE generated method (janino "Code
+    // grows beyond 64 KB", 3 events/run in the r9 logs); and even 16
+    // SEPARATE sort_array argmin columns blow processNext(), because
+    // whole-stage codegen cannot split fused-stage expressions into
+    // sub-methods the way row-based projection can.
     //
-    // Long-form emission order matters for the same codegen reason:
-    // exploding the COMPUTED codes array is a trap both ways — inner
-    // posexplode makes the optimizer inject `Filter size(codes) > 0`
-    // which (after CollapseProject inlines the encode into the Generate)
-    // re-evaluates the entire 256-entry encode per row (measured: 17 MiB
-    // task binary), and posexplode_outer needs no filter but outer
-    // generates are excluded from whole-stage codegen, dropping the
-    // encode to interpreted eval (measured: 0.6 s -> 2.9 s). So instead
-    // explode a LITERAL subspace index array first (its inferred filter
-    // constant-folds away, inner generate keeps codegen) and compute the
-    // single matched sub-argmin per row via a CASE on mi — the same total
-    // argmin work as the array form, one evaluation per (vector,
-    // subspace), all inside one codegen'd map stage.
-    val codeCase = (0 until m).foldRight(lit(-1)) { case (mi, acc) =>
-      when(col("mi") === mi, codeColFor(mi)).otherwise(acc)
-    }
-    base
-      .select(col("vec_id"), col("ve"), cellCol.as("cell"))
-      .select(col("vec_id"), col("ve"), col("cell"),
-        explode(typedlit((0 until m).toVector)).as("mi"))
-      .select(col("vec_id"), col("cell"), col("mi"), codeCase.as("code"))
+    // The shape that actually codegens end to end is the Lloyd E-step's
+    // DATA-FLOW argmin (trainedBookRowsFromRes, zero fallbacks in every
+    // run): explode the 16 subspaces, join the sub-residual against the
+    // 256-row broadcast (mi, e, bvec, ‖b‖²) codebook frame, take
+    // min(struct(d, e)) per (vec, mi). d = ‖b‖² − 2·(res_mi·b) is the
+    // RESIDUAL form — a single IEEE subtract per element on both engines
+    // (pqTrainSql's portability), sequential dot folds, ties on entry id,
+    // exactly the sort_array semantics. Every generated method stays
+    // tiny. Scale: the 256-candidate multiplication happens INSIDE one
+    // map task (explode → broadcast join → partial min-agg collapse back
+    // to 16 rows per vector before the exchange), so the shuffle carries
+    // (vec_id, cell, mi, code) ints only — the ~30×-compressed code
+    // table itself.
+    val sess0 = s
+    import sess0.implicits._
+    val booksDf = (0 until m).flatMap(mi => (0 until kCent).map(e =>
+      (mi, e, books(mi)(e).toSeq, dotSeq(books(mi)(e), books(mi)(e)))))
+      .toDF("mi", "e", "bvec", "bnorm")
+    residualFrame(base, cents)
+      .select(col("vec_id"), col("cell"), col("res"),
+        explode(lit((0 until m).toArray)).as("mi"))
+      .select(col("vec_id"), col("cell"), col("mi"),
+        slice(col("res"), col("mi") * subDim + lit(1), lit(subDim)).as("sv"))
+      .join(broadcast(booksDf), Seq("mi"))
+      .groupBy(col("vec_id"), col("cell"), col("mi"))
+      .agg(min(struct((col("bnorm") - VF.dot(col("sv"), col("bvec")) * 2)
+        .as("d"), col("e").as("c"))).getField("c").as("code"))
+      .select(col("vec_id"), col("cell"), col("mi"), col("code"))
   }
 
   /** One deterministic Lloyd refinement of the residual codebooks — the
@@ -771,42 +773,59 @@ object SimilarityOps {
   def pqTrainBooks(s: SparkSession, dir: String, cells: Int = 32,
       kCent: Int = 16, m: Int = 16): DataFrame = {
     val base = emb(s, dir)
-    val dims = base.select(size(col("ve"))).head().getInt(0)
-    val subDim = dims / m
-    val (cents, books) = pqModel(base, cells, kCent, m, subDim)
+    val (cents, books, subDim) = pqModel(base, cells, kCent, m)
     trainedBookRows(base, cents, books, m, subDim)
       .select(col("mi"), col("code"), posexplode(col("entry")).as(Seq("dim", "c")))
       .orderBy(col("mi"), col("code"), col("dim"))
   }
 
-  /** The Lloyd-step frame behind [[pqTrainBooks]]: (mi, code, entry). */
-  private def trainedBookRows(base: DataFrame,
-      cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
-      m: Int, subDim: Int): DataFrame = {
+  /** Shared corpus pass for the PQ family: coarse cell assignment + the
+    * residual against the assigned centroid, `(vec_id, cell, res)`. The
+    * Lloyd E-step and the ADC encode both consume EXACTLY this frame —
+    * factoring it out lets [[annPqFrom]] materialize the pass once
+    * instead of paying the 32-centroid argmin scan (and its codegen
+    * compile) twice. Arithmetic is the constant-dropped argmin both
+    * engines replay: d = ‖c‖² − 2·v·c with sequential left-to-right
+    * dot folds, ties on cell id. */
+  private def residualFrame(base: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val arr1 = ArrayType(DoubleType, containsNull = false)
     val arr2 = ArrayType(arr1, containsNull = false)
-    val cells = cents.length
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val centsLit = arrLit(cents, arr2)
+    val cellCol =
+      sort_array(array(cents.indices.map { c =>
+        struct((lit(dotSeq(cents(c), cents(c))) -
+          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
+          lit(c).as("c"))
+      }: _*)).getItem(0).getField("c")
+    base
+      .select(col("vec_id"), col("ve"), cellCol.as("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x - c).as("res"))
+  }
+
+  /** The Lloyd-step frame behind [[pqTrainBooks]]: (mi, code, entry). */
+  private def trainedBookRows(base: DataFrame,
+      cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+      m: Int, subDim: Int): DataFrame =
+    trainedBookRowsFromRes(residualFrame(base, cents), books, m, subDim)
+
+  /** [[trainedBookRows]] over a prepared `(vec_id, cell, res)` frame. */
+  private def trainedBookRowsFromRes(withRes: DataFrame,
+      books: Seq[Array[Array[Double]]], m: Int, subDim: Int): DataFrame = {
     val kCent = books.head.length
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def sub(v: org.apache.spark.sql.Column, mi: Int) =
-      slice(v, mi * subDim + 1, subDim)
-    val centsLit = arrLit(cents, arr2)
-    val cellCol =
-      sort_array(array((0 until cells).map { c =>
-        struct((lit(dotSeq(cents(c), cents(c))) -
-          VF.dot(col("ve"), arrLit(cents(c), arr1)) * 2).as("d"),
-          lit(c).as("c"))
-      }: _*)).getItem(0).getField("c")
-    val withRes = base
-      .select(col("vec_id"), col("ve"), cellCol.as("cell"))
-      .select(col("vec_id"),
-        zip_with(col("ve"), element_at(centsLit, col("cell") + 1),
-          (x, c) => x - c).as("res"))
     // E-step: per-subspace nearest entry (direct residual form — the same
     // arithmetic the ADC encode uses). The argmin is a DATA-FLOW min over
     // a broadcast codebook frame, not an expression-tree CASE: the 16×16
@@ -819,7 +838,7 @@ object SimilarityOps {
     // min(struct(d, e)) is the same lexicographic tie-break the
     // sort_array form used. d's operand order (lit ‖b‖² − 2·dot) is
     // unchanged, so the SQL oracle still matches bit-for-bit.
-    val sess0 = base.sparkSession
+    val sess0 = withRes.sparkSession
     import sess0.implicits._
     val booksDf = (0 until m).flatMap(mi => (0 until kCent).map(e =>
       (mi, e, books(mi)(e).toSeq, dotSeq(books(mi)(e), books(mi)(e)))))
@@ -858,10 +877,18 @@ object SimilarityOps {
     * doubles) for use by the search path — `iters` Lloyd rounds. */
   private def trainedBooks(base: DataFrame,
       cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+      m: Int, subDim: Int, iters: Int): Seq[Array[Array[Double]]] =
+    trainedBooksFromRes(residualFrame(base, cents), books, m, subDim, iters)
+
+  /** [[trainedBooks]] over a prepared (and ideally materialized)
+    * `(vec_id, cell, res)` frame — residuals depend only on the COARSE
+    * centroids, so every Lloyd round reuses the same frame. */
+  private def trainedBooksFromRes(withRes: DataFrame,
+      books: Seq[Array[Array[Double]]],
       m: Int, subDim: Int, iters: Int): Seq[Array[Array[Double]]] = {
     var cur = books
     for (_ <- 0 until iters) {
-      val rows = trainedBookRows(base, cents, cur, m, subDim)
+      val rows = trainedBookRowsFromRes(withRes, cur, m, subDim)
         .collect().map(r => ((r.getInt(0), r.getInt(1)),
           r.getSeq[Double](2).toArray)).toMap
       cur = (0 until m).map { mi =>
@@ -896,12 +923,13 @@ object SimilarityOps {
       |      list_dot_product(cve, cve) - 2*list_dot_product(ve, cve), cid) AS rnk
       |  FROM v CROSS JOIN cents
       |), assigned AS (
-      |  SELECT vec_id, ve, cid AS cell, cve FROM acell WHERE rnk = 1
+      |  SELECT vec_id, cid AS cell,
+      |    list_transform(range(1, 65), i -> ve[i] - cve[i]) AS res
+      |  FROM acell WHERE rnk = 1
       |), sub AS (
       |  SELECT a.vec_id, a.cell, g.mi, b.rid,
       |    list_dot_product(b.be[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4])
-      |      - 2*list_dot_product(a.ve[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4])
-      |      + 2*list_dot_product(a.cve[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4]) AS d
+      |      - 2*list_dot_product(a.res[g.mi*4+1 : g.mi*4+4], b.be[g.mi*4+1 : g.mi*4+4]) AS d
       |  FROM assigned a
       |  CROSS JOIN (SELECT unnest(range(0,16)) AS mi) g
       |  CROSS JOIN books b

@@ -101,6 +101,22 @@ class MonitorCatalogSpec extends AnyFunSuite {
       val ck = sd.checkpoints.get
       assert(ck.completed > 0 && ck.latestCompleted && ck.failed == 0)
       assert(sd.durations.contains("triggerExecution"))
+      // retained checkpoint HISTORY (/jobs/:id/checkpoints `history` list):
+      // one COMPLETED row per committed micro-batch, ids strictly
+      // increasing, and the list length agrees with the completed count
+      // (both keyed off batchId advancement)
+      val hist = reg.checkpointHistory(sd.job.id)
+      assert(hist.nonEmpty, "checkpoint history should retain committed batches")
+      assert(hist.forall(_.status == "COMPLETED"))
+      assert(hist.map(_.id) == hist.map(_.id).sorted &&
+        hist.map(_.id).distinct.size == hist.size,
+        s"history ids must strictly increase, got ${hist.map(_.id)}")
+      // commits continue between the two reads — allow one batch of skew
+      val completedNow = reg.details(sd.job.id).get.checkpoints.get.completed
+      assert(math.abs(hist.size.toLong - completedNow) <= 1,
+        s"history length (${hist.size}) should track the committed-batch " +
+          s"count ($completedNow)")
+      assert(reg.checkpointHistory("no-such-job").isEmpty)
       session.ops.cancel(h)
     } finally reg.close()
   }
