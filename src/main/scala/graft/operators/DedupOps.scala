@@ -411,6 +411,23 @@ object DedupOps {
       |WHERE GREATEST(ROUND(n_inter / ca.n, 6), ROUND(n_inter / cb.n, 6)) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Static model state for the streaming containment screen
+    * ([[graft.streaming.StreamOps.streamingContainment]]): the corpus's
+    * df-capped shingle table (doc_id, hs) — checkpointed, it's probed per
+    * micro-batch — its per-doc rare-shingle counts, and an OVERSIZED
+    * Bloom sketch of the rare-universe hashes so the arriving doc's
+    * |A| is computable row-locally (2²⁴ bits vs ~10⁴–10⁵ keys at gate
+    * SFs ⇒ ≪1 expected false positive — the substringDupSketch
+    * discipline; at corpus scale, size numBits to the universe). */
+  def containmentCorpusState(s: SparkSession, dir: String, dfCap: Int = 50)
+      : (DataFrame, DataFrame, Array[Byte]) = {
+    val sh = discriminativeShingles(docs(s, dir), dfCap).localCheckpoint()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sketch = graft.functions.BloomSketch.buildSketch(
+      sh.select(col("hs")).distinct(), col("hs"), 1L << 20, 1L << 24)
+    (sh, cnt, sketch)
+  }
+
   // ----------------------------------- semantic delta-vs-corpus screen
   /** The SEMANTIC side of [[ddIncremental]]'s ingest asymmetry: each
     * arriving (delta) vector reports its nearest corpus neighbor and a
@@ -1622,11 +1639,11 @@ object DedupOps {
     // checkpoint and counts in ONE job instead of two (×rounds, the jobs
     // are pure fixed overhead at any scale). `propagated` stays eager:
     // its three consumers sit in independent stages of one job and would
-    // race-compute the subtree otherwise.
-    def mat(df: DataFrame, eager: Boolean = true): DataFrame = {
-      val ck = df.localCheckpoint(eager)
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-    }
+    // race-compute the subtree otherwise. Stats reset via the bridge —
+    // zero data movement, unlike a createDataFrame(rdd) round-trip.
+    def mat(df: DataFrame, eager: Boolean = true): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.resetInheritedStats(
+        df.localCheckpoint(eager))
     // seed labels at min(self, min neighbor id) — one aggregation over the
     // symmetric edge set. Near-dup components are overwhelmingly CLIQUES
     // (every copy pairs with every copy), and a clique seeded this way is
@@ -1648,21 +1665,31 @@ object DedupOps {
         labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
           .select(col("doc_id"), col("label"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label")))
-      // pointer-jumping: follow TWO hops of label→label (inner joins are
-      // safe: every label value is a node id present in the frame). Each
-      // hop is a join against the SAME checkpointed frame — no extra
-      // materialization — and two hops per round compress remaining path
-      // length ~4× when combined with the propagation step, cutting the
-      // round count on chain-shaped graphs (the mm_dedup_groups phash
-      // graph) roughly in half for one extra label-table-sized shuffle.
+      // pointer-jumping: follow label→label hops (inner joins are safe:
+      // every label value is a node id present in the frame). Each hop is
+      // a join against the SAME checkpointed frame — no extra
+      // materialization. ADAPTIVE depth: clique-shaped near-dup graphs
+      // (the overwhelming case) converge in 1-2 rounds, where a second
+      // hop is pure join cost (measured +0.9 s on dd_dedup_groups at
+      // sf0.1); a loop still alive at round 3 is chain-shaped, where the
+      // double jump compresses remaining path length ~4× per round with
+      // propagation and cuts total rounds (measured −1.3 s on
+      // mm_dedup_groups' single-bit-step phash chains).
       val hop = propagated
         .select(col("doc_id").as("j_id"), col("mid_label").as("j_lab"))
-      val hop2 = propagated
-        .select(col("doc_id").as("j_id2"), col("mid_label").as("j_lab2"))
-      val updated = mat(propagated.join(hop, col("mid_label") === col("j_id"))
-        .join(hop2, col("j_lab") === col("j_id2"))
-        .select(col("doc_id"), col("label"), col("j_lab2").as("next_label")),
-        eager = false)
+      val oneHop = propagated.join(hop, col("mid_label") === col("j_id"))
+      val chased =
+        if (iter < 2)
+          oneHop.select(col("doc_id"), col("label"),
+            col("j_lab").as("next_label"))
+        else {
+          val hop2 = propagated
+            .select(col("doc_id").as("j_id2"), col("mid_label").as("j_lab2"))
+          oneHop.join(hop2, col("j_lab") === col("j_id2"))
+            .select(col("doc_id"), col("label"),
+              col("j_lab2").as("next_label"))
+        }
+      val updated = mat(chased, eager = false)
       changed = updated.filter(col("next_label") =!= col("label")).count()
       labels = updated.select(col("doc_id"), col("next_label").as("label"))
       iter += 1

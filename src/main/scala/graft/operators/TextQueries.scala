@@ -1550,13 +1550,16 @@ object TextQueries {
     * doc-keyed shuffle serves the window min, the full-window filter and
     * the per-doc rollup; the fp-document-frequency frame is
     * fingerprint-vocabulary-sized and joins on fp. */
-  def txtWinnowing(s: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame = {
+  /** The winnowing selection frame behind [[txtWinnowing]] and
+    * [[winnowingFpIndex]]: distinct (doc_id, n_grams, fp, fp_pos)
+    * selections. Unpersisted — callers own the cache lifecycle. */
+  private def winnowSelFrame(d: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // tokens() materializes through a projection boundary BEFORE the
     // shingle transform: inlined, the regex split re-evaluates for every
     // element_at inside the lambda (~3·grams per doc — measured 10× the
     // whole operator's cost at sf0.1; the txtLangId r2 lesson again)
-    val grams = docs(s, dir)
+    val grams = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(shingles(col("toks"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -1576,7 +1579,7 @@ object TextQueries {
     // computed by the partition max the full-window filter needs — carry
     // it through sel instead of re-traversing the gram subtree for a
     // separate per-doc count
-    val sel = grams
+    grams
       .withColumn("sel", min(key).over(Window.partitionBy(col("doc_id"))
         .orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)))
       .withColumn("np", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
@@ -1585,6 +1588,19 @@ object TextQueries {
         substring(col("sel"), 1, 32).as("fp"),
         (lit(10000000L) - substring(col("sel"), 33, 8).cast("long")).as("fp_pos"))
       .distinct()
+  }
+
+  /** Corpus fingerprint→document-frequency index (fp, n_docs) — the static
+    * model state [[graft.streaming.StreamOps.streamingWinnowing]] probes
+    * for its cross-doc shared-fp counts (rebuilt at the batch cadence). */
+  def winnowingFpIndex(s: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame =
+    winnowSelFrame(docs(s, dir), k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+
+  def txtWinnowing(s: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val sel = winnowSelFrame(docs(s, dir), k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fpDocs = sel.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

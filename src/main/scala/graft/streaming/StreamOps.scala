@@ -819,4 +819,105 @@ object StreamOps {
           })
       }
   }
+
+  /** Streaming winnowing fingerprints — the MOSS selection of
+    * [[graft.operators.TextQueries.txtWinnowing]] on arrival. The batch
+    * side's doc-keyed sliding window min becomes a ROW-LOCAL array_min
+    * over a w-slice of the gram-key array (no window exec, no state for
+    * the selection itself); the cross-doc shared-fp count probes the
+    * STATIC batch-built fp→df index
+    * ([[graft.operators.TextQueries.winnowingFpIndex]], model state
+    * rebuilt at the batch cadence) via a stream-static left join, and ONE
+    * doc-keyed update-mode aggregation rolls the exploded fingerprints
+    * back up. Emits the batch columns
+    * (doc_id, n_grams, n_sel, n_fp, n_fp_shared, density); docs with
+    * fewer than w grams emit nothing (batch parity — no full window
+    * exists). Keys are the batch bytes exactly: md5(gram) ++
+    * lpad(10⁷ − pos), so lexicographic array_min = (min hash, rightmost
+    * pos), the same tie rule.
+    *
+    * Scale: selection is map-side codegen'd array work; the only state is
+    * the doc-keyed agg (bounded: each doc's fps arrive in one batch); the
+    * index side is a static relation Spark broadcasts or shuffles once
+    * per micro-batch plan. */
+  def streamingWinnowing(docs: DataFrame, fpIndex: DataFrame,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val keys = transform(shingles(col("toks"), k), (g, i) =>
+      concat(md5(g.cast("binary")),
+        lpad((lit(10000000L) - (i + 1)).cast("string"), 8, "0")))
+    val perDoc = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), keys.as("keys"))
+      .filter(size(col("keys")) >= w)
+      .select(col("doc_id"), size(col("keys")).cast("long").as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("keys")) - (w - 1)),
+          j => array_min(slice(col("keys"), j, lit(w))))).as("sels"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sels")).cast("long").as("n_sel"),
+        array_distinct(transform(col("sels"),
+          s2 => substring(s2, lit(1), lit(32)))).as("fps"))
+    perDoc
+      .select(col("doc_id"), col("n_grams"), col("n_sel"),
+        explode(col("fps")).as("fp"))
+      .join(fpIndex, Seq("fp"), "left")
+      .groupBy(col("doc_id"), col("n_grams"), col("n_sel"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_fp_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_sel"), col("n_fp"),
+        col("n_fp_shared"),
+        (round(col("n_sel") / (col("n_grams") - (w - 1)), 6) + 0.0)
+          .as("density"))
+  }
+
+  /** Streaming containment screen — the directed, ingest-time form of
+    * [[graft.operators.DedupOps.ddContainment]]: each arriving document's
+    * discriminative shingles probe the STATIC df-capped corpus shingle
+    * table, and one update-mode aggregation emits a
+    * (delta doc, corpus doc) containment verdict per partner above `thr`.
+    * `n_delta` (the arriving doc's rare-shingle count — the batch |A|)
+    * is computed ROW-LOCALLY against an oversized Bloom sketch of the
+    * rare universe (the [[streamingSubstringCut]] sketch discipline;
+    * Structured Streaming allows one aggregation per query, so the
+    * per-doc count can't be a second groupBy), then carried through the
+    * pair aggregation as a group key. Both static relations join BEFORE
+    * the aggregation — stream-static joins after a streaming agg are
+    * unsupported. On a corpus-replay stream every batch pair (a,b)
+    * appears as BOTH directed rows (a→b and b→a); StreamingSpec folds
+    * the directed form back onto the batch relation.
+    *
+    * Scale: the corpus side is a static table probed per micro-batch,
+    * never self-joined; per-delta-doc work is bounded by its rare-shingle
+    * count × their (df-capped ≤ dfCap) partner lists. */
+  def streamingContainment(docs: DataFrame, corpusSh: DataFrame,
+      corpusCnt: DataFrame, rareSketch: Array[Byte],
+      thr: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import graft.functions.BloomSketch
+    val hsArr = array_distinct(transform(shingles(col("toks"), 3),
+      s2 => xxhash64(s2)))
+    val deltaSh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        filter(hsArr,
+          h => BloomSketch.mightContainLit(rareSketch, h)).as("hs_arr"))
+      .filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"), size(col("hs_arr")).cast("long").as("n_delta"),
+        explode(col("hs_arr")).as("hs"))
+    deltaSh
+      .join(corpusSh.select(col("doc_id").as("c_id"), col("hs")), Seq("hs"))
+      .filter(col("c_id") =!= col("doc_id"))
+      .join(corpusCnt.select(col("doc_id").as("c_id"),
+        col("n").as("n_corpus")), Seq("c_id"))
+      .groupBy(col("doc_id").as("id_delta"), col("n_delta"),
+        col("c_id").as("id_corpus"), col("n_corpus"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_delta"), col("id_corpus"), col("n_inter"),
+        col("n_delta"), col("n_corpus"),
+        round(col("n_inter") / col("n_delta"), 6).as("cont_delta_in_corpus"),
+        round(col("n_inter") / col("n_corpus"), 6).as("cont_corpus_in_delta"))
+      .filter(greatest(col("cont_delta_in_corpus"),
+        col("cont_corpus_in_delta")) >= thr)
+  }
 }

@@ -679,4 +679,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("cluster").distinct().count() > 1,
       "the model must actually separate the corpus")
   }
+
+  test("streaming winnowing == batch winnowing doc-for-doc") {
+    val d = Tables.load(spark, dir, "documents")
+    val fpIndex = graft.operators.TextQueries.winnowingFpIndex(spark, dir)
+      .localCheckpoint()
+    val wDir = Files.createTempDirectory("graft-winnow-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(wDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingWinnowing(
+        StreamOps.readParquetStream(spark, wDir, d.schema), fpIndex),
+      "update", "winnow_out")
+    // each doc's fingerprints arrive in ONE micro-batch (one row per doc),
+    // so every doc-keyed group emits exactly once — no snapshot dedup
+    val batch = graft.operators.TextQueries.txtWinnowing(spark, dir)
+      .select(col("doc_id"), col("n_grams"), col("n_sel"), col("n_fp"),
+        col("n_fp_shared"), col("density"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("n_fp_shared") > 0).count() > 0,
+      "testdata should contain cross-doc shared fingerprints")
+  }
+
+  test("streaming containment folds onto the batch pair relation") {
+    val d = Tables.load(spark, dir, "documents")
+    val (sh, cnt, sketch) =
+      graft.operators.DedupOps.containmentCorpusState(spark, dir)
+    val cDir = Files.createTempDirectory("graft-contain-stream").toString
+    d.repartition(4).write.mode("overwrite").parquet(cDir)
+    val streamed = runToCompletion(
+      StreamOps.streamingContainment(
+        StreamOps.readParquetStream(spark, cDir, d.schema), sh, cnt, sketch),
+      "update", "contain_out")
+    // a corpus replay produces each undirected batch pair as BOTH directed
+    // rows; the (id_delta < id_corpus) half, renamed, IS the batch relation
+    val half = streamed.filter(col("id_delta") < col("id_corpus"))
+      .select(col("id_delta").as("id_a"), col("id_corpus").as("id_b"),
+        col("n_inter"), col("n_delta").as("n_a"), col("n_corpus").as("n_b"),
+        col("cont_delta_in_corpus").as("cont_a_in_b"),
+        col("cont_corpus_in_delta").as("cont_b_in_a"))
+    val batch = graft.operators.DedupOps.ddContainment(spark, dir)
+    assert(canon(half) == canon(batch))
+    assert(streamed.count() == 2 * batch.count(),
+      "both directions of every pair must surface")
+    assert(batch.count() > 0, "testdata should contain containment pairs")
+  }
 }
