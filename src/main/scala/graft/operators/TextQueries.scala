@@ -1272,15 +1272,27 @@ object TextQueries {
     *
     * Scale: ownership = one hash-keyed min aggregation (the txtNovelty
     * shuffle); the decile rollup and cumulative window run on 10 rows.
-    * The NTILE decile is a global single-reducer window — fine for the
-    * ID-dense driver corpus, but at 100 TB swap it for the
-    * [[SamplingOps.dsShuffle]] two-phase rank (or a doc_id range bucket
-    * when IDs are dense) — the curve itself is unchanged. */
+    * The NTILE decile is computed from the TWO-PHASE global rank
+    * ([[Ranking.twoPhaseRank]]) plus NTILE's closed-form bucket
+    * allocation (first n mod 10 buckets get ⌈n/10⌉ rows) — identical
+    * bucket assignment to a global NTILE window with no single-reducer
+    * corpus sort anywhere. */
   def txtNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
-    val deciles = docs(s, dir)
-      .select(col("doc_id"),
-        ntile(10).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("doc_id"))).cast("long").as("decile"))
+    val ranked = Ranking.twoPhaseRank(
+      docs(s, dir).select(col("doc_id")), "r", 32, col("doc_id"))
+    val n = ranked.count()
+    val per = n / 10
+    val rem = n % 10
+    // NTILE(10) closed form from the 1-based global rank: the first
+    // `rem` buckets hold per+1 rows, the rest hold per. Long division
+    // truncates toward zero — ranks are positive, so floor ≡ truncate.
+    val decile =
+      if (per == 0L) col("r") // fewer rows than buckets: rank IS the tile
+      else when(col("r") <= lit(rem * (per + 1)),
+          floor((col("r") - 1) / lit(per + 1)) + 1)
+        .otherwise(lit(rem) + floor((col("r") - 1 - rem * (per + 1)) / lit(per)) + 1)
+    val deciles = ranked
+      .select(col("doc_id"), decile.cast("long").as("decile"))
     val owner = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
