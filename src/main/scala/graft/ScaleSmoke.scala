@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * than the original (×10 data AND a much denser pair graph: 515k pairs
   * vs 25 at sf0.1). That's the point: the pair cores must survive both
   * axes. Embeddings clone as-is (centroid/k-means math is
-  * duplicate-tolerant).
+  * duplicate-tolerant). Events clone with event_id AND user_id offset per
+  * copy (r10): the user population grows ×factor while each clone user
+  * replays the identical sequence, so per-user state stays constant —
+  * the axis the user-keyed evt_* plans actually scale on.
   *
   * Measured (local[32], 2026-08, 50k docs vs 5k): dd_exact 0.62 s (1.7×),
   * dd_ngram_jaccard 3.75 s (~1.5×), dd_minhash_lsh 3.89 s (~1.3×),
