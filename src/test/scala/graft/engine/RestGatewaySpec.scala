@@ -158,6 +158,29 @@ class RestGatewaySpec extends AnyFunSuite {
     assert(rows.nonEmpty, "streaming rows should arrive within the deadline")
     assert(rows.forall(r => Set("INSERT", "UPDATE_AFTER", "UPDATE_BEFORE", "DELETE")
       .contains(r("kind").toString)))
+    // retained checkpoint HISTORY over the wire (flinkJobClient.ts:180-188
+    // payload): the running stream's /checkpoints carries Flink-shaped
+    // history rows — COMPLETED status, strictly increasing batch ids
+    val mon = gw.monitorAddress
+    val sJobs = arr(obj(get(s"$mon/jobs/overview")._2)("jobs")).map(obj)
+      .filter(_("state").toString == "RUNNING")
+    assert(sJobs.nonEmpty, "the streaming job should be RUNNING in overview")
+    // one job's history only — ids are per-query, so mixing jobs would
+    // break the monotonicity assertion if another stream ever ran
+    val hDeadline = System.currentTimeMillis() + 20000
+    var hist = Seq.empty[Map[String, Any]]
+    while (hist.isEmpty && System.currentTimeMillis() < hDeadline) {
+      hist = sJobs.view.map(j =>
+        arr(obj(get(s"$mon/jobs/${j("jid")}/checkpoints")._2)("history")).map(obj))
+        .find(_.nonEmpty).getOrElse(Seq.empty)
+      if (hist.isEmpty) Thread.sleep(300)
+    }
+    assert(hist.nonEmpty, "committed micro-batches should appear as history rows")
+    assert(hist.forall(e => e("status") == "COMPLETED" &&
+      e.contains("trigger_timestamp") && e.contains("end_to_end_duration")))
+    val ids = hist.map(_("id").toString.toDouble.toLong)
+    assert(ids == ids.sorted && ids.distinct.size == ids.size,
+      s"history ids must strictly increase, got $ids")
     assert(delete(s"$base/v1/sessions/$h/operations/$op") == 200)
     assert(pollStatus(base, h, op, Set("CANCELED", "FINISHED", "ERROR")) == "CANCELED")
   }
