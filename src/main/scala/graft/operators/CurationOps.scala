@@ -1060,18 +1060,16 @@ object CurationOps {
     * volume the same moments come from a map-combined groupBy + broadcast
     * join, verdict arithmetic unchanged. */
   def evtOutliers(s: SparkSession, dir: String, zThr: Double = 3.0): DataFrame = {
-    val e = Tables.load(s, dir, "events")
-    val wt = Window.partitionBy(col("event_type"))
-    val dec = "decimal(30,15)"
-    e.select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("s1", sum(col("value").cast(dec)).over(wt).cast("double"))
-      .withColumn("s2", sum((col("value") * col("value")).cast(dec)).over(wt)
-        .cast("double"))
-      .withColumn("n", count(lit(1)).over(wt).cast("double"))
-      .withColumn("m", col("s1") / col("n"))
-      .withColumn("sd", when(col("n") > 1.0,
-        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) /
-          (col("n") - 1.0), lit(0.0)))).otherwise(lit(0.0)))
+    // TWO-PASS form (r10): per-type moments as a map-combined |types|-row
+    // aggregation ([[evtValueMoments]] — the exact frame the streaming
+    // twin freezes), broadcast back, z computed map-side. The r9 one-pass
+    // type-keyed WINDOW carried every event through a per-type sort and
+    // was the heaviest evt_* shape at the 100× rung (14.2 s); the exact
+    // DECIMAL sums are order-free, so groupBy ≡ window value-for-value
+    // and the oracle hash is unchanged.
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(evtValueMoments(s, dir)), Seq("event_type"))
       .filter(col("sd") > 0.0 &&
         abs((col("value") - col("m")) / col("sd")) > zThr)
       .select(col("event_id"), col("event_type"), col("value"),
