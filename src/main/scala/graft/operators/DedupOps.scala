@@ -1377,15 +1377,24 @@ object DedupOps {
     * negatives (none on this corpus; see [[ddSemDedupAnn]]). */
   private[graft] def annCosinePairs(s: SparkSession, dir: String,
       threshold: Double = 0.4, bits: Int = 6, tables: Int = 8): DataFrame = {
+    // materialize the shared subtrees ONCE: `base` (the normalized
+    // corpus) is read by the code assignment AND both sides of the exact
+    // re-verify join — three scans of the same decode+normalize work —
+    // and `coded` sits on BOTH sides of the bucket join (probe + direct),
+    // which would run the tables×srpCode explode twice. The pqRecallCheck
+    // shared-subtree discipline; both frames are compact (corpus ×
+    // (d doubles + 1) and corpus × tables × 3 ints).
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
       .select(col("vec_id"), col("ve"),
         sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+      .localCheckpoint()
     val tableCodes = (0 until tables).map(t =>
       struct(lit(t).as("tab"), VF.srpCode(col("ve"), bits, t).as("code")))
     val coded = base
       .select(col("vec_id"), explode(array(tableCodes: _*)).as("tc"))
       .select(col("vec_id"), col("tc.tab").as("tab"), col("tc.code").as("code"))
+      .localCheckpoint()
     val probeMasks: Seq[Long] = 0L +:
       (0 until bits).map(b => 1L << b) ++:
       (for { i <- 0 until bits; j <- i + 1 until bits } yield (1L << i) | (1L << j))
