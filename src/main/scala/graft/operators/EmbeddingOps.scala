@@ -504,11 +504,16 @@ object EmbeddingOps {
     * than summing all three moments at the pair grain. Output is model-sized. */
   def embCov(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // materialized once: the d-row moment frame broadcasts into TWO joins
+    // below, and without the checkpoint each broadcast would re-run the
+    // n·d-row aggregation it wraps (the annCosinePairs shared-subtree
+    // discipline)
     val firstMoments = e
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("double").cast("decimal(30,15)")).as("s"))
+      .localCheckpoint()
     e.select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi").cast("double").as("xi"),
         posexplode(slice(col("embedding"), col("i") + 1,
