@@ -1368,9 +1368,59 @@ object DedupOps {
     * ANN at n = 5000). This path exists for the corpora where n² cannot
     * run at all; there, each corpus-sized shuffle replaces an impossible
     * all-pairs pass. */
-  def ddSemDedupAnn(s: SparkSession, dir: String): DataFrame =
-    semDedupGroupsFrom(s, dir,
-      annCosinePairs(s, dir).select(col("id_a"), col("id_b")))
+  def ddSemDedupAnn(s: SparkSession, dir: String): DataFrame = {
+    // Exact-dup CONTRACTION before the ANN layer (the pipe_dedup_cascade
+    // ordering, made structural): byte-identical embeddings satisfy ANY
+    // cosine threshold, so clones collapse to their min-vec_id
+    // representative first and the SRP buckets hold DISTINCT vectors
+    // only. Without this, duplicate multiplicity densifies buckets
+    // quadratically — the 100× ScaleSmoke corpus (100 clones/vector)
+    // filled 78 GB of candidate shuffle and died; with it, bucket
+    // occupancy is bounded by DISTINCT-vector density, which is what the
+    // bits rule below sizes against. The contraction is EXACT: clone
+    // pairs are cos=1 true dups, and distinct-pair cosines are untouched.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val repOf = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+      .persist(lvl)
+    val vecToRep = emb.join(repOf, Seq("embedding"))
+      .select(col("vec_id"), col("rep")).localCheckpoint()
+    // the scaladoc's sizing rule, in code: bits ≈ log₂(n_distinct/B) for
+    // a target bucket B=512 — the gate corpora (≤2k distinct) stay at
+    // the recall-complete 6-bit setting, larger corpora grow the code
+    // instead of the bucket
+    val nDistinct = repOf.count()
+    val bits = math.max(6,
+      math.ceil(math.log(nDistinct / 512.0) / math.log(2.0)).toInt)
+    val repBase = repOf
+      .select(col("rep").as("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+      .localCheckpoint()
+    repOf.unpersist()
+    val pairs = annCandidatePairsFrom(repBase, threshold = 0.4,
+        bits = bits, tables = 8)
+      .select(col("id_a"), col("id_b")).persist(lvl)
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist(lvl)
+    val labels = connectedComponents(edges)
+    // rep → component label (rep IS its clone-group's min vec_id and CC
+    // labels by min rep, so the label is the GLOBAL min vec_id of the
+    // expanded group); singleton reps label themselves
+    val repLabel = repBase.select(col("vec_id").as("rep"))
+      .join(labels.select(col("doc_id").as("rep"), col("label")),
+        Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("label"))
+    val out = vecToRep.join(repLabel, Seq("rep"))
+      .select(col("vec_id"), col("label").as("group_rep"),
+        (col("vec_id") === col("label")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    edges.unpersist()
+    pairs.unpersist()
+    out
+  }
 
   /** SRP-LSH candidate pairs at cos ≥ threshold, exactly re-verified —
     * same output contract as [[embeddingCosinePairs]] minus LSH false
@@ -1389,6 +1439,15 @@ object DedupOps {
       .select(col("vec_id"), col("ve"),
         sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
       .localCheckpoint()
+    annCandidatePairsFrom(base, threshold, bits, tables)
+  }
+
+  /** [[annCosinePairs]]' candidate+verify core over a prepared
+    * (vec_id, ve, nrm) frame — shared with [[ddSemDedupAnn]]'s
+    * distinct-representative path. `base` must be materialized by the
+    * caller (it sits on three sides of the plan). */
+  private def annCandidatePairsFrom(base: DataFrame, threshold: Double,
+      bits: Int, tables: Int): DataFrame = {
     val tableCodes = (0 until tables).map(t =>
       struct(lit(t).as("tab"), VF.srpCode(col("ve"), bits, t).as("code")))
     val coded = base

@@ -163,6 +163,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missed=${(exact -- ann).take(5)} spurious=${(ann -- exact).take(5)}")
   }
 
+  test("semdedup-ann contraction: clone-heavy corpus == exact semantic dedup") {
+    // ddSemDedupAnn collapses byte-identical embeddings to their min-id
+    // representative BEFORE the SRP layer; the testdata has no clones, so
+    // derive a corpus where every vector appears 3x (the ScaleSmoke clone
+    // scheme) and certify the full contract — contraction, ANN on
+    // distinct reps, CC, re-expansion — against the exact path end-to-end
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = java.nio.file.Files.createTempDirectory("graft-semclone").toString
+    val emb = Tables.load(spark, dir, "embeddings")
+    (0 until 3).map { k =>
+      val cols = (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id") +:
+        emb.columns.filter(_ != "vec_id").map(col).toSeq
+      emb.select(cols: _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val ann = DedupOps.ddSemDedupAnn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = DedupOps.ddSemDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(ann == exact,
+      s"missing=${(exact -- ann).take(3)} spurious=${(ann -- exact).take(3)}")
+    // the clone structure itself: every vector's group contains its 3
+    // clones, and the canonical is always a base-copy (smallest-id) vector
+    val byGroup = ann.groupBy(_._2)
+    byGroup.foreach { case (rep, members) =>
+      assert(rep < 1000000000L, s"canonical $rep is not a base-copy id")
+      assert(members.size % 3 == 0,
+        s"group $rep size ${members.size} not a clone-multiple")
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val d = DedupOps.ddExact(spark, dir)
     val total = d.agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
