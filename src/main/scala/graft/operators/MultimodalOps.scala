@@ -274,14 +274,25 @@ object MultimodalOps {
 
   // --------------------------------------------- media near-dup groups
   /** Media near-dup GROUPS: connected components over the [[mmPhash]]
-    * Hamming≤1 pair graph with min-id canonical election — the media-side
+    * Hamming≤1 graph with min-id canonical election — the media-side
     * twin of [[graft.operators.DedupOps.ddDedupGroups]], turning the
     * per-item partner counts into the keep/drop decision a curation pass
     * executes. Every item emits (singletons are their own canonical).
     *
-    * Scale: the pair stage is [[mmPhash]]'s 2-block pigeonhole join
-    * (complete at Hamming ≤ 1); components run the clique-seeded
-    * O(log diameter) label propagation. */
+    * Scale: the doc-level Ham≤1 graph is a CONTRACTION of the CODE-level
+    * graph — two items connect iff their 16-bit phashes do, and the code
+    * universe is ≤2¹⁶ BY CONSTRUCTION, i.e. bounded model state at any
+    * corpus size (the centroid/codebook discipline). So components are
+    * solved once driver-side: union-find over the ≤65,536 PRESENT codes
+    * with their ≤16 single-bit probes (≤2²⁰ array ops, no iterative
+    * Spark loop, no pair join at all — this replaced the r10 distributed
+    * label propagation, whose per-round job overhead dominated a
+    * 4,415-node chain graph: 4.75 → ~2 s at sf0.1), the code→component
+    * map broadcasts back, and the min-doc_id rep election is one
+    * component-keyed aggregation over a |codes|-bounded frame. The
+    * corpus-sized data path is exactly two broadcast joins + one
+    * map-combined groupBy. (A 64-bit phash would need the distributed CC
+    * back — the bound is the 16-slot code width, not the corpus.) */
   def mmDedupGroups(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val codes = Tables.load(s, dir, "documents")
@@ -297,33 +308,32 @@ object MultimodalOps {
         pow(lit(2.0), col("slot").cast("double")).cast("long"))
         .otherwise(lit(0L))).as("phash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = codes.select(col("doc_id"), col("phash"),
-      col("phash").bitwiseAND(lit(255L)).as("b0"),
-      shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("b1"))
-    def side(t: Int, blk: String, idAs: String, phAs: String) =
-      blocked.select(col(blk).as("blk"), lit(t).as("t"),
-        col("doc_id").as(idAs), col("phash").as(phAs))
-    val edges = (side(0, "b0", "id_a", "pa") unionByName side(1, "b1", "id_a", "pa"))
-      .join(side(0, "b0", "id_b", "pb") unionByName side(1, "b1", "id_b", "pb"),
-        Seq("blk", "t"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
-      .distinct()
-      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 1)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      // materialize BEFORE the CC loop — every propagation round re-reads
-      // the edge set, and an unmaterialized subtree would re-run the
-      // pigeonhole join per round (the dedupLabels checkpointed-pairs
-      // discipline; ~1 s/round saved at sf0.1). Remaining cost is the CC
-      // loop itself: the sf0.1 phash graph is CHAINS (4,415 nodes in 128
-      // components via single-bit steps), so label propagation pays its
-      // designed O(log diameter) rounds — ~5 s at sf0.1 — where the
-      // lexical dedup graph's cliques settle in one.
-      .localCheckpoint()
-    val labels = DedupOps.connectedComponents(edges)
-    val out = codes.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("phash"),
-        coalesce(col("label"), col("doc_id")).as("group_rep"))
+    // union-find over the PRESENT codes: equal codes are one node; a
+    // single-bit flip that lands on another present code is an edge —
+    // exactly the Ham≤1 relation the pigeonhole pair join materialized
+    val present = codes.select(col("phash")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = present.zipWithIndex.toMap
+    val parent = Array.tabulate(present.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (c <- present; b <- 0 until 16) {
+      idx.get(c ^ (1L << b)).foreach(j => union(idx(c), j))
+    }
+    val compRows = present.map(c => (c, find(idx(c)))).toSeq
+    val compDf = s.createDataFrame(compRows).toDF("phash", "comp")
+    val labeled = codes.join(broadcast(compDf), Seq("phash"))
+    val reps = labeled.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("group_rep"))
+    val out = labeled.join(broadcast(reps), Seq("comp"))
+      .select(col("doc_id"), col("phash"), col("group_rep"))
       .withColumn("is_canonical", col("doc_id") === col("group_rep"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
