@@ -1067,9 +1067,14 @@ object CurationOps {
     // was the heaviest evt_* shape at the 100× rung (14.2 s); the exact
     // DECIMAL sums are order-free, so groupBy ≡ window value-for-value
     // and the oracle hash is unchanged.
+    // null-safe join: the SQL oracle's PARTITION BY keeps a NULL-type
+    // partition, and evtValueMoments' groupBy emits a NULL-key moment
+    // row — a plain equi-join would silently drop null-typed events
+    val moments = evtValueMoments(s, dir).withColumnRenamed("event_type", "mt")
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
-      .join(broadcast(evtValueMoments(s, dir)), Seq("event_type"))
+      .join(broadcast(moments), col("event_type") <=> col("mt"))
+      .drop("mt")
       .filter(col("sd") > 0.0 &&
         abs((col("value") - col("m")) / col("sd")) > zThr)
       .select(col("event_id"), col("event_type"), col("value"),

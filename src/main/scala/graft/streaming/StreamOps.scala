@@ -843,9 +843,19 @@ object StreamOps {
   def streamingWinnowing(docs: DataFrame, fpIndex: DataFrame,
       k: Int = 3, w: Int = 4): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokens}
-    val keys = transform(shingles(col("toks"), k), (g, i) =>
+    // mirror the batch sentinel guard (TextQueries.txtWinnowing): past
+    // 10⁷ grams the subtraction goes negative and '-' sorts before
+    // digits, silently flipping the rightmost-tie rule — fail fast
+    // instead, inside the key expression so it can't be pruned
+    val keys = transform(shingles(col("toks"), k), (g, i) => {
+      val pos = i + 1
+      val guarded = when(pos < lit(10000000L), pos)
+        .otherwise(raise_error(concat(
+          lit("streaming_winnowing: gram position "), pos.cast("string"),
+          lit(" >= 10^7 sentinel — rightmost-tie key would misorder"))))
       concat(md5(g.cast("binary")),
-        lpad((lit(10000000L) - (i + 1)).cast("string"), 8, "0")))
+        lpad((lit(10000000L) - guarded).cast("string"), 8, "0"))
+    })
     val perDoc = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), keys.as("keys"))
