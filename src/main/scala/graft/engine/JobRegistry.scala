@@ -47,11 +47,13 @@ final case class CheckpointStats(
   * `/jobs/{jid}/checkpoints` whose payload carries a `history` list
   * (flinkJobClient.ts:180-188); each committed micro-batch is one entry.
   * Field names mirror Flink's REST history rows (id / status /
-  * trigger_timestamp / end_to_end_duration / state_size). */
+  * trigger_timestamp / end_to_end_duration / state_size);
+  * trigger_timestamp is EPOCH MILLIS, Flink's wire format — a client
+  * parsing the field numerically must not break on an ISO string. */
 final case class CheckpointEntry(
     id: Long, // batchId
     status: String, // COMPLETED | FAILED
-    triggerTimestamp: String,
+    triggerTimestamp: Long,
     durationMs: Long,
     stateRows: Long,
     stateBytes: Long)
@@ -157,7 +159,9 @@ final class JobRegistry(spark: SparkSession) {
         val entry = CheckpointEntry(
           id = e.progress.batchId,
           status = "COMPLETED",
-          triggerTimestamp = e.progress.timestamp,
+          // progress.timestamp is ISO-8601 UTC; the wire field is epoch ms
+          triggerTimestamp =
+            java.time.Instant.parse(e.progress.timestamp).toEpochMilli,
           durationMs = dur,
           stateRows = e.progress.stateOperators.map(_.numRowsTotal).sum,
           stateBytes = e.progress.stateOperators.map(_.memoryUsedBytes).sum)
@@ -179,7 +183,7 @@ final class JobRegistry(spark: SparkSession) {
         // checkpoints in the same list); id = the batch that didn't commit
         val failedId = streamLastBatch.get(e.id).map(_ + 1L).getOrElse(0L)
         val entry = CheckpointEntry(failedId, "FAILED",
-          java.time.Instant.now().toString, 0L, 0L, 0L)
+          System.currentTimeMillis(), 0L, 0L, 0L)
         streamHistory.updateWith(e.id)(h =>
           Some((h.getOrElse(Vector.empty) :+ entry).takeRight(MaxCheckpointHistory)))
       }

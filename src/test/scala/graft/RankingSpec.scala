@@ -20,7 +20,7 @@ class RankingSpec extends AnyFunSuite {
   private def frame(n: Int): DataFrame = {
     import spark.implicits._
     (1 to n).map { i =>
-      (i.toLong, (i % 7).toLong, s"k${i % 13}%03d")
+      (i.toLong, (i % 7).toLong, f"k${i % 13}%03d")
     }.toDF("id", "v", "s")
   }
 
@@ -73,6 +73,43 @@ class RankingSpec extends AnyFunSuite {
       val got = ranked.select(col("id"), decile.cast("long").as("d"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"n=$n closed-form NTILE must match the window")
+    }
+  }
+
+  test("order laws under generated frames: rank order ≡ key order, bijection, parts-invariance") {
+    // property-grade (PropertySpec's fixed-seed Gen idiom): for ANY frame
+    // shape — size, duplicate density, partition count — the two-phase
+    // rank must (a) be a bijection onto 1..n, (b) order-agree with the
+    // total order key (rank(a) < rank(b) ⇔ key(a) < key(b) lexicographic),
+    // and (c) not depend on the physical parts setting
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(271L + i)))
+    val gen = for {
+      n <- Gen.choose(1, 900)
+      vMod <- Gen.choose(1, 20) // duplicate density of the primary key
+      sMod <- Gen.choose(1, 9)
+      parts <- Gen.oneOf(1, 2, 7, 32)
+    } yield (n, vMod, sMod, parts)
+    import spark.implicits._
+    for ((n, vMod, sMod, parts) <- samples(gen, 6)) {
+      val df = (1 to n).map { i =>
+        (i.toLong, (i * 31 % vMod).toLong, f"s${i * 17 % sMod}%02d")
+      }.toDF("id", "v", "s")
+      val got = Ranking.twoPhaseRank(df, "r", parts,
+          col("v").desc, col("s"), col("id"))
+        .select(col("id"), col("v"), col("s"), col("r")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val label = s"n=$n vMod=$vMod sMod=$sMod parts=$parts"
+      // (a) bijection
+      assert(got.map(_._4).sorted.toSeq == (1L to n.toLong), label)
+      // (b) order law: sorting by the total order key yields ranks 1..n
+      implicit val ord: Ordering[(Long, String, Long)] =
+        Ordering.Tuple3(Ordering[Long].reverse, Ordering[String], Ordering[Long])
+      val byKey = got.sortBy(t => (t._2, t._3, t._1))
+      assert(byKey.map(_._4).toSeq == (1L to n.toLong),
+        s"$label: rank order must equal key order")
     }
   }
 

@@ -178,6 +178,13 @@ class RestGatewaySpec extends AnyFunSuite {
     assert(hist.nonEmpty, "committed micro-batches should appear as history rows")
     assert(hist.forall(e => e("status") == "COMPLETED" &&
       e.contains("trigger_timestamp") && e.contains("end_to_end_duration")))
+    // Flink wire format: trigger_timestamp is epoch millis, numeric —
+    // a client doing arithmetic on it must not meet an ISO string
+    hist.foreach { e =>
+      val ts = e("trigger_timestamp").toString.toDouble.toLong
+      assert(ts > 1500000000000L && ts < 4102444800000L,
+        s"trigger_timestamp should be plausible epoch ms, got $ts")
+    }
     val ids = hist.map(_("id").toString.toDouble.toLong)
     assert(ids == ids.sorted && ids.distinct.size == ids.size,
       s"history ids must strictly increase, got $ids")
