@@ -723,4 +723,92 @@ class StreamingSpec extends AnyFunSuite {
       "both directions of every pair must surface")
     assert(batch.count() > 0, "testdata should contain containment pairs")
   }
+
+  test("recovery restart: kill a checkpointed agg mid-stream, resume — no lost or duplicated aggregates") {
+    // The EXACTLY_ONCE contract (reference conf/flink-conf.yaml:61-63):
+    // a checkpointed streaming aggregation stopped mid-stream and resumed
+    // from the same checkpointLocation must produce results identical to
+    // an uninterrupted run — state recovered (a window OPEN at the kill
+    // accumulates rows from both before and after), nothing re-emitted.
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // one "file" per micro-batch; window 12:02 receives rows BEFORE the
+    // kill (file 2) and AFTER the resume (file 3) — the recovered-state
+    // probe. The final sentinel advances the watermark past every real
+    // window so append mode flushes them all.
+    val files: Seq[Seq[(Timestamp, String, Double)]] = Seq(
+      Seq((t("2024-01-01 12:00:10"), "click", 1.0),
+        (t("2024-01-01 12:00:20"), "view", 2.0)),
+      Seq((t("2024-01-01 12:01:10"), "click", 3.0)),
+      Seq((t("2024-01-01 12:02:10"), "click", 4.0)),
+      // ---- kill + resume happens between these two ----
+      Seq((t("2024-01-01 12:02:40"), "click", 5.0),
+        (t("2024-01-01 12:03:10"), "view", 6.0)),
+      Seq((t("2024-01-01 13:00:00"), "sentinel", 0.0)))
+    val schema = files.head.toDF("ts", "event_type", "value").schema
+
+    /** Write `batch` as one parquet file into `src`, then let the running
+      * query drain it — each step is (at least) one micro-batch, and the
+      * file arrival ORDER is controlled, so the watermark advances
+      * deterministically in every run. */
+    def step(src: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+        batch: Seq[(Timestamp, String, Double)]): Unit = {
+      batch.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    }
+    def start(src: String, ck: String, out: String) =
+      StreamOps.tumbleAgg(
+          StreamOps.readParquetStream(spark, src, schema), "2 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+
+    val base = Files.createTempDirectory("graft-recovery")
+    def mk(n: String) = { val p = base.resolve(n); p.toFile.mkdirs(); p.toString }
+
+    // interrupted run: 3 batches, STOP, new query from the same
+    // checkpoint + sink, remaining batches
+    val (srcA, ckA, outA) = (mk("srcA"), mk("ckA"), mk("outA"))
+    val q1 = start(srcA, ckA, outA)
+    files.take(3).foreach(step(srcA, q1, _))
+    q1.stop()
+    q1.awaitTermination()
+    val q2 = start(srcA, ckA, outA)
+    files.drop(3).foreach(step(srcA, q2, _))
+    q2.stop()
+    q2.awaitTermination()
+
+    // uninterrupted control: same batches, one query lifetime
+    val (srcB, ckB, outB) = (mk("srcB"), mk("ckB"), mk("outB"))
+    val qb = start(srcB, ckB, outB)
+    files.foreach(step(srcB, qb, _))
+    qb.stop()
+    qb.awaitTermination()
+
+    // reading the sink path honors the FileStreamSink _spark_metadata log,
+    // i.e. this read IS the exactly-once visibility surface
+    val got = spark.read.parquet(outA)
+    val control = spark.read.parquet(outB)
+    assert(canon(got) == canon(control),
+      "resumed run must equal the uninterrupted run row-for-row")
+    // the window spanning the kill recovered its pre-kill state: 12:02
+    // holds the pre-kill click(4.0) AND the post-resume click(5.0)
+    val spanning = got.filter(col("win_start") ===
+        t("2024-01-01 12:02:00").getTime / 1000)
+      .select(col("event_type"), col("n_events"), col("sum_value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(spanning == Set(("click", 2L, 9.0)),
+      s"window open across the kill must merge both sides, got $spanning")
+    // exactly-once: every (window, type) group appears exactly once
+    val dup = got.groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dup == 0, "no aggregate may be emitted twice across the restart")
+    // nothing lost: all four real windows closed and surfaced
+    val wins = got.select("win_start").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val expect = Seq("12:00", "12:01", "12:02", "12:03")
+      .map(m => t(s"2024-01-01 $m:00").getTime / 1000).toSet
+    assert(wins == expect, s"expected exactly the four real windows, got $wins")
+  }
 }
