@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# graft doctor — the full round gate in one command:
+#   1. sbt test            (ScalaTest suite)
+#   2. Verify @ sf0.01     (dump every registry query + oracle_sql.json)
+#   3. oracle_check.py     (DuckDB compare — the driver's correctness gate)
+#   4. Bench @ sf0.1       (headline JSON line + BENCH_FULL.json)
+# Exits non-zero on the first failing stage. Builder-side tooling: the
+# DuckDB stage mirrors the driver's gate and is NOT part of the shipped
+# library (python/duckdb are driver-side only).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+SF_VERIFY=${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}
+SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+VOUT=${SPARK_GRAFT_VERIFY_OUT:-/tmp/graft_doctor_vout}
+
+echo "== doctor 1/4: sbt test"
+sbt -batch test 2>&1 | tail -5
+[ "${PIPESTATUS[0]}" -ne 0 ] && { echo "doctor: TESTS FAILED"; exit 1; }
+
+echo "== doctor 2/4: Verify @ $SF_VERIFY"
+rm -rf "$VOUT"
+vlog=$(mktemp)
+sbt -batch "runMain graft.Verify $SF_VERIFY $VOUT" >"$vlog" 2>&1
+vstatus=$?
+grep -E '\[verify\]' "$vlog" | tail -3
+if [ "$vstatus" -ne 0 ] || grep -q '\[verify\].*failed' "$vlog"; then
+  echo "doctor: VERIFY FAILED"; exit 1
+fi
+
+echo "== doctor 3/4: DuckDB oracle compare"
+python3 scripts/oracle_check.py "$SF_VERIFY" "$VOUT" | tail -3
+[ "${PIPESTATUS[0]}" -ne 0 ] && { echo "doctor: ORACLE MISMATCH"; exit 1; }
+
+echo "== doctor 4/4: Bench @ $SF_BENCH"
+SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" 2>&1 |
+  grep -E '^\[info\] \{"metric"' | sed 's/^\[info\] //' | tail -1
+echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench)"

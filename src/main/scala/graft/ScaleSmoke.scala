@@ -137,6 +137,18 @@ import org.apache.spark.sql.functions._
   * vectors each, sub-linear), dd_size_hist 0.46 s (0.52 s at 1× — flat,
   * the histogram re-aggregates the group-sized relation).
   *
+  * Round-11 contraction rungs: emb_knn_mutual 30×: 2.88 s / 100×:
+  * 10.52 s at 200k vectors (the bounded-block default — the exact twin's
+  * measured 30× wall was 92 s); dd_semdedup_ann 30×: 6.32 s / 100×:
+  * 5.85 s (exact-dup contraction + in-code bits rule; before it the 100×
+  * clone corpus filled 78 GB of candidate shuffle and died);
+  * mm_dedup_groups 10×/30×/100×: 1.74 / 2.03 / 3.78 s (driver union-find
+  * over the ≤2¹⁶ code universe — was 10.08 s at 10× with the distributed
+  * loop); sim_rp_recall 100×: 7.38 s; sim_ivf_recall 30×/100×: 11.9 /
+  * 39.8 s (exponent ≈ 0.63 — the brute-force truth side is the
+  * certification's own cost); emb_pca_check 10×: 6.31 s (~flat — the
+  * Gramian FLOPs distribute, the d²-row eigensolve is size-invariant).
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
