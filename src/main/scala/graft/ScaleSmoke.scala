@@ -144,9 +144,9 @@ import org.apache.spark.sql.functions._
   * clone corpus filled 78 GB of candidate shuffle and died);
   * mm_dedup_groups 10×/30×/100×: 1.74 / 2.03 / 3.78 s (driver union-find
   * over the ≤2¹⁶ code universe — was 10.08 s at 10× with the distributed
-  * loop); sim_rp_recall 100×: 7.38 s; sim_ivf_recall 30×/100×: 11.9 /
-  * 39.8 s (exponent ≈ 0.63 — the brute-force truth side is the
-  * certification's own cost); emb_pca_check 10×: 6.31 s (~flat — the
+  * loop); sim_rp_recall 100×: 7.38 s; sim_ivf_recall 30×/100×: 1.26 /
+  * 1.41 s (flat — after fixing the triple-evaluated cell-assignment
+  * argmin the probe join had inlined; see the BASELINE row); emb_pca_check 10×: 6.31 s (~flat — the
   * Gramian FLOPs distribute, the d²-row eigensolve is size-invariant).
   *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...]

@@ -36,7 +36,7 @@ object SimilarityOps {
 
   /** [[bruteTopK]] over a prepared (vec_id, ve, nrm) frame — shared with
     * the IVF recall certification, which searches a derived corpus. */
-  private def bruteTopKFrom(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  private[graft] def bruteTopKFrom(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qv"), col("nrm").as("qnrm"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -158,7 +158,32 @@ object SimilarityOps {
     annIvfFrom(emb(s, dir), nQueries, k, cells, nprobe)
 
   /** [[annIvf]] over a prepared (vec_id, ve, nrm) frame. */
-  private def annIvfFrom(base: DataFrame, nQueries: Int, k: Int,
+  /** Probe hook: the corpus cell assignment alone (see IvfProbe2). */
+  private[graft] def annIvfCellAssign(base: DataFrame,
+      cells: Int = 32): DataFrame = {
+    val centroids: Seq[Seq[Double]] = base
+      .select(col("vec_id"), col("ve"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val units = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    def centroidLit(u: Seq[Double]): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          u.toArray,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    def cellsRanked(ve: org.apache.spark.sql.Column) =
+      sort_array(array(units.zipWithIndex.map { case (u, i) =>
+        struct((lit(0.0) - VF.dot(ve, centroidLit(u))).as("nd"), lit(i).as("cell"))
+      }: _*))
+    base.withColumn("cell", cellsRanked(col("ve")).getItem(0).getField("cell"))
+  }
+
+  private[graft] def annIvfFrom(base: DataFrame, nQueries: Int, k: Int,
       cells: Int, nprobe: Int): DataFrame = {
     val centroids: Seq[Seq[Double]] = base
       .select(col("vec_id"), col("ve"))
@@ -184,8 +209,17 @@ object SimilarityOps {
       sort_array(array(units.zipWithIndex.map { case (u, i) =>
         struct((lit(0.0) - VF.dot(ve, centroidLit(u))).as("nd"), lit(i).as("cell"))
       }: _*))
+    // MATERIALIZE the assignment — this is the index BUILD (the inverted
+    // lists a real IVF index persists), and without the boundary Catalyst
+    // collapses the projection into the probe join, where the 32-dot
+    // argmin is re-evaluated per row for the pushed isnotnull filter, the
+    // hash key, AND the output: measured 11.5 s vs 2.3 s for the single
+    // evaluation at the 30× rung (see IvfProbe2) — the same
+    // triple-evaluation trap as the txt_winnowing projection-boundary
+    // lesson, closed here by storing the cell once.
     val corpus = base
       .withColumn("cell", cellsRanked(col("ve")).getItem(0).getField("cell"))
+      .localCheckpoint()
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qv"),
         col("nrm").as("qnrm"),
@@ -626,7 +660,7 @@ object SimilarityOps {
     * cluster structure (inter-centroid distance ≫ noise), which the raw
     * driver corpus (near-isotropic synthetic floats) lacks — see the
     * HONEST LIMITS note on [[annIvf]]. */
-  private def clusteredFrom(v: DataFrame, nClusters: Int = 8): DataFrame = {
+  private[graft] def clusteredFrom(v: DataFrame, nClusters: Int = 8): DataFrame = {
     val c = pmod(col("vec_id"), lit(nClusters.toLong))
     v.select(col("vec_id"),
         transform(col("ve"), (x, d) =>
