@@ -33,6 +33,13 @@ python3 scripts/oracle_check.py "$SF_VERIFY" "$VOUT" | tail -3
 [ "${PIPESTATUS[0]}" -ne 0 ] && { echo "doctor: ORACLE MISMATCH"; exit 1; }
 
 echo "== doctor 4/4: Bench @ $SF_BENCH"
-SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" 2>&1 |
-  grep -E '^\[info\] \{"metric"' | sed 's/^\[info\] //' | tail -1
+blog=$(mktemp)
+SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" >"$blog" 2>&1
+bstatus=$?
+headline=$(grep -E '^\[info\] \{"metric"' "$blog" | sed 's/^\[info\] //' | tail -1)
+echo "$headline"
+if [ "$bstatus" -ne 0 ] || [ -z "$headline" ] ||
+   grep -q '\[bench\].*failed' "$blog"; then
+  echo "doctor: BENCH FAILED"; exit 1
+fi
 echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench)"

@@ -88,7 +88,8 @@ final class JobRegistry(spark: SparkSession) {
   private val streamFailures = TrieMap.empty[java.util.UUID, Long]
   // retained checkpoint HISTORY per query (newest last), ring-capped —
   // Flink retains a bounded history list for /jobs/{jid}/checkpoints
-  private val MaxCheckpointHistory = 64
+  // package-visible so MonitorCatalogSpec tracks the real cap, not a copy
+  private[graft] val MaxCheckpointHistory = 64
   private val streamHistory = TrieMap.empty[java.util.UUID, Vector[CheckpointEntry]]
 
   /** History caps: a long-lived gateway session executes unbounded numbers

@@ -1380,12 +1380,24 @@ object DedupOps {
     // bits rule below sizes against. The contraction is EXACT: clone
     // pairs are cos=1 true dups, and distinct-pair cosines are untouched.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // degenerate vectors (zero / NaN / infinite norm) have NaN cosine with
+    // EVERYTHING — the exact path and the oracle leave them singletons, so
+    // they must not collapse with byte-identical twins nor enter the ANN
+    // layer. NB Spark orders NaN above every double, so `nrm > 0` alone
+    // would pass NaN — the finite upper bound closes that.
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val repOf = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+      .withColumn("__ok", {
+        val nrm = VF.norm(VF.asDouble(col("embedding")))
+        nrm > 0.0 && nrm < lit(Double.PositiveInfinity)
+      })
+    val repOf = emb.filter(col("__ok"))
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
       .persist(lvl)
-    val vecToRep = emb.join(repOf, Seq("embedding"))
-      .select(col("vec_id"), col("rep")).localCheckpoint()
+    val vecToRep = emb.join(repOf, Seq("embedding"), "left")
+      .select(col("vec_id"),
+        coalesce(when(col("__ok"), col("rep")), col("vec_id")).as("rep"))
+      .localCheckpoint()
     // the scaladoc's sizing rule, in code: bits ≈ log₂(n_distinct/B) for
     // a target bucket B=512 — the gate corpora (≤2k distinct) stay at
     // the recall-complete 6-bit setting, larger corpora grow the code
@@ -1412,9 +1424,11 @@ object DedupOps {
       .join(labels.select(col("doc_id").as("rep"), col("label")),
         Seq("rep"), "left")
       .select(col("rep"), coalesce(col("label"), col("rep")).as("label"))
-    val out = vecToRep.join(repLabel, Seq("rep"))
-      .select(col("vec_id"), col("label").as("group_rep"),
-        (col("vec_id") === col("label")).as("is_canonical"))
+    // left + coalesce: degenerate self-reps are absent from repLabel (they
+    // never enter the ANN layer) and must still emit as singletons
+    val out = vecToRep.join(repLabel, Seq("rep"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("rep")).as("group_rep"),
+        (col("vec_id") === coalesce(col("label"), col("rep"))).as("is_canonical"))
       .orderBy(col("vec_id"))
       .localCheckpoint()
     edges.unpersist()

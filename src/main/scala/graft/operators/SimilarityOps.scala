@@ -158,9 +158,17 @@ object SimilarityOps {
     annIvfFrom(emb(s, dir), nQueries, k, cells, nprobe)
 
   /** [[annIvf]] over a prepared (vec_id, ve, nrm) frame. */
-  /** Probe hook: the corpus cell assignment alone (see IvfProbe2). */
-  private[graft] def annIvfCellAssign(base: DataFrame,
-      cells: Int = 32): DataFrame = {
+  /** The IVF coarse quantizer as a reusable column builder: collects the
+    * deterministic centroid sample (smallest id-hashes, unit-normalized —
+    * cosine against unit centroids ranks identically for a fixed query)
+    * and returns ve => the full cell ranking (struct sort, exact ties on
+    * cell id — deterministic). Centroid literals go through
+    * Literal.create with an explicit ArrayType (typedlit's reflection
+    * fails over the row-extracted boxed Seq). ONE implementation shared
+    * by the production path and the probe hook, so a probe can never
+    * silently measure different code than ships. */
+  private def ivfCellsRanked(base: DataFrame, cells: Int)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     val centroids: Seq[Seq[Double]] = base
       .select(col("vec_id"), col("ve"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -176,39 +184,22 @@ object SimilarityOps {
           u.toArray,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))
-    def cellsRanked(ve: org.apache.spark.sql.Column) =
+    (ve: org.apache.spark.sql.Column) =>
       sort_array(array(units.zipWithIndex.map { case (u, i) =>
         struct((lit(0.0) - VF.dot(ve, centroidLit(u))).as("nd"), lit(i).as("cell"))
       }: _*))
-    base.withColumn("cell", cellsRanked(col("ve")).getItem(0).getField("cell"))
+  }
+
+  /** Probe hook: the corpus cell assignment alone (see IvfProbe2). */
+  private[graft] def annIvfCellAssign(base: DataFrame,
+      cells: Int = 32): DataFrame = {
+    val ranked = ivfCellsRanked(base, cells)
+    base.withColumn("cell", ranked(col("ve")).getItem(0).getField("cell"))
   }
 
   private[graft] def annIvfFrom(base: DataFrame, nQueries: Int, k: Int,
       cells: Int, nprobe: Int): DataFrame = {
-    val centroids: Seq[Seq[Double]] = base
-      .select(col("vec_id"), col("ve"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(cells).collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
-    val units = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / n)
-    }
-    // all cells ranked by cosine (|v| is constant across cells, so dot
-    // against unit centroids ranks identically); struct sort breaks exact
-    // ties by cell id — deterministic. Centroid literals go through
-    // Literal.create with an explicit ArrayType (typedlit's reflection
-    // fails over the row-extracted boxed Seq).
-    def centroidLit(u: Seq[Double]): org.apache.spark.sql.Column =
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.Literal.create(
-          u.toArray,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false)))
-    def cellsRanked(ve: org.apache.spark.sql.Column) =
-      sort_array(array(units.zipWithIndex.map { case (u, i) =>
-        struct((lit(0.0) - VF.dot(ve, centroidLit(u))).as("nd"), lit(i).as("cell"))
-      }: _*))
+    val cellsRanked = ivfCellsRanked(base, cells)
     // MATERIALIZE the assignment — this is the index BUILD (the inverted
     // lists a real IVF index persists), and without the boundary Catalyst
     // collapses the projection into the probe join, where the 32-dot
@@ -1120,12 +1111,14 @@ object SimilarityOps {
     * (vec_id, label, n_knn, n_mutual).
     *
     * The registry DEFAULT caps every pair-join block at `cap` vectors:
-    * each label is split into ⌈n_label/cap⌉ sub-blocks by the
-    * deterministic hash order (md5(vec_id), vec_id) every sampler here
-    * uses, so a sub-block is a uniform random ~cap-sample of its label
-    * and the diagnostic's mutuality/hubness DISTRIBUTION is preserved
-    * while the pair work drops from Σ n_label² (quadratic in the corpus)
-    * to n·cap (linear). The per-label rank comes from
+    * each label is split into nblk = ⌈n_label/cap⌉ BALANCED sub-blocks
+    * (blk = rank₀·nblk div n — sizes differ by at most one, so no label
+    * leaves a tiny remainder block whose members would report deflated
+    * degrees) by the deterministic hash order (md5(vec_id), vec_id)
+    * every sampler here uses; a sub-block is a uniform random
+    * ~cap-sample of its label, so the diagnostic's mutuality/hubness
+    * DISTRIBUTION is preserved while the pair work drops from
+    * Σ n_label² (quadratic in the corpus) to n·cap (linear). The per-label rank comes from
     * [[Ranking.twoPhaseRank]] (label leads the range key) minus a
     * broadcast per-label base — no reducer ever holds a label, and the
     * base table is label-count-sized model state. Labels at or under the
@@ -1146,11 +1139,18 @@ object SimilarityOps {
       .withColumn("nrm", VF.norm(col("ve")))
     val ranked = Ranking.twoPhaseRank(v0, "__gr", 32,
       col("label"), md5(col("vec_id").cast("string")), col("vec_id"))
-    val labelBase = ranked.groupBy(col("label")).agg(min(col("__gr")).as("__lb"))
+    // BALANCED chunking — blk = (rank0 · nblk) div n over nblk = ⌈n/cap⌉
+    // blocks — so block sizes differ by at most one and every block is
+    // ≤ cap: fixed-width ⌊rank/cap⌋ chunking would leave a tiny trailing
+    // remainder block per label (worst case a singleton that emits NO
+    // report row, deflating tail degrees). Integer DIV throughout — no
+    // double rounding at any rank magnitude.
+    val labelBase = ranked.groupBy(col("label")).agg(min(col("__gr")).as("__lb"),
+      count(lit(1)).as("__n"))
     val v = ranked.join(broadcast(labelBase), Seq("label"))
-      .withColumn("blk",
-        floor((col("__gr") - col("__lb")).cast("double") / cap).cast("int"))
-      .drop("__gr", "__lb")
+      .withColumn("blk", expr(
+        s"CAST(((__gr - __lb) * ((__n + ${cap - 1}) DIV $cap)) DIV __n AS INT)"))
+      .drop("__gr", "__lb", "__n")
     knnMutualReport(v, k, blockCols = Seq("label", "blk"))
   }
 
@@ -1201,10 +1201,13 @@ object SimilarityOps {
     """WITH v AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
-      |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY label
-      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
-      |      / 256.0) AS INTEGER) AS blk
-      |  FROM embeddings
+      |    CAST(((rn0 * ((cnt + 255) // 256)) // cnt) AS INTEGER) AS blk
+      |  FROM (
+      |    SELECT vec_id, label, embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY label
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn0,
+      |      COUNT(*) OVER (PARTITION BY label) AS cnt
+      |    FROM embeddings)
       |), p AS (
       |  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
       |    list_dot_product(a.ve, b.ve)

@@ -840,10 +840,14 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
       .getInstance("MD5").digest(s0.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     // replay the operator's sub-blocking: per-label hash-order rank,
-    // consecutive chunks of `cap`
+    // BALANCED chunks (blk = rank0 * nblk / n over nblk = ceil(n/cap))
     val edges = vecs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val n = g.size.toLong
+      val nblk = (n + cap - 1) / cap
       val blocks = g.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
-        .grouped(cap).toSeq
+        .zipWithIndex
+        .groupBy { case (_, i) => i.toLong * nblk / n }
+        .toSeq.map(_._2.map(_._1))
       blocks.flatMap { blk =>
         blk.flatMap { case (src, lab, va) =>
           blk.filter(_._1 != src)

@@ -184,6 +184,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(ann == exact,
       s"missing=${(exact -- ann).take(3)} spurious=${(ann -- exact).take(3)}")
+
+    // degenerate twins: byte-identical ZERO vectors have NaN cosine with
+    // everything — the exact path's emit guard and the DuckDB oracle
+    // (0/0 → NULL) both leave them singletons, so the contraction must
+    // NOT collapse them (nor let them near the SRP layer)
+    val dims = emb.selectExpr("size(embedding)").first().getInt(0)
+    val dz = java.nio.file.Files.createTempDirectory("graft-semzero").toString
+    import spark.implicits._
+    val zeros = Seq(5000000001L, 5000000002L)
+      .map(id => (id, Array.fill(dims)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    Tables.load(spark, dir, "embeddings").select("vec_id", "embedding", "label")
+      .unionByName(zeros)
+      .write.mode("overwrite").parquet(s"$dz/embeddings.parquet")
+    val groups = DedupOps.ddSemDedupAnn(spark, dz).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    Seq(5000000001L, 5000000002L).foreach { id =>
+      assert(groups(id) == ((id, true)),
+        s"zero vector $id must stay its own singleton, got ${groups(id)}")
+    }
     // the clone structure itself: every vector's group contains its 3
     // clones, and the canonical is always a base-copy (smallest-id) vector
     val byGroup = ann.groupBy(_._2)

@@ -112,10 +112,11 @@ class MonitorCatalogSpec extends AnyFunSuite {
         hist.map(_.id).distinct.size == hist.size,
         s"history ids must strictly increase, got ${hist.map(_.id)}")
       // commits continue between the two reads, and history is ring-capped
-      // at 64 while the completed counter is unbounded — compare against
-      // the capped count and allow a couple of batches of skew
+      // while the completed counter is unbounded — compare against the
+      // capped count and allow a couple of batches of skew
       val completedNow = math.min(
-        reg.details(sd.job.id).get.checkpoints.get.completed, 64L)
+        reg.details(sd.job.id).get.checkpoints.get.completed,
+        reg.MaxCheckpointHistory.toLong)
       assert(math.abs(hist.size.toLong - completedNow) <= 3,
         s"history length (${hist.size}) should track the committed-batch " +
           s"count ($completedNow)")
