@@ -137,8 +137,8 @@ import org.apache.spark.sql.functions._
   * vectors each, sub-linear), dd_size_hist 0.46 s (0.52 s at 1× — flat,
   * the histogram re-aggregates the group-sized relation).
   *
-  * Round-11 contraction rungs: emb_knn_mutual 30×: 2.88 s / 100×:
-  * 10.52 s at 200k vectors (the bounded-block default — the exact twin's
+  * Round-11 contraction rungs: emb_knn_mutual 30×: 2.73 s / 100×:
+  * 6.32 s at 200k vectors (balanced chunking) (the bounded-block default — the exact twin's
   * measured 30× wall was 92 s); dd_semdedup_ann 30×: 6.32 s / 100×:
   * 5.85 s (exact-dup contraction + in-code bits rule; before it the 100×
   * clone corpus filled 78 GB of candidate shuffle and died);

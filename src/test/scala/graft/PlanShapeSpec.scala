@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards — the optimizer-level properties the
+  * value oracle cannot see: filters and column pruning reaching the
+  * parquet scan, broadcast joins where a dim side is small, and no
+  * accidental cartesian/nested-loop blow-ups. A green oracle with a
+  * silently regressed plan is exactly the failure mode that only shows
+  * at 1000× the gate data, so plans get their own certificates.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2_filter pushes its predicates and pruned schema into the parquet scan") {
+    val plan = planOf("q2_filter")
+    assert(plan.contains("PushedFilters: ["),
+      s"expected parquet PushedFilters in:\n$plan")
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      "pushed-filter list must not be empty for a filtered scan")
+  }
+
+  test("q1_agg scan reads only the columns the aggregation needs") {
+    val plan = planOf("q1_agg")
+    // lineitem is 16 columns wide; the flagship agg touches a handful —
+    // a ReadSchema carrying l_comment means pruning regressed
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_comment"),
+      "column pruning regressed: q1_agg scan reads l_comment")
+  }
+
+  test("q3_join broadcasts its small build side") {
+    val plan = planOf("q3_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the dim side in:\n$plan")
+  }
+
+  test("no registry query plans a cartesian product (non-equi scans allowlisted)") {
+    // ops whose SEMANTICS are non-equi pair scans: theta join, brute-force
+    // top-k / hard negatives (=!= against a ≤nQueries broadcast — a
+    // bounded nested loop by design, not an accident)
+    val nonEqui = Set(
+      "q12_theta_join", "sim_topk_brute", "emb_hard_negatives",
+      "w_interval_join", "w_asof_join")
+    // structural pair ops run the =!= scan against a broadcast QUERY side;
+    // anything else planning CartesianProduct is a regression
+    val names = SparkEntry.queries.keySet -- nonEqui
+    // plan-only pass: building the frame runs model-state collects for
+    // some ops, but never the full query job
+    val offenders = names.toSeq.sorted.flatMap { n =>
+      val plan = try planOf(n) catch {
+        case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}")
+      }
+      if (plan.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian product in: ${offenders.mkString(", ")}")
+  }
+}
