@@ -157,8 +157,17 @@ object ScaleSmoke {
     // (factor defaulted) must not throw NumberFormatException
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val rest = if (args.headOption.flatMap(_.toIntOption).isDefined)
+    val rest0 = if (args.headOption.flatMap(_.toIntOption).isDefined)
       args.drop(1).toSeq else args.toSeq
+    // `perturb` token: clone embeddings with a tiny per-copy deterministic
+    // offset instead of byte-identically — every clone becomes a DISTINCT
+    // vector (cos vs its original ≈ 0.9999, still a near-dup pair), so the
+    // exact-dup contraction can't absorb the growth and the SRP candidate
+    // layer itself carries factor× distinct vectors. The measurement the
+    // bits ≈ log₂(n_distinct/B) rule deserves, vs the byte-clone corpus
+    // where n_distinct is constant by construction.
+    val perturb = rest0.contains("perturb")
+    val rest = rest0.filterNot(_ == "perturb")
     val names = if (rest.nonEmpty) rest
       else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
         "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
@@ -171,7 +180,8 @@ object ScaleSmoke {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = GraftSession.local()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"/tmp/graft_scale_x$factor"
+    val out =
+      if (perturb) s"/tmp/graft_scale_p$factor" else s"/tmp/graft_scale_x$factor"
 
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
@@ -184,8 +194,15 @@ object ScaleSmoke {
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     (0 until factor).map { k =>
+      val embCol =
+        if (perturb && k > 0)
+          transform(col("embedding"), (x, d) =>
+            (x.cast("double") +
+              (pmod(lit(k) * 37 + d * 17, lit(13)) - 6).cast("double") * 1e-3)
+              .cast("float")).as("embedding")
+        else col("embedding")
       val cols = (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id") +:
-        emb.columns.filter(_ != "vec_id").map(col).toSeq
+        embCol +: emb.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
       emb.select(cols: _*)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
