@@ -194,11 +194,16 @@ object ScaleSmoke {
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     (0 until factor).map { k =>
+      // offset modulus 251 > any rung factor (the r11 form's mod-13 made
+      // clones k and k+13 byte-identical, so the 100x corpus carried only
+      // ~14 distinct variants per original); k*1009 steps the offset
+      // pattern non-degenerately for every k in range, so EVERY clone is
+      // a distinct vector and n_distinct genuinely grows factor-fold
       val embCol =
         if (perturb && k > 0)
           transform(col("embedding"), (x, d) =>
             (x.cast("double") +
-              (pmod(lit(k) * 37 + d * 17, lit(13)) - 6).cast("double") * 1e-3)
+              (pmod(lit(k) * 1009 + d * 17, lit(251)) - 125).cast("double") * 5e-5)
               .cast("float")).as("embedding")
         else col("embedding")
       val cols = (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id") +:

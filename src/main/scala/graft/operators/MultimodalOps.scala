@@ -291,52 +291,98 @@ object MultimodalOps {
     * map broadcasts back, and the min-doc_id rep election is one
     * component-keyed aggregation over a |codes|-bounded frame. The
     * corpus-sized data path is exactly two broadcast joins + one
-    * map-combined groupBy. (A 64-bit phash would need the distributed CC
-    * back — the bound is the 16-slot code width, not the corpus.) */
-  def mmDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    * map-combined groupBy.
+    *
+    * WIDTH SWITCH: at `width` > ~20 bits the code universe can exceed any
+    * driver bound, so the CC step is chosen by the MEASURED distinct-code
+    * count — ≤ `driverCodeCap` keeps the union-find above; beyond it the
+    * code graph (still code-universe-sized, never corpus-sized: one
+    * width-way probe explode + one self-join on the probe) goes through
+    * [[graft.operators.DedupOps.connectedComponents]]' distributed
+    * pointer-jumping loop, and the code→component/rep joins drop their
+    * broadcast hints (a >cap code table must shuffle). Both paths are the
+    * same Ham≤1 relation; a spec replays the forced-distributed path
+    * against the driver default and asserts row equality. */
+  def mmDedupGroups(s: SparkSession, dir: String): DataFrame =
+    mmDedupGroupsWidth(s, dir)
+
+  /** [[mmDedupGroups]]' width-parameterized core — `width` slots in the
+    * positional phash (registry default 16, byte-identical to the oracle),
+    * `driverCodeCap` the distinct-code count above which CC runs
+    * distributed. `1L << slot` via shiftleft ≡ the oracle's POWER(2, slot)
+    * for every slot < 63 (the default range is ≤ 15). */
+  private[graft] def mmDedupGroupsWidth(s: SparkSession, dir: String,
+      width: Int = 16, driverCodeCap: Long = 1L << 17): DataFrame = {
+    require(width >= 1 && width <= 64, s"phash width must be in [1,64]: $width")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val codes = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
       .filter(col("ch") =!= "")
-      .select(col("doc_id"), (col("pos") % 16).as("slot"),
+      .select(col("doc_id"), (col("pos") % width).as("slot"),
         ascii(col("ch")).cast("long").as("v"))
       .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
       .withColumn("tot", sum(col("ss")).over(w))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("ss") * 16 > col("tot"),
-        pow(lit(2.0), col("slot").cast("double")).cast("long"))
+      .agg(sum(when(col("ss") * width > col("tot"),
+        expr("shiftleft(1L, slot)"))
         .otherwise(lit(0L))).as("phash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    val presentDf = codes.select(col("phash")).distinct().persist(lvl)
+    val nCodes = presentDf.count()
+    val driverPath = nCodes <= driverCodeCap
     // union-find over the PRESENT codes: equal codes are one node; a
     // single-bit flip that lands on another present code is an edge —
     // exactly the Ham≤1 relation the pigeonhole pair join materialized
-    val present = codes.select(col("phash")).distinct()
-      .collect().map(_.getLong(0))
-    val idx = present.zipWithIndex.toMap
-    val parent = Array.tabulate(present.length)(identity)
-    def find(x: Int): Int = {
-      var r = x
-      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-      r
-    }
-    def union(a: Int, b: Int): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    for (c <- present; b <- 0 until 16) {
-      idx.get(c ^ (1L << b)).foreach(j => union(idx(c), j))
-    }
-    val compRows = present.map(c => (c, find(idx(c)))).toSeq
-    val compDf = s.createDataFrame(compRows).toDF("phash", "comp")
-    val labeled = codes.join(broadcast(compDf), Seq("phash"))
+    val compDf: DataFrame =
+      if (driverPath) {
+        val present = presentDf.collect().map(_.getLong(0))
+        val idx = present.zipWithIndex.toMap
+        val parent = Array.tabulate(present.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        def union(a: Int, b: Int): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        for (c <- present; b <- 0 until width) {
+          idx.get(c ^ (1L << b)).foreach(j => union(idx(c), j))
+        }
+        val compRows = present.map(c => (c, present(find(idx(c))))).toSeq
+        s.createDataFrame(compRows).toDF("phash", "comp")
+      } else {
+        // distributed twin: same code-level graph, solved by the dedup
+        // family's pointer-jumping CC. Symmetric by construction — if
+        // c ^ bit = c' is present then c' ^ bit = c probes back.
+        val probes = presentDf.select(col("phash").as("src"),
+          explode(array((0 until width).map(b =>
+            col("phash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+        val edges = probes
+          .join(presentDf.select(col("phash").as("dst")),
+            col("probe") === col("dst"))
+          .select(col("src"), col("dst"))
+        // CC emits labels only for codes that appear in an edge; isolated
+        // codes are their own component
+        presentDf
+          .join(DedupOps.connectedComponents(edges)
+            .withColumnRenamed("doc_id", "phash"), Seq("phash"), "left")
+          .select(col("phash"), coalesce(col("label"), col("phash")).as("comp"))
+      }
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (driverPath) broadcast(df) else df
+    val labeled = codes.join(maybeBroadcast(compDf), Seq("phash"))
     val reps = labeled.groupBy(col("comp"))
       .agg(min(col("doc_id")).as("group_rep"))
-    val out = labeled.join(broadcast(reps), Seq("comp"))
+    val out = labeled.join(maybeBroadcast(reps), Seq("comp"))
       .select(col("doc_id"), col("phash"), col("group_rep"))
       .withColumn("is_canonical", col("doc_id") === col("group_rep"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
+    presentDf.unpersist()
     codes.unpersist()
     out
   }

@@ -890,10 +890,14 @@ object SimilarityOps {
       .groupBy(col("mi"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("entry"))
-    // empty-cluster fallback: entries nothing chose keep their sampled value
+    // empty-cluster fallback: entries nothing chose keep their sampled value.
+    // Hint the TRAINED side: the preserved side of a left-outer join cannot
+    // be the broadcast build, so a hint on `orig` is silently dropped
+    // (HintErrorLogger); build-right is legal and both frames are m×kCent
+    // model-sized anyway.
     val orig = (0 until m).flatMap(mi => (0 until kCent).map(e =>
       (mi, e, books(mi)(e).toSeq))).toDF("mi", "code", "orig")
-    broadcast(orig).join(trained, Seq("mi", "code"), "left")
+    orig.join(broadcast(trained), Seq("mi", "code"), "left")
       .select(col("mi"), col("code"),
         coalesce(col("entry"), col("orig")).as("entry"))
   }
@@ -1133,7 +1137,7 @@ object SimilarityOps {
     * check joins the EDGE set (corpus × k rows) against its own reversal
     * on (src, dst) — edge-sized, never pair-sized. */
   def embKnnMutual(s: SparkSession, dir: String, k: Int = 5,
-      cap: Int = 256): DataFrame = {
+      cap: Int = DefaultKnnBlockCap): DataFrame = {
     val v0 = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", VF.norm(col("ve")))
@@ -1197,11 +1201,16 @@ object SimilarityOps {
     report
   }
 
+  /** Default [[embKnnMutual]] block cap, interpolated into
+    * [[embKnnMutualSql]] so the Scala default and the oracle cannot
+    * silently drift (the oracle only certifies THIS cap). */
+  val DefaultKnnBlockCap: Int = 256
+
   val embKnnMutualSql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
-      |    CAST(((rn0 * ((cnt + 255) // 256)) // cnt) AS INTEGER) AS blk
+      |    CAST(((rn0 * ((cnt + ${DefaultKnnBlockCap - 1}) // $DefaultKnnBlockCap)) // cnt) AS INTEGER) AS blk
       |  FROM (
       |    SELECT vec_id, label, embedding,
       |      ROW_NUMBER() OVER (PARTITION BY label

@@ -4,6 +4,7 @@ import java.security.MessageDigest
 
 import graft.operators.{CurationOps, DedupOps}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Independent ground truth for the round-8 corpus-maintenance operators:
@@ -1036,6 +1037,44 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     val got = DedupOps.ddSignalAgreement(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.keySet == Set("both", "lexical_only", "semantic_only"))
+    assert(got("both") == (lex intersect sem).size.toLong, "both")
+    assert(got("lexical_only") == (lex diff sem).size.toLong, "lexical_only")
+    assert(got("semantic_only") == (sem diff lex).size.toLong, "semantic_only")
+    assert(got.values.sum == (lex union sem).size.toLong, "partition law")
+    // the sampled default coincides with the exact twin whenever the
+    // doc∩emb universe fits the cap (500 ids here vs cap 1500) — the
+    // contract that keeps the oracle hash unchanged at gate scale
+    val exact = DedupOps.ddSignalAgreementExact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "sampled default must equal exact twin under cap")
+  }
+
+  test("dd_signal_agreement sampled (small cap) == detect-then-restrict replay") {
+    // sample-then-detect on the semantic side must equal running the EXACT
+    // full-corpus detectors and restricting their pair sets to the sampled
+    // ids — cosine pairs carry no corpus-global statistic, so the two
+    // orders commute; this is what makes the sampleCap default sound
+    val cap = 60
+    val shared = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val total = shared.count()
+    assert(total > cap, "corpus must exceed the cap for a meaningful test")
+    // replay the operator's deterministic hash-bucket rule
+    val keep = math.ceil(cap.toDouble / total * 1000000L).toLong
+    val sampled = shared
+      .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(keep))
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty && sampled.size < total,
+      s"sample degenerate: ${sampled.size} of $total")
+    def restrict(p: Array[(Long, Long)]): Set[(Long, Long)] =
+      p.filter(e => sampled(e._1) && sampled(e._2)).toSet
+    val lex = restrict(DedupOps.ddNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val sem = restrict(DedupOps.ddEmbeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val got = DedupOps.ddSignalAgreement(spark, dir, sampleCap = cap).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("both") == (lex intersect sem).size.toLong, "both")
     assert(got("lexical_only") == (lex diff sem).size.toLong, "lexical_only")
     assert(got("semantic_only") == (sem diff lex).size.toLong, "semantic_only")

@@ -104,6 +104,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gotComps == wantComps, "components must equal brute union-find")
   }
 
+  test("mm_dedup_groups distributed-CC fallback == driver union-find path") {
+    // the width switch: driverCodeCap=0 forces every code past the driver
+    // bound, so CC runs through the distributed pointer-jumping loop and
+    // the code/rep joins drop their broadcast hints — same Ham<=1 code
+    // graph, so the report must be row-identical to the default
+    val want = MultimodalOps.mmDedupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val got = MultimodalOps.mmDedupGroupsWidth(spark, dir, driverCodeCap = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
+
+  test("mm_dedup_groups width=64 emits well-formed groups (wide-hash path)") {
+    // the 64-slot variant exists for real perceptual hashes; on this
+    // corpus it must still satisfy the structural group laws even though
+    // the oracle only certifies width=16
+    val rows = MultimodalOps.mmDedupGroupsWidth(spark, dir, width = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(rows.length == n, "every item must emit")
+    val codes = rows.map(g => g._1 -> g._2).toMap
+    rows.foreach { case (id, _, rep, canon) =>
+      assert(canon == (id == rep), s"doc $id canonical flag")
+      assert(rep <= id, s"doc $id rep must be component min")
+    }
+    // brute union-find over the 64-bit Ham<=1 graph agrees
+    val parent = scala.collection.mutable.Map(codes.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- codes.keys; b <- codes.keys if a < b
+         if java.lang.Long.bitCount(codes(a) ^ codes(b)) <= 1)
+      parent(find(a)) = find(b)
+    val wantComps = codes.keys.groupBy(find).values.map(_.toSet).toSet
+    val gotComps = rows.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+    assert(gotComps == wantComps, "width-64 components must equal brute union-find")
+  }
+
   test("mm_audio_windows == plain-Scala grid replay; tiling laws hold") {
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()

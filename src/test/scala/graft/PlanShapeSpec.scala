@@ -44,10 +44,12 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no registry query plans a cartesian product (non-equi scans allowlisted)") {
     // ops whose SEMANTICS are non-equi pair scans: theta join, brute-force
     // top-k / hard negatives (=!= against a ≤nQueries broadcast — a
-    // bounded nested loop by design, not an accident)
+    // bounded nested loop by design, not an accident). w_interval_join
+    // (equi-keyed on user, time bounds as post-filters) and w_asof_join
+    // (union+window, no join at all) are deliberately NOT here: a
+    // regression TO a cartesian in either must fail this guard.
     val nonEqui = Set(
-      "q12_theta_join", "sim_topk_brute", "emb_hard_negatives",
-      "w_interval_join", "w_asof_join")
+      "q12_theta_join", "sim_topk_brute", "emb_hard_negatives")
     // structural pair ops run the =!= scan against a broadcast QUERY side;
     // anything else planning CartesianProduct is a regression
     val names = SparkEntry.queries.keySet -- nonEqui
@@ -61,5 +63,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unexpected cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("w_asof_join plans ZERO joins — its scalable shape is union+window") {
+    // the as-of join is implemented as a union of both sides + a
+    // last-value window over event time, never a per-row probe join; any
+    // join node appearing here means the scalable form regressed
+    val plan = planOf("w_asof_join")
+    assert(!plan.contains("Join"),
+      s"w_asof_join must stay join-free (union+window), got:\n$plan")
   }
 }
