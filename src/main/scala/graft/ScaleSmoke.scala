@@ -149,7 +149,30 @@ import org.apache.spark.sql.functions._
   * argmin the probe join had inlined; see the BASELINE row); emb_pca_check 10×: 6.31 s (~flat — the
   * Gramian FLOPs distribute, the d²-row eigensolve is size-invariant).
   *
-  * Usage: runMain graft.ScaleSmoke [factor] [query ...]
+  * Round-12 rungs. dd_signal_agreement after the sampled-audit default
+  * (cap 1500): 10×: 5.14 s / 30×: 6.03 s / 100×: 9.21 s (was 17.2 s at
+  * 30× riding the exact n²/2 semantic scan; residual growth is the
+  * df-capped lexical detector's clone-pair output). ds_group_split 20×:
+  * 7.45 s — the owed intermediate point; 9.7/7.45/5.8 at 10×/20×/30× is
+  * monotone decreasing past 10× (clone-shingle df crossing the 50 cap).
+  * sim_pq_recall clone-100×: 30.0 s (6.7× time for 100× vectors,
+  * exponent ≈ 0.41). PERTURB rungs (distinct clones — n_distinct grows):
+  * sim_pq_recall 10×: 8.4 s / 30×: 19.2 s / 100×: 29.8 s — zero recall
+  * violations at 10×/30×, three at 100× (the quantized index's designed
+  * resolution limit on 200k distinct points; see the BASELINE row).
+  * dd_semdedup_ann perturb found TWO
+  * structural fixes: (1) the r11 bits rule (density ≤ 512 alone) let
+  * per-vector candidate work grow as probes(bits)·density — 30× OOMed on
+  * ~6.5e9 candidate rows; sizing bits against probes·density ≤ 512
+  * bounds candidates at ≤ 512·tables·n. (2) AnnProbe then isolated the
+  * exact-verify two-join shape at 114 s of the remaining 181 s wall
+  * (arrays attached per candidate row, re-shuffled by the second join);
+  * the block-replicated group verify (vectors ride 2B small rows,
+  * candidates route as bare id pairs) cut it to: 10×: 17.9 s /
+  * 30×: 45.9 s / 100×: 155 s — exponent ≈ 0.94 across the decade,
+  * linear in the candidate count by construction.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {

@@ -1408,11 +1408,14 @@ object DedupOps {
     * codegen'd [[SrpCode]]) and the candidate join shuffles on
     * (table, code) with bucket size n/2^bits, so candidate work is
     * O(n² · tables · probes / 2^bits). `bits` is the scale dial: at fixed
-    * width this is still quadratic, so production sizes
-    * bits ≈ log₂(n/B) for a target bucket B — which HOLDS recall at
-    * dedup-grade thresholds (cos ≥ 0.8 ⇒ per-bit agreement ≥ 0.86, so
-    * P(ham ≤ 2) stays high as bits grow) while bounding candidates at
-    * ~n · tables · probes · B. The 0.4 threshold here is anchored to the
+    * width this is still quadratic, so the rule below grows bits until
+    * probes(bits) · n/2^bits ≤ 512 — the PROBE-ADJUSTED budget, bounding
+    * total candidates at ≤ 512 · tables · n by construction — which HOLDS
+    * recall at dedup-grade thresholds (cos ≥ 0.8 ⇒ per-bit agreement
+    * ≥ 0.86, so P(ham ≤ 2) stays high as bits grow) while recall at the
+    * weak end (cos ~0.4) decays with bits — the honest LSH trade; the
+    * exact re-verify keeps precision perfect either way. The 0.4
+    * threshold here is anchored to the
     * synthetic corpus's oracle; at that weak similarity the 6-bit/8-table
     * setting is the recall-complete point, and at toy scale (n ≤ ~10⁵)
     * the exact block join is simply FASTER (n²/2 primitive dots in-core
@@ -1450,13 +1453,30 @@ object DedupOps {
       .select(col("vec_id"),
         coalesce(when(col("__ok"), col("rep")), col("vec_id")).as("rep"))
       .localCheckpoint()
-    // the scaladoc's sizing rule, in code: bits ≈ log₂(n_distinct/B) for
-    // a target bucket B=512 — the gate corpora (≤2k distinct) stay at
-    // the recall-complete 6-bit setting, larger corpora grow the code
-    // instead of the bucket
+    // the scaladoc's sizing rule, in code — against the PROBE-ADJUSTED
+    // candidate budget, not raw bucket density: every vector probes its
+    // code's Hamming-≤2 orbit (1 + bits + C(bits,2) masks), so per-vector
+    // candidate work per table is probes(bits) · n_distinct/2^bits. The
+    // r11 form (density ≤ 512 alone) let that product grow ~bits²/2-fold
+    // as bits rose — invisible on clone corpora where the contraction
+    // holds n_distinct constant, but the r12 perturb rung (every clone a
+    // DISTINCT vector) OOMed at 30×/60k distinct on ~6.5e9 candidate
+    // rows (bits=7 → 29 probes × 469/bucket ≈ 13.6k candidates per
+    // vector PER TABLE — each vector was scanning ~6% of the corpus, a
+    // mini brute-force). Growing bits until probes(bits)·density ≤ 512
+    // bounds TOTAL candidate rows at ≤ 512·tables·n by construction —
+    // the same n·cap discipline as the blocked exact scan — at the
+    // documented price that recall at weak thresholds (cos ~0.4) decays
+    // with bits while dedup-grade pairs (cos ≥ 0.8, per-bit agreement
+    // ≥ 0.86) keep high orbit-hit probability. Gate corpora (≤500
+    // distinct: 22·500/64 = 172 ≤ 512) stay at the recall-complete
+    // 6-bit setting, so the oracle is unchanged.
     val nDistinct = repOf.count()
-    val bits = math.max(6,
-      math.ceil(math.log(nDistinct / 512.0) / math.log(2.0)).toInt)
+    def probeOrbit(b: Int): Long = 1L + b + b.toLong * (b - 1) / 2
+    var bits = 6
+    while (bits < 24 &&
+        probeOrbit(bits) * nDistinct.toDouble / (1L << bits) > 512.0)
+      bits += 1
     val repBase = repOf
       .select(col("rep").as("vec_id"), VF.asDouble(col("embedding")).as("ve"))
       .select(col("vec_id"), col("ve"),
@@ -1531,14 +1551,80 @@ object DedupOps {
           col("id_a") < col("vec_id"))
       .select(col("id_a"), col("vec_id").as("id_b"))
       .distinct()
-    cands
-      .join(base.select(col("vec_id").as("id_a"), col("ve").as("va"),
-        col("nrm").as("na")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("ve").as("vb"),
-        col("nrm").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VF.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("cos"))
+    verifyCandidatesBlocked(base, cands, threshold)
+  }
+
+  /** Exact cosine verification of a candidate pair frame WITHOUT
+    * attaching vectors to candidate rows. The r12 perturb-30× probe
+    * isolated the old two-join verify at 114 s of a 181 s wall: joining
+    * (id_a, id_b) candidates to the vector table attaches a 64-double
+    * array to every candidate row, and the SECOND join then shuffles
+    * that array-laden frame — ~60 GB of shuffle for 118M candidates of
+    * which 1.3M verify. This shape is [[embeddingCosinePairs]]' block
+    * replication applied to verification: vectors replicate to
+    * 2·`blocks` (lo, hi) groups (≤ n·2B small rows), candidates route to
+    * the single group (blk(id_a), blk(id_b)) as bare id pairs, and a
+    * per-group primitive loop does hash-map lookups + dots — the arrays
+    * never ride a candidate row. Group sort (tag) streams candidates
+    * AFTER the group's vector maps are built, so per-group state is
+    * 2n/B vectors, never the candidate list. Numeric contract identical
+    * to the join form: sequential dot fold, caller-supplied norms,
+    * round(·, 6) at the SQL layer. B dials memory vs replication exactly
+    * as in the exact scan's scaladoc. */
+  private def verifyCandidatesBlocked(base: DataFrame, cands: DataFrame,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val withBlk = base.select(col("vec_id"), col("ve"), col("nrm"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val aRep = withBlk.select(col("blk").as("lo"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("hi"), lit(0).as("tag"),
+      col("vec_id").as("id_a"), lit(0L).as("id_b"), col("ve"), col("nrm"))
+    val bRep = withBlk.select(
+      explode(sequence(lit(0), lit(blocks - 1))).as("lo"),
+      col("blk").as("hi"), lit(1).as("tag"),
+      col("vec_id").as("id_a"), lit(0L).as("id_b"), col("ve"), col("nrm"))
+    val candT = cands.select(
+      pmod(xxhash64(col("id_a")), lit(blocks)).cast("int").as("lo"),
+      pmod(xxhash64(col("id_b")), lit(blocks)).cast("int").as("hi"),
+      lit(2).as("tag"), col("id_a"), col("id_b"),
+      lit(null).cast("array<double>").as("ve"), lit(0.0).as("nrm"))
+    val tagged = aRep.unionByName(bRep).unionByName(candT)
+      .as[(Int, Int, Int, Long, Long, Array[Double], Double)]
+    val raw = tagged
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("tag")) {
+        (_: (Int, Int), it: Iterator[(Int, Int, Int, Long, Long, Array[Double], Double)]) =>
+          val mapA = new java.util.HashMap[Long, (Array[Double], Double)]()
+          val mapB = new java.util.HashMap[Long, (Array[Double], Double)]()
+          var rest: Iterator[(Int, Int, Int, Long, Long, Array[Double], Double)] = Iterator.empty
+          var building = true
+          while (building && it.hasNext) {
+            val r = it.next()
+            r._3 match {
+              case 0 => mapA.put(r._4, (r._6, r._7))
+              case 1 => mapB.put(r._4, (r._6, r._7))
+              case _ => rest = Iterator.single(r) ++ it; building = false
+            }
+          }
+          rest.flatMap { r =>
+            val a = mapA.get(r._4)
+            val b = mapB.get(r._5)
+            // candidates reference base ids by construction; a miss would
+            // be a hash-routing bug, surfaced as a dropped pair in specs
+            if (a == null || b == null) None
+            else {
+              val (va, na) = a
+              val (vb, nb) = b
+              var acc = 0.0; var i = 0
+              while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+              Some((r._4, r._5, acc / (na * nb)))
+            }
+          }
+      }
+      .toDF("id_a", "id_b", "cos_raw")
+    raw
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
