@@ -161,6 +161,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty, "testdata should contain cos >= 0.4 pairs")
     assert(ann == exact,
       s"missed=${(exact -- ann).take(5)} spurious=${(ann -- exact).take(5)}")
+    // value parity, not just set parity: the blocked group verify computes
+    // its dots in a primitive Scala fold, which must be bit-identical to
+    // the exact path's VecDot fold (same left-to-right order) after the
+    // shared round(., 6)
+    val exactV = DedupOps.ddEmbeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val annV = DedupOps.annCosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(annV == exactV, "rounded cosines must match the exact path exactly")
   }
 
   test("semdedup-ann contraction: clone-heavy corpus == exact semantic dedup") {
