@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.{SimHash64, VectorFunctions => VF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` (and `embeddings` for the
@@ -262,13 +262,20 @@ object DedupOps {
     * or not.
     *
     * The audit universe is further bounded to a DETERMINISTIC hash sample
-    * of ≤ `sampleCap` ids (the [[ddSimHashPairsCheck]] idiom: xxhash64
-    * bucket the id space into 10⁶ slots, keep the first ⌈frac·10⁶⌉ —
-    * replayable across runs/executors, unbiased w.r.t. content). An
+    * of ~`sampleCap` ids (expected size; a deterministic hash threshold
+    * has ±√cap binomial noise, which a diagnostic absorbs): the first 8
+    * md5 hex chars of the id read as a 32-bit integer, kept below
+    * ⌈cap/total · 2³²⌉ — replayable across runs/executors, unbiased
+    * w.r.t. content, and EXPRESSIBLE IN THE ORACLE (Spark `conv(hex,16,
+    * 10)` ≡ DuckDB `'0x'‖hex` cast — the dd_exact hex-hash idiom), so
+    * the DuckDB twin applies the identical filter and the oracle holds
+    * at ANY corpus size, not just under the cap. The 2³²-slot space also
+    * keeps the expected sample at ~cap for arbitrarily large totals
+    * (a 10⁶-slot space floors at total/10⁶ once keep hits 1). An
     * agreement audit is a detector DIAGNOSTIC, so a uniform sample
     * preserves exactly what it measures — the both/only class proportions
     * — while capping the semantic side's exact n²/2 block-pair scan at
-    * sampleCap²/2 dots REGARDLESS of corpus size (the r11 rungs measured
+    * ~sampleCap²/2 dots REGARDLESS of corpus size (the r11 rungs measured
     * the unsampled form at 17.2 s by 30×, the worst curve in the repo).
     * Cosine pairs carry no corpus-global statistic, so sample-then-detect
     * ≡ detect-then-restrict for the semantic side (spec-certified); the
@@ -276,12 +283,12 @@ object DedupOps {
     * df statistic IS corpus-global, and it's linear-bounded anyway) and is
     * restricted to the sample after detection. Corpora at or under the cap
     * take a passthrough branch, so at certification scale (500 ids vs cap
-    * 1500) the sampled default IS the exact audit and the oracle hash is
-    * unchanged; [[ddSignalAgreementExact]] keeps the unsampled form as the
+    * 1500) the sampled default IS the exact audit;
+    * [[ddSignalAgreementExact]] keeps the unsampled form as the
     * certification twin (the embKnnMutual/embKnnMutualExact pattern).
     *
     * Scale: lexical detector df-cap-bounded (linear), semantic detector
-    * ≤ sampleCap²/2 dots (constant), agreement join pair-frame-sized,
+    * ~sampleCap²/2 dots (constant), agreement join pair-frame-sized,
     * report 3 rows. */
   def ddSignalAgreement(s: SparkSession, dir: String,
       sampleCap: Int = 1500): DataFrame = {
@@ -293,10 +300,8 @@ object DedupOps {
     val total = idsAll.count()
     val ids =
       if (total <= sampleCap) idsAll
-      else {
-        val keep = math.ceil(sampleCap.toDouble / total * 1000000L).toLong
-        idsAll.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(keep))
-      }
+      else idsAll.filter(
+        hashSampleBucket(col("doc_id")) < lit(sampleKeep(sampleCap, total)))
     def restrict(p: DataFrame): DataFrame = p
       .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
       .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
@@ -323,6 +328,19 @@ object DedupOps {
     report
   }
 
+  /** Deterministic hash-sample bucket of an id: first 8 md5 hex chars as
+    * a 32-bit integer in [0, 2³²) — the oracle-portable idiom (DuckDB:
+    * `CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)`).
+    * Keep an id when its bucket < [[sampleKeep]](cap, total). */
+  private[operators] def hashSampleBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Keep-threshold for [[hashSampleBucket]]: ⌈cap/total · 2³²⌉ — expected
+    * sample size ~cap at ANY total (never floors to a total-proportional
+    * tail the way a small slot space does once keep hits 1). */
+  private[operators] def sampleKeep(cap: Int, total: Long): Long =
+    math.ceil(cap.toDouble / total * 4294967296.0).toLong
+
   /** The unsampled exact-vs-exact form of [[ddSignalAgreement]] — the
     * certification twin. Pays the semantic detector's designed n²/2
     * block-pair scan BY DEFINITION (the r11 rungs measured its 17.2 s
@@ -332,10 +350,21 @@ object DedupOps {
   def ddSignalAgreementExact(s: SparkSession, dir: String): DataFrame =
     ddSignalAgreement(s, dir, sampleCap = Int.MaxValue)
 
+  // the sids CTE mirrors the Scala sampler EXACTLY (same md5-hex bucket,
+  // same ⌈cap/total·2³²⌉ threshold, same ≤cap passthrough), so the oracle
+  // certifies the sampled default at ANY corpus size — not only under the
+  // cap where sampling is a no-op
   val ddSignalAgreementSql: String =
     """WITH ids AS (
       |  SELECT d.doc_id FROM documents d
       |  JOIN embeddings e ON d.doc_id = e.vec_id
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ids
+      |), sids AS (
+      |  SELECT doc_id FROM ids CROSS JOIN tot
+      |  WHERE total <= 1500
+      |    OR CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |       < CAST(CEIL(1500.0 / total * 4294967296.0) AS BIGINT)
       |), toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
@@ -357,8 +386,8 @@ object DedupOps {
       |  SELECT id_a, id_b FROM inter
       |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
       |  WHERE ROUND(n_inter / (ca.n + cb.n - n_inter), 6) >= 0.2
-      |    AND id_a IN (SELECT doc_id FROM ids)
-      |    AND id_b IN (SELECT doc_id FROM ids)
+      |    AND id_a IN (SELECT doc_id FROM sids)
+      |    AND id_b IN (SELECT doc_id FROM sids)
       |), v AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       |  FROM embeddings
@@ -368,8 +397,8 @@ object DedupOps {
       |  WHERE ROUND(list_dot_product(a.ve, b.ve)
       |      / (sqrt(list_dot_product(a.ve, a.ve))
       |         * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.4
-      |    AND a.vec_id IN (SELECT doc_id FROM ids)
-      |    AND b.vec_id IN (SELECT doc_id FROM ids)
+      |    AND a.vec_id IN (SELECT doc_id FROM sids)
+      |    AND b.vec_id IN (SELECT doc_id FROM sids)
       |), cls AS (
       |  SELECT CASE
       |      WHEN l.id_a IS NOT NULL AND s2.id_a IS NOT NULL THEN 'both'
@@ -844,9 +873,11 @@ object DedupOps {
     * distance scan. Output provably empty.
     *
     * The all-pairs refutation is quadratic by nature, so it runs on a
-    * DETERMINISTIC hash sample capped at `sampleCap` docs (the pigeonhole
-    * argument is per-pair, so it certifies on any sub-corpus; sampling by
-    * doc_id hash keeps the choice replayable across runs/executors). Both
+    * DETERMINISTIC hash sample of expected size ~`sampleCap` docs (the
+    * pigeonhole argument is per-pair, so it certifies on any sub-corpus;
+    * sampling by doc_id hash keeps the choice replayable across
+    * runs/executors, and the [[hashSampleBucket]] 2³²-slot space holds
+    * the expected size at ~cap for ANY corpus size). Both
     * sides of the diff see the SAME sampled signature set, computed once
     * and persisted — at sampleCap=1500 the scan is ≤ ~1.1M comparisons of
     * two longs regardless of corpus size, so this certification query
@@ -859,13 +890,14 @@ object DedupOps {
     val total = sigAll.count()
     val sampled =
       if (total <= sampleCap) sigAll
-      else {
-        // keep ~sampleCap docs: hash-bucket the id space into 1e6 slots and
-        // take the first ceil(frac·1e6) buckets — deterministic, executor-
-        // independent, and unbiased w.r.t. signature structure
-        val keep = math.ceil(sampleCap.toDouble / total * 1000000L).toLong
-        sigAll.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(keep))
-      }
+      else
+        // keep ~sampleCap docs via the shared md5-bucket sampler
+        // (deterministic, executor-independent, unbiased w.r.t. signature
+        // structure; the 2³² slot space keeps the expected sample ~cap at
+        // any total — a 10⁶-slot space floors at total/10⁶ once the
+        // threshold hits 1 bucket)
+        sigAll.filter(
+          hashSampleBucket(col("doc_id")) < lit(sampleKeep(sampleCap, total)))
     val sig = sampled.persist(lvl)
     val exact = sig.as("a").join(broadcast(sig.as("b")),
         col("a.doc_id") < col("b.doc_id") &&

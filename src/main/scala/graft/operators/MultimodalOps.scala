@@ -361,10 +361,13 @@ object MultimodalOps {
         val probes = presentDf.select(col("phash").as("src"),
           explode(array((0 until width).map(b =>
             col("phash").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+        // materialize: the CC loop re-reads its edge frame every round —
+        // without this each round re-runs the width-way explode + join
         val edges = probes
           .join(presentDf.select(col("phash").as("dst")),
             col("probe") === col("dst"))
           .select(col("src"), col("dst"))
+          .localCheckpoint()
         // CC emits labels only for codes that appear in an edge; isolated
         // codes are their own component
         presentDf

@@ -24,8 +24,13 @@ object AnnProbe {
     val n = emb.count()
     println(s"[probe] corpus $dir n=$n")
 
-    val repOf = emb.filter(VF.norm(VF.asDouble(col("embedding"))) > 0.0)
-      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    // same degenerate-vector guard as the operator (NaN sorts above every
+    // double, so `> 0` alone would pass it); keep in sync with
+    // ddSemDedupAnn or the probe sizes bits differently than the operator
+    val repOf = emb.filter {
+      val nrm = VF.norm(VF.asDouble(col("embedding")))
+      nrm > 0.0 && nrm < lit(Double.PositiveInfinity)
+    }.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val nDistinct = timed("contraction count")(repOf.count())
     def probeOrbit(b: Int): Long = 1L + b + b.toLong * (b - 1) / 2
     var bits = 6

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import graft.operators.{CurationOps, DedupOps}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, conv, lit, md5, substring}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Independent ground truth for the round-8 corpus-maintenance operators:
@@ -1060,10 +1060,13 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
         .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val total = shared.count()
     assert(total > cap, "corpus must exceed the cap for a meaningful test")
-    // replay the operator's deterministic hash-bucket rule
-    val keep = math.ceil(cap.toDouble / total * 1000000L).toLong
+    // replay the operator's deterministic md5-bucket rule (the
+    // oracle-portable idiom: first 8 md5 hex chars as a 32-bit int,
+    // kept below ceil(cap/total * 2^32))
+    val keep = math.ceil(cap.toDouble / total * 4294967296.0).toLong
     val sampled = shared
-      .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(keep))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < lit(keep))
       .collect().map(_.getLong(0)).toSet
     assert(sampled.nonEmpty && sampled.size < total,
       s"sample degenerate: ${sampled.size} of $total")
