@@ -172,6 +172,15 @@ import org.apache.spark.sql.functions._
   * 30×: 45.9 s / 100×: 155 s — exponent ≈ 0.94 across the decade,
   * linear in the candidate count by construction.
   *
+  * The r12 perturb-30× sweep across the remaining embedding-heavy ops
+  * measured FLAT curves for sim_ivf_recall 1.03 s, emb_kmeans 1.45 s,
+  * dd_incremental_sem 0.65 s, emb_knn_mutual 2.42 s, sim_rp_recall
+  * 2.69 s, emb_pca_check 6.76 s (all ≤ ~1.5× their clone-rung values on
+  * genuinely distinct growth) — and caught dd_semdedup_cluster at 12.9 s
+  * with the fixed-k=16 n²/16 curve attached; the auto-k rule
+  * (max(16, ⌈n/512⌉), oracle-mirrored) brought it to 2.9 s at 30× /
+  * 9.7 s at 100×, near-linear.
+  *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb]
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {

@@ -2906,13 +2906,28 @@ object DedupOps {
     * LAION). Cross-cluster near-dups are invisible BY DESIGN — the
     * documented recall trade every cluster-scoped dedup makes.
     *
-    * Scale: seeds broadcast (model state); assignment map-side; the pair
-    * probe is ONE cluster-keyed shuffle. At k=16 the key is
-    * low-cardinality, safe here only because per-cluster candidate sets
-    * are window-bounded — production k is large, restoring parallelism;
-    * a skewed giant cluster would get the [[Salting]] treatment. */
-  def ddSemDedupCluster(s: SparkSession, dir: String, k: Int = 16,
-      thr: Double = 0.4): DataFrame = {
+    * The dial is IN CODE (the r12 discipline: a scaladoc's sizing rule is
+    * not a sizing rule): k = max(16, ⌈n/`clusterTarget`⌉), so balanced
+    * pair work stays ≈ n·clusterTarget/2 at any corpus size instead of
+    * n²/16 (the perturb-30× rung measured fixed k=16 at 12.9 s with the
+    * quadratic curve still attached; the rule holds per-cluster size at
+    * ~512 and the cost linear). Gate corpora (≤ 16·512 vectors) resolve
+    * to exactly k=16, and the oracle replays the same rule via
+    * [[EmbeddingOps.seedAssignCtesAuto]] (ROW_NUMBER + windowed COUNT —
+    * portable data-dependent k), so the certification holds at ANY size,
+    * the dd_signal_agreement sampler lesson.
+    *
+    * Scale: seeds broadcast (model state — k·d doubles even at auto-k:
+    * 10⁹ vectors → ~2M seeds × 64 dims ≈ 1 GB, the point where seeding
+    * itself becomes a kmeans job, as the paper's does); assignment
+    * map-side; the pair probe is ONE cluster-keyed shuffle. Low k is safe
+    * here only because per-cluster candidate sets are bounded — auto-k
+    * restores parallelism exactly when it matters; a skewed giant cluster
+    * would get the [[Salting]] treatment. */
+  def ddSemDedupCluster(s: SparkSession, dir: String,
+      clusterTarget: Int = 512, thr: Double = 0.4): DataFrame = {
+    val n = Tables.load(s, dir, "embeddings").count()
+    val k = math.max(16, math.ceil(n / clusterTarget.toDouble).toInt)
     val asg = EmbeddingOps.seedAssignment(s, dir, k)
       .select(col("vec_id"), col("ve"), col("nrm"), col("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2936,7 +2951,7 @@ object DedupOps {
   }
 
   val ddSemDedupClusterSql: String =
-    s"""WITH ${EmbeddingOps.seedAssignCtes(16)}, pruned AS (
+    s"""WITH ${EmbeddingOps.seedAssignCtesAuto(16, 512)}, pruned AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM asg a JOIN asg b
        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id

@@ -827,6 +827,37 @@ object EmbeddingOps {
        |  WHERE rn = 1
        |)""".stripMargin
 
+  /** [[seedAssignCtes]] with the CORPUS-DERIVED k:
+    * max(`floorK`, ⌈n/`target`⌉) — the SemDeDup "grow k ∝ n" dial in the
+    * oracle's own arithmetic (ROW_NUMBER + windowed COUNT instead of
+    * LIMIT, so k is data-dependent yet fully portable). Must stay
+    * arithmetic-identical to [[DedupOps.ddSemDedupCluster]]'s Scala rule. */
+  private[operators] def seedAssignCtesAuto(floorK: Int, target: Int): String =
+    s"""vn AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT cluster, cv FROM (
+       |    SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM vn)
+       |  WHERE rn <= GREATEST($floorK, CAST(CEIL(n / $target.0) AS BIGINT))
+       |), c0n AS (
+       |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
+       |), asg AS (
+       |  SELECT vec_id, label, ve, nrm, cluster FROM (
+       |    SELECT vn.vec_id, vn.label, vn.ve, vn.nrm, c0n.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
+       |        list_dot_product(vn.ve, c0n.cv) / (vn.nrm * c0n.cnrm) DESC,
+       |        c0n.cluster) AS rn
+       |    FROM vn CROSS JOIN c0n)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   // ------------------------------------------------ cluster label purity
   /** Per-cluster label-purity report after seed-centroid assignment: how
     * well the embedding geometry separates the ground-truth labels — the
