@@ -172,6 +172,14 @@ import org.apache.spark.sql.functions._
   * 30×: 45.9 s / 100×: 155 s — exponent ≈ 0.94 across the decade,
   * linear in the candidate count by construction.
   *
+  * r12 closed the last unmeasured clone decades: dd_dedup_groups 100×:
+  * 10.6 s and dd_canonical 100×: 11.6 s (both FLAT vs their 10× points —
+  * at high clone factors every shingle's df crosses the 50 cap and the
+  * pair graph degenerates, the same mechanism as ds_group_split's
+  * decline); emb_pca_check 100×: 27.6 s (4.4× time for 10× vectors —
+  * sublinear wall on the irreducible n·d²/2 DECIMAL Gramian, which
+  * distributes; the d²-row eigensolve stays size-invariant).
+  *
   * The r12 perturb-30× sweep across the remaining embedding-heavy ops
   * measured FLAT curves for sim_ivf_recall 1.03 s, emb_kmeans 1.45 s,
   * dd_incremental_sem 0.65 s, emb_knn_mutual 2.42 s, sim_rp_recall
