@@ -2926,6 +2926,13 @@ object DedupOps {
     * would get the [[Salting]] treatment. */
   def ddSemDedupCluster(s: SparkSession, dir: String,
       clusterTarget: Int = 512, thr: Double = 0.4): DataFrame = {
+    // this positional slot held the CLUSTER COUNT k before r12; a legacy
+    // positional call like (s, dir, 32) would silently mean "32 vectors
+    // per cluster" — fail loudly instead (any real size target is ≥ 64;
+    // callers wanting an explicit k use EmbeddingOps.seedAssignment)
+    require(clusterTarget >= 64,
+      s"clusterTarget is a per-cluster SIZE target (k = ⌈n/target⌉), not " +
+        s"a cluster count — got $clusterTarget")
     val n = Tables.load(s, dir, "embeddings").count()
     val k = math.max(16, math.ceil(n / clusterTarget.toDouble).toInt)
     val asg = EmbeddingOps.seedAssignment(s, dir, k)

@@ -806,16 +806,26 @@ object EmbeddingOps {
     * relation (vec_id, label, ve, nrm, cluster). Callers prepend `WITH `
     * and append their own stages. */
   private[operators] def seedAssignCtes(k: Int): String =
+    seedAssignCtesWith(
+      s"""c0 AS (
+         |  SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv
+         |  FROM vn ORDER BY vec_id LIMIT $k
+         |)""".stripMargin)
+
+  /** Shared vn/c0n/asg scaffolding around a caller-supplied `c0` seed CTE
+    * — [[seedAssignCtes]] (fixed k) and [[seedAssignCtesAuto]] (corpus-
+    * derived k) differ ONLY in seed selection, and sharing the rest makes
+    * a seeding/rounding/tiebreak change impossible to apply to one oracle
+    * and not the other (the same single-source discipline the Scala
+    * [[seedAssignment]] provides its consumers). */
+  private def seedAssignCtesWith(c0Cte: String): String =
     s"""vn AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
        |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings
-       |), c0 AS (
-       |  SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv
-       |  FROM vn ORDER BY vec_id LIMIT $k
-       |), c0n AS (
+       |), $c0Cte, c0n AS (
        |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
        |), asg AS (
        |  SELECT vec_id, label, ve, nrm, cluster FROM (
@@ -833,30 +843,15 @@ object EmbeddingOps {
     * LIMIT, so k is data-dependent yet fully portable). Must stay
     * arithmetic-identical to [[DedupOps.ddSemDedupCluster]]'s Scala rule. */
   private[operators] def seedAssignCtesAuto(floorK: Int, target: Int): String =
-    s"""vn AS (
-       |  SELECT vec_id, label,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
-       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
-       |  FROM embeddings
-       |), c0 AS (
-       |  SELECT cluster, cv FROM (
-       |    SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv,
-       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-       |      COUNT(*) OVER () AS n
-       |    FROM vn)
-       |  WHERE rn <= GREATEST($floorK, CAST(CEIL(n / $target.0) AS BIGINT))
-       |), c0n AS (
-       |  SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0
-       |), asg AS (
-       |  SELECT vec_id, label, ve, nrm, cluster FROM (
-       |    SELECT vn.vec_id, vn.label, vn.ve, vn.nrm, c0n.cluster,
-       |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
-       |        list_dot_product(vn.ve, c0n.cv) / (vn.nrm * c0n.cnrm) DESC,
-       |        c0n.cluster) AS rn
-       |    FROM vn CROSS JOIN c0n)
-       |  WHERE rn = 1
-       |)""".stripMargin
+    seedAssignCtesWith(
+      s"""c0 AS (
+         |  SELECT cluster, cv FROM (
+         |    SELECT vec_id AS cluster, list_transform(ve, x -> ROUND(x, 6)) AS cv,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         |      COUNT(*) OVER () AS n
+         |    FROM vn)
+         |  WHERE rn <= GREATEST($floorK, CAST(CEIL(n / $target.0) AS BIGINT))
+         |)""".stripMargin)
 
   // ------------------------------------------------ cluster label purity
   /** Per-cluster label-purity report after seed-centroid assignment: how

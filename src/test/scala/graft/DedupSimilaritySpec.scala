@@ -353,7 +353,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
     def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
-    val seeds = vecs.take(16).map { case (id, v) => (id, v.map(r6)) }
+    // mirror the operator's auto-k rule, not a hardcoded count — at this
+    // corpus (500 vectors) it resolves to the k=16 floor
+    val k = math.max(16, math.ceil(vecs.length / 512.0).toInt)
+    val seeds = vecs.take(k).map { case (id, v) => (id, v.map(r6)) }
     val assigned = vecs.map { case (id, v) =>
       val n = nrm(v)
       val best = seeds.map { case (c, cv) => (c, dot(v, cv) / (n * nrm(cv))) }
@@ -373,6 +376,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
     assert(got.exists(_._3 == 0L), "testdata should contain planted near-dups")
+  }
+
+  test("dd_semdedup_cluster auto-k: k grows past the floor on a large corpus") {
+    // every gate corpus resolves to the k=16 floor, so the DYNAMIC branch
+    // of the rule needs its own corpus: 18x-cloned embeddings (9000
+    // vectors -> k = max(16, ceil(9000/512)) = 18), replayed plain-Scala
+    // with the same rule end-to-end
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = java.nio.file.Files.createTempDirectory("graft-autok").toString
+    val emb0 = Tables.load(spark, dir, "embeddings")
+    (0 until 18).map { k =>
+      val cols = (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id") +:
+        emb0.columns.filter(_ != "vec_id").map(col).toSeq
+      emb0.select(cols: _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val vecs = Tables.load(spark, d, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val k = math.max(16, math.ceil(vecs.length / 512.0).toInt)
+    assert(k > 16, s"corpus must exercise the dynamic branch, got k=$k")
+    val seeds = vecs.take(k).map { case (id, v) => (id, v.map(r6)) }
+    val assigned = vecs.map { case (id, v) =>
+      val n = nrm(v)
+      val best = seeds.map { case (c, cv) => (c, dot(v, cv) / (n * nrm(cv))) }
+        .maxBy { case (c, cos) => (cos, -c) }._1
+      (id, v, n, best)
+    }
+    val byCluster = assigned.groupBy(_._4)
+    val pruned = byCluster.values.toSeq.flatMap { g =>
+      val gs = g.toSeq
+      for {
+        a <- gs; b <- gs
+        if a._1 < b._1 && r6(dot(a._2, b._2) / (a._3 * b._3)) >= 0.4
+      } yield b._1
+    }.toSet
+    val want = assigned.map { case (id, _, _, c) =>
+      (id, c, if (pruned(id)) 0L else 1L)
+    }.toSet
+    val got = DedupOps.ddSemDedupCluster(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // the dynamic k actually engaged: some vector assigned to a seed
+    // beyond the 16 lowest ids
+    val low16 = vecs.take(16).map(_._1).toSet
+    assert(got.exists(g => !low16.contains(g._2)),
+      "no vector chose a seed beyond the k=16 floor — dynamic branch inert")
   }
 
   test("dd_contam_fraction: bounded, complete, consistent with pair verdicts") {
