@@ -10,6 +10,9 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== doctor 0/4: round-open artifact hygiene"
+bash scripts/round_open.sh
+
 SF_VERIFY=${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}
 SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 VOUT=${SPARK_GRAFT_VERIFY_OUT:-/tmp/graft_doctor_vout}

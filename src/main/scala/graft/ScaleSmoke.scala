@@ -226,9 +226,26 @@ object ScaleSmoke {
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
     val copies = (0 until factor).map { k =>
+      // clone mode: a copy-unique PREFIX token — kills cross-copy exact
+      // duplication but leaves ~298 of ~300 shingles shared, so every doc
+      // sits in a factor-sized near-dup clique AND every shingle's df
+      // grows ×factor (crossing the df≤50 cap at high factors, which
+      // degenerates the pair graph — the flatness the clone rungs show).
+      // perturb mode: SUFFIX every token with the copy id instead — each
+      // clone's shingle set becomes disjoint from every other copy's, so
+      // the shingle UNIVERSE grows ×factor while per-shingle df stays at
+      // its 1× value (the cap never trips) and the pair graph is factor×
+      // the original — the n_distinct-grows axis for the lexical family
+      // (dd_minhash_lsh / dd_ngram_jaccard / dd_pair_evidence /
+      // pipe_dedup_cascade) and the vocabulary-grows axis for the
+      // "vocabulary-shaped" claims (mix_doremi, txt_*_ppl).
+      val textCol =
+        if (perturb && k > 0)
+          regexp_replace(col("text"), "(\\S+)", s"$$1c$k").as("text")
+        else concat(lit(s"cp$k "), col("text")).as("text")
       val cols = (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id") +:
         (docs.columns.filter(c => c != "doc_id" && c != "text").map(col).toSeq :+
-          concat(lit(s"cp$k "), col("text")).as("text"))
+          textCol)
       docs.select(cols: _*)
     }
     copies.reduce(_ unionByName _)

@@ -1474,10 +1474,7 @@ object DedupOps {
     // would pass NaN — the finite upper bound closes that.
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .withColumn("__ok", {
-        val nrm = VF.norm(VF.asDouble(col("embedding")))
-        nrm > 0.0 && nrm < lit(Double.PositiveInfinity)
-      })
+      .withColumn("__ok", finiteNormGuard(col("embedding")))
     val repOf = emb.filter(col("__ok"))
       .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
       .persist(lvl)
@@ -1504,11 +1501,7 @@ object DedupOps {
     // distinct: 22·500/64 = 172 ≤ 512) stay at the recall-complete
     // 6-bit setting, so the oracle is unchanged.
     val nDistinct = repOf.count()
-    def probeOrbit(b: Int): Long = 1L + b + b.toLong * (b - 1) / 2
-    var bits = 6
-    while (bits < 24 &&
-        probeOrbit(bits) * nDistinct.toDouble / (1L << bits) > 512.0)
-      bits += 1
+    val bits = annBitsFor(nDistinct)
     val repBase = repOf
       .select(col("rep").as("vec_id"), VF.asDouble(col("embedding")).as("ve"))
       .select(col("vec_id"), col("ve"),
@@ -1560,12 +1553,39 @@ object DedupOps {
     annCandidatePairsFrom(base, threshold, bits, tables)
   }
 
-  /** [[annCosinePairs]]' candidate+verify core over a prepared
-    * (vec_id, ve, nrm) frame — shared with [[ddSemDedupAnn]]'s
-    * distinct-representative path. `base` must be materialized by the
-    * caller (it sits on three sides of the plan). */
-  private def annCandidatePairsFrom(base: DataFrame, threshold: Double,
-      bits: Int, tables: Int): DataFrame = {
+  /** Degenerate-vector guard shared by [[ddSemDedupAnn]] and the probe
+    * tooling: true iff the embedding's norm is finite and positive. NaN
+    * sorts above every double in Spark, so `nrm > 0` alone would pass
+    * NaN — the finite upper bound closes that. */
+  private[graft] def finiteNormGuard(embedding: Column): Column = {
+    val nrm = VF.norm(VF.asDouble(embedding))
+    nrm > 0.0 && nrm < lit(Double.PositiveInfinity)
+  }
+
+  /** Size of the Hamming-≤2 multi-probe orbit at `b` code bits:
+    * 1 + b + C(b,2) masks. */
+  private[graft] def probeOrbit(b: Int): Long = 1L + b + b.toLong * (b - 1) / 2
+
+  /** [[ddSemDedupAnn]]'s bits rule, callable by probe tooling so
+    * measurements attribute to the operator's ACTUAL configuration: grow
+    * bits from the recall-complete 6 until the probe-adjusted per-vector
+    * candidate budget probes(bits) · nDistinct / 2^bits drops to
+    * `budget`, bounding total candidate rows at ≤ budget·tables·n. */
+  private[graft] def annBitsFor(nDistinct: Long, budget: Double = 512.0): Int = {
+    var bits = 6
+    while (bits < 24 &&
+        probeOrbit(bits) * nDistinct.toDouble / (1L << bits) > budget)
+      bits += 1
+    bits
+  }
+
+  /** RAW (pre-distinct) SRP multi-probe candidate pairs over a prepared
+    * (vec_id, ve, nrm) frame — the candidate-generation stage of
+    * [[annCandidatePairsFrom]], exposed so probe tooling times the
+    * operator's real stages instead of hand-copied clones of them.
+    * `base` must be materialized by the caller. */
+  private[graft] def annRawCandidates(base: DataFrame, bits: Int,
+      tables: Int): DataFrame = {
     val tableCodes = (0 until tables).map(t =>
       struct(lit(t).as("tab"), VF.srpCode(col("ve"), bits, t).as("code")))
     val coded = base
@@ -1578,13 +1598,56 @@ object DedupOps {
     val probed = coded.select(col("vec_id").as("id_a"), col("tab").as("ptab"),
       explode(array(probeMasks.map(m =>
         col("code").bitwiseXOR(lit(m))): _*)).as("pcode"))
-    val cands = probed.join(coded,
+    probed.join(coded,
         col("ptab") === col("tab") && col("pcode") === col("code") &&
           col("id_a") < col("vec_id"))
       .select(col("id_a"), col("vec_id").as("id_b"))
-      .distinct()
-    verifyCandidatesBlocked(base, cands, threshold)
   }
+
+  /** [[annCosinePairs]]' candidate+verify core over a prepared
+    * (vec_id, ve, nrm) frame — shared with [[ddSemDedupAnn]]'s
+    * distinct-representative path. `base` must be materialized by the
+    * caller (it sits on three sides of the plan). */
+  private def annCandidatePairsFrom(base: DataFrame, threshold: Double,
+      bits: Int, tables: Int): DataFrame = {
+    val cands = annRawCandidates(base, bits, tables)
+      .distinct()
+      .localCheckpoint()
+    // Adaptive verify-strategy switch: the blocked group verify exists
+    // for candidate floods (118M rows at perturb-30×, where the join
+    // form's array-laden shuffle cost a measured 114 s), but it carries
+    // ~4 s of fixed overhead (2·blocks corpus replication + a typed
+    // non-codegen flatMapSortedGroups) that dominates at toy scale.
+    // The candidate count is free here — the distinct() already shuffled
+    // and the localCheckpoint materialized it — so pick the join form
+    // below the measured crossover (join ≈ 1 s per 1M candidate rows of
+    // array shuffle vs the blocked path's flat ~4 s ⇒ crossover ~4M).
+    // Both paths share the numeric contract (sequential left-to-right
+    // dot fold, caller norms, round(·,6) before the threshold filter) —
+    // pinned equal pair-for-pair and value-for-value by the spec.
+    if (cands.count() <= 4000000L) verifyCandidatesJoin(base, cands, threshold)
+    else verifyCandidatesBlocked(base, cands, threshold)
+  }
+
+  /** Exact cosine verification by attaching vectors to candidate rows
+    * with two equi-joins — the toy/moderate-candidate path of the
+    * adaptive switch in [[annCandidatePairsFrom]]. Cheapest shape while
+    * the candidate frame is small (broadcast-or-shuffle joins, fully
+    * codegen'd, no corpus replication); its cost is the array-laden
+    * shuffle the SECOND join performs, linear in candidates — the
+    * measured 114 s cliff at 118M rows that [[verifyCandidatesBlocked]]
+    * retires above the crossover. */
+  private[graft] def verifyCandidatesJoin(base: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("ve").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("ve").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VF.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
 
   /** Exact cosine verification of a candidate pair frame WITHOUT
     * attaching vectors to candidate rows. The r12 perturb-30× probe
@@ -1603,7 +1666,7 @@ object DedupOps {
     * to the join form: sequential dot fold, caller-supplied norms,
     * round(·, 6) at the SQL layer. B dials memory vs replication exactly
     * as in the exact scan's scaladoc. */
-  private def verifyCandidatesBlocked(base: DataFrame, cands: DataFrame,
+  private[graft] def verifyCandidatesBlocked(base: DataFrame, cands: DataFrame,
       threshold: Double, blocks: Int = 16): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
@@ -1639,19 +1702,24 @@ object DedupOps {
               case _ => rest = Iterator.single(r) ++ it; building = false
             }
           }
-          rest.flatMap { r =>
+          rest.map { r =>
             val a = mapA.get(r._4)
             val b = mapB.get(r._5)
-            // candidates reference base ids by construction; a miss would
-            // be a hash-routing bug, surfaced as a dropped pair in specs
-            if (a == null || b == null) None
-            else {
-              val (va, na) = a
-              val (vb, nb) = b
-              var acc = 0.0; var i = 0
-              while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-              Some((r._4, r._5, acc / (na * nb)))
-            }
+            // candidates reference base ids by construction, so a miss
+            // can only mean the vector and candidate routing have
+            // desynchronized (diverged `blocks` or hash expression) —
+            // fail the job rather than silently emitting an incomplete
+            // pair set a spec corpus would never notice
+            if (a == null || b == null)
+              throw new IllegalStateException(
+                s"verifyCandidatesBlocked: candidate (${r._4},${r._5}) " +
+                  s"missed the group's vector map (a=${a == null}, " +
+                  s"b=${b == null}) — block routing desynchronized")
+            val (va, na) = a
+            val (vb, nb) = b
+            var acc = 0.0; var i = 0
+            while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+            (r._4, r._5, acc / (na * nb))
           }
       }
       .toDF("id_a", "id_b", "cos_raw")

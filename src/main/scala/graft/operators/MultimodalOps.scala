@@ -310,7 +310,13 @@ object MultimodalOps {
     * positional phash (registry default 16, byte-identical to the oracle),
     * `driverCodeCap` the distinct-code count above which CC runs
     * distributed. `1L << slot` via shiftleft ≡ the oracle's POWER(2, slot)
-    * for every slot < 63 (the default range is ≤ 15). */
+    * for every slot < 63 (the default range is ≤ 15). At width = 64 the
+    * slot-63 bit is the long's SIGN bit, so the numeric-equivalence claim
+    * above does not extend there — but the phash is consumed only as a
+    * BIT PATTERN (the sum-of-distinct-shiftlefts sets each bit exactly
+    * once, XOR probes and equality joins are sign-agnostic, and rep
+    * election keys on min(doc_id), never on phash order), so width 64
+    * stays correct; it just isn't oracle-replayable via POWER(2, slot). */
   private[graft] def mmDedupGroupsWidth(s: SparkSession, dir: String,
       width: Int = 16, driverCodeCap: Long = 1L << 17): DataFrame = {
     require(width >= 1 && width <= 64, s"phash width must be in [1,64]: $width")

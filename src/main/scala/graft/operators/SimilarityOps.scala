@@ -558,10 +558,28 @@ object SimilarityOps {
     * (cross-sub-cluster neighbors would instead sit in cells the pruned
     * probe list may skip, which certifies sampling luck, not the index;
     * measured: nC2=8 at 500 rows → groups of ~8 < k+1 → recall 0.8 on one
-    * query). `overfetch = 8` sizes the candidate budget k·overfetch = 80
-    * above the largest gate-SF sub-group (62 at sf0.1), so exact-tie ADC
-    * codewords inside a group can't crowd a true neighbor out of the
-    * re-rank set. */
+    * query). The candidate budget k·overfetch must exceed the LARGEST
+    * sub-group, so exact-tie ADC codewords inside a group can't crowd a
+    * true neighbor out of the re-rank set — and since sub-groups grow
+    * linearly with the corpus while the group COUNT (nC1·nC2 = 32) is
+    * fixed by construction, a fixed overfetch saturates: the r12
+    * perturb-100× rung (200k genuinely distinct vectors, ~6250/group
+    * vs a budget of 80) emitted three recall-floor violations — the
+    * quantized index's designed resolution limit surfacing exactly
+    * where BASELINE's prose said "more bits/overfetch" would cure it.
+    * So the dial is IN CODE (the auto-bits / auto-k pattern):
+    * overfetch = max(8, ⌈2·⌈n/32⌉ / k⌉) — budget = 2× the expected
+    * sub-group, covering the max group under the derivation's balanced
+    * id-lattice split plus slack for coarse cells that mix two groups.
+    * Gate corpora keep the r8-calibrated floor of 8 (500 rows → group
+    * 16 → auto 4; sf0.1's 2000 → group 63 → auto 13, budget 130 ≥ the
+    * measured 62-row max group), so the gate plan and the empty oracle
+    * are unchanged; growth only ever ADDS candidates, and the re-rank
+    * is exact, so recall is monotone in the budget. At a real 100-TB
+    * corpus the group count isn't pinned at 32 — there you grow
+    * codebook resolution (m/kCent bits) with n instead of the budget;
+    * HERE budget-covers-group is the correct-by-construction rule for
+    * the cert geometry, and it is replayed at every scale rung. */
   def pqRecallCheck(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 10, floor: Double = 0.9, trainIters: Int = 0): DataFrame = {
     // the derived corpus feeds BOTH certification sides and, inside
@@ -572,10 +590,17 @@ object SimilarityOps {
     // pipe_dedup_cascade shared-universe discipline)
     val corpus = hierClusteredFrom(emb(s, dir), nC2 = 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // auto-overfetch (see cert-geometry scaladoc): budget = 2× the
+    // expected sub-group ⌈n/32⌉, floored at the r8-calibrated 8. The
+    // count reads the persisted corpus and is reused by annPqFrom's
+    // own toy-corpus guard via the same cache.
+    val n = corpus.count()
+    val subGroup = (n + 31) / 32
+    val overfetch = math.max(8L, (2L * subGroup + k - 1) / k).toInt
     val truth = bruteTopKFrom(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annPqFrom(corpus, nQueries, k, cells = 32, nprobe = 8,
-      m = 16, kCent = 16, overfetch = 8, trainIters = trainIters)
+      m = 16, kCent = 16, overfetch = overfetch, trainIters = trainIters)
       .select(col("query_id"), col("neighbor_id"))
     val out = recallViolations(truth, approx, floor).localCheckpoint()
     corpus.unpersist()

@@ -172,6 +172,95 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(annV == exactV, "rounded cosines must match the exact path exactly")
   }
 
+  test("adaptive verify: join and blocked strategies agree pair-for-pair, value-for-value") {
+    // the candidate-count switch in annCandidatePairsFrom picks the join
+    // verify at gate scale and the blocked group verify above the ~4M
+    // crossover; numeric interchangeability is the switch's whole
+    // contract, so pin BOTH private paths against each other on the same
+    // base + candidate frames (all-pairs, so verified-pair coverage is
+    // total, including pairs straddling every (lo, hi) block combination)
+    import org.apache.spark.sql.functions.{col, sqrt}
+    import graft.functions.{VectorFunctions => VF}
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+      .localCheckpoint()
+    val ids = base.select("vec_id")
+    val cands = ids.as("a").crossJoin(ids.as("b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    def byPair(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaJoin = byPair(DedupOps.verifyCandidatesJoin(base, cands, 0.4))
+    val viaBlocked = byPair(DedupOps.verifyCandidatesBlocked(base, cands, 0.4))
+    assert(viaJoin.nonEmpty, "all-pairs at cos >= 0.4 should be non-empty")
+    assert(viaJoin == viaBlocked,
+      s"missing=${(viaJoin.keySet -- viaBlocked.keySet).take(3)} " +
+        s"spurious=${(viaBlocked.keySet -- viaJoin.keySet).take(3)}")
+  }
+
+  test("signal-agreement sampler: class proportions within the binomial envelope") {
+    // ddSignalAgreement's sampled default keeps an id iff its md5-hex
+    // bucket clears ceil(cap/total*2^32) — expected sample ~cap with
+    // +-sqrt(cap) size noise. Size is already pinned; this spec pins the
+    // CLASS MIX: on a corpus with 400 planted pairs per verdict class
+    // (disjoint ids, classes interleaved by pair index so no id-range or
+    // id-mod layout aligns with a class), each class's sampled pair count
+    // is Binomial(400, p^2) with p = keep/2^32, so a future sampler change
+    // that biases WHICH ids survive (not just how many) drags a class out
+    // of its 4-sigma envelope and fails here. Deterministic: the md5
+    // sampler has no run-to-run variance — the envelope justifies the
+    // bound, the test itself is exact replay.
+    import spark.implicits._
+    val nPer = 400
+    val dim = 256 // random-unit cos ~ N(0, 1/256): P(cos>0.4) ~ 1e-10, no
+                  // spurious semantic pairs pollute the planted classes
+    def vec(seed: Long): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(dim)(rng.nextGaussian().toFloat)
+    }
+    val rows = (0 until 3 * nPer).flatMap { i =>
+      val (idA, idB) = (10000L + 2 * i, 10001L + 2 * i)
+      val cls = i % 3 // 0 = both, 1 = lexical_only, 2 = semantic_only
+      val sharedText = s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      def uniq(id: Long) = s"u${id}a u${id}b u${id}c u${id}d u${id}e"
+      cls match {
+        case 0 => Seq((idA, sharedText, vec(i)), (idB, sharedText, vec(i)))
+        case 1 => Seq((idA, sharedText, vec(2L * i + 1000000)),
+                      (idB, sharedText, vec(2L * i + 1000001)))
+        case _ => Seq((idA, uniq(idA), vec(i)), (idB, uniq(idB), vec(i)))
+      }
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-binom").toString
+    rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    rows.map { case (id, _, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    def byClass(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = byClass(DedupOps.ddSignalAgreementExact(spark, d))
+    assert(exact == Map("both" -> nPer.toLong, "lexical_only" -> nPer.toLong,
+      "semantic_only" -> nPer.toLong),
+      s"corpus construction must plant exactly $nPer pairs per class: $exact")
+
+    val total = 2L * 3 * nPer // 2400 ids
+    val cap = 600 // p = 0.25 exactly (cap/total divides 2^32)
+    val sampled = byClass(DedupOps.ddSignalAgreement(spark, d, sampleCap = cap))
+    val q = math.ceil(cap.toDouble / total * 4294967296.0) / 4294967296.0 *
+      math.ceil(cap.toDouble / total * 4294967296.0) / 4294967296.0
+    val mean = nPer * q
+    val tol = 4.0 * math.sqrt(nPer * q * (1 - q)) + 2.0
+    Seq("both", "lexical_only", "semantic_only").foreach { cls =>
+      val got = sampled(cls).toDouble
+      assert(math.abs(got - mean) <= tol,
+        s"$cls: sampled $got outside binomial envelope $mean +- $tol " +
+          s"(exact=${exact(cls)}, q=$q) — the sampler is class-biased")
+    }
+  }
+
   test("semdedup-ann contraction: clone-heavy corpus == exact semantic dedup") {
     // ddSemDedupAnn collapses byte-identical embeddings to their min-id
     // representative BEFORE the SRP layer; the testdata has no clones, so
