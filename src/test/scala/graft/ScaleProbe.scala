@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** The scale-debugging probe kit, one parameterized entry point — grown
+  * out of the ad-hoc AnnProbe/IvfProbe/IvfProbe2/PqProbe/PqProbe10x
+  * one-offs that bisected the r11/r12 scale cliffs (the triple-evaluated
+  * IVF cell assignment, the 114 s array-laden ANN verify, the PQ
+  * resolution saturation). Run against a ScaleSmoke-derived corpus
+  * (`/tmp/graft_scale_{x,p}N`) or a testdata SF dir. Builder-side tool,
+  * not part of any gate.
+  *
+  * Modes (`Test/runMain graft.ScaleProbe <mode> [args]`):
+  *  - `ann <dir> [budget]` — stage-isolated timing of dd_semdedup_ann:
+  *    contraction, candidate generation, distinct, and the verify
+  *    strategies, every stage the operator's own `private[graft]` helper
+  *    (finiteNormGuard / annBitsFor / annRawCandidates /
+  *    verifyCandidates{Join,Blocked}) so the probe cannot drift from the
+  *    configuration the operator actually runs. Optional `budget`
+  *    overrides the bits rule's candidate budget (operator default 512)
+  *    to measure the budget/recall trade without patching the operator.
+  *  - `ivf <dir>` — phase-level timing of the IVF recall certification
+  *    (derive+persist, cell assignment alone — twice, to expose
+  *    re-evaluation — full probe path, and the join+score bisection that
+  *    caught the triple-evaluated argmin).
+  *  - `pq [dir ...]` — full PQ recall report (floor > 1 disables the
+  *    violation filter) on the given dirs, default the three testdata
+  *    SFs; the measurement behind sim_pq_recall's design notes and the
+  *    r13 auto-overfetch rule. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("ann") => ann(args.drop(1))
+    case Some("ivf") => ivf(args.drop(1))
+    case Some("pq")  => pq(args.drop(1))
+    case other => sys.error(
+      s"usage: ScaleProbe <ann|ivf|pq> [args] — got $other")
+  }
+
+  private def timed[T](tag: String, label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[$tag] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  private def ann(args: Seq[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_p30")
+    val budget = args.drop(1).headOption.map(_.toDouble).getOrElse(512.0)
+    val spark = GraftSession.local()
+    import graft.functions.{VectorFunctions => VF}
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    println(s"[ann] corpus $dir n=${emb.count()}")
+    val repOf = emb.filter(DedupOps.finiteNormGuard(col("embedding")))
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val nDistinct = timed("ann", "contraction count")(repOf.count())
+    val bits = DedupOps.annBitsFor(nDistinct, budget)
+    val tables = 8
+    println(s"[ann] nDistinct=$nDistinct bits=$bits " +
+      s"probes=${DedupOps.probeOrbit(bits)} budget=$budget")
+
+    val base = repOf
+      .select(col("rep").as("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"), sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+      .localCheckpoint()
+
+    val candsRaw = DedupOps.annRawCandidates(base, bits, tables)
+    val nRaw = timed("ann", "candidates (pre-distinct)")(candsRaw.count())
+    val cands = candsRaw.distinct().localCheckpoint()
+    val nCand = timed("ann", "distinct candidates")(cands.count())
+    println(s"[ann] raw=$nRaw distinct=$nCand")
+
+    // mirror the operator's adaptive switch: above the crossover the join
+    // verify IS the measured 114 s cliff — time it only where the
+    // operator would actually run it
+    val nBlocked = timed("ann", "exact verify (blocked)")(
+      DedupOps.verifyCandidatesBlocked(base, cands, 0.4).count())
+    if (nCand <= 4000000L) {
+      val nJoin = timed("ann", "exact verify (two joins)")(
+        DedupOps.verifyCandidatesJoin(base, cands, 0.4).count())
+      println(s"[ann] verified pairs join=$nJoin blocked=$nBlocked" +
+        (if (nJoin != nBlocked) "  ** STRATEGY DISAGREEMENT **" else ""))
+    } else println(s"[ann] verified pairs blocked=$nBlocked")
+    spark.stop()
+  }
+
+  private def ivf(args: Seq[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_x30")
+    val spark = GraftSession.local()
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("ve")))
+    val corpus = SimilarityOps.clusteredFrom(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("ivf", "derive+persist")(corpus.count())
+    // cell assignment alone, twice — a re-evaluation (the r11
+    // triple-evaluated argmin) shows as pass 2 not being ~free
+    val assigned = timed("ivf", "cell assign count")(
+      SimilarityOps.annIvfCellAssign(corpus).count())
+    println(s"[ivf] assigned=$assigned")
+    timed("ivf", "cell assign again")(
+      SimilarityOps.annIvfCellAssign(corpus).count())
+    val truth = timed("ivf", "truth brute topk")(
+      SimilarityOps.bruteTopKFrom(corpus, 5, 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val approx = timed("ivf", "approx ivf probe")(
+      SimilarityOps.annIvfFrom(corpus, 5, 10, cells = 32, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    println(s"[ivf] truth=${truth.count()} approx=${approx.count()}")
+    // bisection: join+score without the top-k window/sort
+    val assignedC = SimilarityOps.annIvfCellAssign(corpus)
+    val queries = assignedC.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("ve").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("probe_cell"))
+    val scored = timed("ivf", "join+score only")(
+      assignedC.join(broadcast(queries),
+          col("cell") === col("probe_cell") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (graft.functions.VectorFunctions.dot(col("qv"), col("ve")) /
+            (col("qnrm") * col("nrm"))).as("cos_raw"))
+        .count())
+    println(s"[ivf] scored rows = $scored")
+    spark.stop()
+  }
+
+  private def pq(args: Seq[String]): Unit = {
+    val dirs = if (args.nonEmpty) args
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(sf => s"/root/testdata/$sf")
+    val spark = GraftSession.local("8")
+    dirs.foreach { dir =>
+      val t0 = System.nanoTime()
+      val rep = SimilarityOps.pqRecallCheck(spark, dir, floor = 1.01)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[pq] $dir recalls=${rep.toSeq.sortBy(_._1)} ($dt%.1f s)")
+    }
+    spark.stop()
+  }
+}
