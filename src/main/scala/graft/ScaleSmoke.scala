@@ -189,7 +189,8 @@ import org.apache.spark.sql.functions._
   * (max(16, ⌈n/512⌉), oracle-mirrored) brought it to 2.9 s at 30× /
   * 9.7 s at 100×, near-linear.
   *
-  * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb]
+  * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb] [reuse]
+  * (`reuse` skips re-deriving an already-materialized rung corpus).
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -207,7 +208,12 @@ object ScaleSmoke {
     // bits ≈ log₂(n_distinct/B) rule deserves, vs the byte-clone corpus
     // where n_distinct is constant by construction.
     val perturb = rest0.contains("perturb")
-    val rest = rest0.filterNot(_ == "perturb")
+    // `reuse` token: skip the corpus derivation when the output dir is
+    // already materialized (same factor + same mode ⇒ byte-identical
+    // derivation — everything in it is deterministic), so successive
+    // query batches against one rung don't re-pay the 100× write
+    val reuse = rest0.contains("reuse")
+    val rest = rest0.filterNot(t => t == "perturb" || t == "reuse")
     val names = if (rest.nonEmpty) rest
       else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
         "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
@@ -223,6 +229,30 @@ object ScaleSmoke {
     val out =
       if (perturb) s"/tmp/graft_scale_p$factor" else s"/tmp/graft_scale_x$factor"
 
+    val derived = Seq("documents", "embeddings", "events")
+      .forall(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/$t.parquet")))
+    if (reuse && derived) println(s"[scale] reusing derived corpus at $out")
+    else deriveCorpus(spark, src, out, factor, perturb)
+
+    println(s"[scale] corpus ready: ${factor}x at $out")
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      val fn = SparkEntry.queries(name)
+      fn(spark, out).count() // warm (codegen, file listing)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = fn(spark, out).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+
+  private def deriveCorpus(spark: org.apache.spark.sql.SparkSession,
+      src: String, out: String, factor: Int, perturb: Boolean): Unit = {
     val docs = Tables.load(spark, src, "documents")
     val emb = Tables.load(spark, src, "embeddings")
     val copies = (0 until factor).map { k =>
@@ -284,20 +314,5 @@ object ScaleSmoke {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-
-    println(s"[scale] derived ${factor}x corpus at $out")
-    names.foreach { name =>
-      spark.catalog.clearCache()
-      val fn = SparkEntry.queries(name)
-      fn(spark, out).count() // warm (codegen, file listing)
-      val times = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val rows = fn(spark, out).count()
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
-    }
-    spark.stop()
   }
 }
