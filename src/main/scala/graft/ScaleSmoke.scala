@@ -214,7 +214,10 @@ object ScaleSmoke {
     // query batches against one rung don't re-pay the 100× write
     val reuse = rest0.contains("reuse")
     val rest = rest0.filterNot(t => t == "perturb" || t == "reuse")
-    val names = if (rest.nonEmpty) rest
+    // `all` token: sweep the ENTIRE registry — the exhaustive audit pass
+    // (sorted for a stable, resumable order)
+    val names = if (rest == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (rest.nonEmpty) rest
       else Seq("dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh",
         "dd_source_overlap", "dd_decontaminate", "txt_tfidf", "txt_entropy",
         "emb_kmeans", "txt_pack")
@@ -234,6 +237,16 @@ object ScaleSmoke {
         java.nio.file.Paths.get(s"$out/$t.parquet")))
     if (reuse && derived) println(s"[scale] reusing derived corpus at $out")
     else deriveCorpus(spark, src, out, factor, perturb)
+    // the non-derived tables (TPC-H side) symlink to the source SF so the
+    // FULL registry can run against a rung corpus — relational queries
+    // simply re-measure at 1×, the derived-table families at factor×
+    Tables.names.filterNot(Set("documents", "embeddings", "events"))
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
 
     println(s"[scale] corpus ready: ${factor}x at $out")
     names.foreach { name =>

@@ -1276,14 +1276,54 @@ object SimilarityOps {
     * excluded and counted — at high exclusion rates the estimate is
     * dup-noise, which is its own finding. DECIMAL-exact per-label sum.
     *
-    * Scale: the [[embKnnMutual]] label-blocked pair bound with a top-2
-    * window instead of top-k; the rollup is model-sized. */
-  def embIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    * Scale: the registry DEFAULT reuses [[embKnnMutual]]'s balanced
+    * sub-block bound verbatim (blk = rank₀·⌈n/cap⌉ div n over the
+    * deterministic md5 order): the r13 full-registry perturb sweep
+    * caught this op as the one remaining UNBOUNDED label-all-pairs join
+    * (Σ n_label² — at perturb-100×, 20k-vector labels ⇒ 4e9 pair rows),
+    * invisible at gate SF where every label fits one block. A sub-block
+    * is a uniform ~cap random sample of its label, and the TwoNN
+    * estimator is ratio-based and subsample-consistent (Facco et al.
+    * validate it BY subsampling — μ's distribution is what carries d,
+    * not the absolute distances), so the bounded default estimates the
+    * same quantity at n·cap pair work. Labels ≤ cap get exactly one
+    * block, so at certification scale the default IS the exact
+    * estimator; [[embIntrinsicDimExact]] keeps the unbounded form as
+    * the twin, and the oracle replays the identical blk rule so
+    * certification holds above the cap, not only under it. */
+  def embIntrinsicDim(s: SparkSession, dir: String,
+      cap: Int = DefaultKnnBlockCap): DataFrame = {
+    val v0 = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
+    val ranked = Ranking.twoPhaseRank(v0, "__gr", 32,
+      col("label"), md5(col("vec_id").cast("string")), col("vec_id"))
+    val labelBase = ranked.groupBy(col("label")).agg(min(col("__gr")).as("__lb"),
+      count(lit(1)).as("__n"))
+    val v = ranked.join(broadcast(labelBase), Seq("label"))
+      .withColumn("blk", expr(
+        s"CAST(((__gr - __lb) * ((__n + ${cap - 1}) DIV $cap)) DIV __n AS INT)"))
+      .drop("__gr", "__lb", "__n")
+    intrinsicDimReport(v, blockCols = Seq("label", "blk"))
+  }
+
+  /** The unbounded label-blocked exact form of [[embIntrinsicDim]] — the
+    * certification twin (Σ n_label² pair work by definition; they
+    * coincide whenever every label fits one sub-block). */
+  def embIntrinsicDimExact(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VF.asDouble(col("embedding")).as("ve"))
-      .withColumn("n2", VF.dot(col("ve"), col("ve")))
-    val pairs = v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+    intrinsicDimReport(v, blockCols = Seq("label"))
+  }
+
+  /** Shared tail of the two [[embIntrinsicDim]] forms: block-keyed pair
+    * join → per-src two-NN → DECIMAL-exact per-label MLE rollup. */
+  private def intrinsicDimReport(v0: DataFrame,
+      blockCols: Seq[String]): DataFrame = {
+    val v = v0.withColumn("n2", VF.dot(col("ve"), col("ve")))
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.vec_id") =!= col("b.vec_id")
+    val pairs = v.as("a").join(v.as("b"), joinCond)
       .select(col("a.label").as("label"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
         (col("a.n2") + col("b.n2") -
@@ -1306,16 +1346,27 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  // the blk CTE mirrors the Scala balanced sub-block rule EXACTLY (same
+  // md5 order, same rank₀·⌈n/cap⌉ div n chunking, one block per label at
+  // or under the cap), so the oracle certifies the bounded default at ANY
+  // corpus size — not only under the cap where blocking is a no-op
   val embIntrinsicDimSql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      |  FROM embeddings
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |    CAST(((rn0 * ((cnt + ${DefaultKnnBlockCap - 1}) // $DefaultKnnBlockCap)) // cnt) AS INTEGER) AS blk
+      |  FROM (
+      |    SELECT vec_id, label, embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY label
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn0,
+      |      COUNT(*) OVER (PARTITION BY label) AS cnt
+      |    FROM embeddings)
       |), p AS (
       |  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
       |    list_dot_product(a.ve, a.ve) + list_dot_product(b.ve, b.ve)
       |      - list_dot_product(a.ve, b.ve) * 2 AS d2
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  FROM v a JOIN v b
+      |    ON a.label = b.label AND a.blk = b.blk AND a.vec_id <> b.vec_id
       |), two AS (
       |  SELECT label, src,
       |    MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
@@ -1338,7 +1389,8 @@ object SimilarityOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
     "emb_knn_mutual" -> ((s: SparkSession, d: String) => embKnnMutual(s, d)),
-    "emb_intrinsic_dim" -> (embIntrinsicDim _),
+    "emb_intrinsic_dim" -> ((s: SparkSession, d: String) =>
+      embIntrinsicDim(s, d)),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     // annIvf's RAW-corpus output is deliberately not oracle-gated (no
     // honest oracle on an isotropic corpus — see its scaladoc); its
