@@ -4,24 +4,26 @@
 #   2. Verify @ sf0.01     (dump every registry query + oracle_sql.json)
 #   3. oracle_check.py     (DuckDB compare — the driver's correctness gate)
 #   4. Bench @ sf0.1       (headline JSON line + BENCH_FULL.json)
+#   5. perturb drift gate  (ScaleSmoke 30 all perturb once vs recorded
+#      baseline — the unbounded-join detector; skip: GRAFT_SKIP_PERTURB=1)
 # Exits non-zero on the first failing stage. Builder-side tooling: the
 # DuckDB stage mirrors the driver's gate and is NOT part of the shipped
 # library (python/duckdb are driver-side only).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== doctor 0/4: round-open artifact hygiene"
-bash scripts/round_open.sh
+echo "== doctor 0/5: round-open artifact hygiene"
+bash scripts/round_open.sh || { echo "doctor: ROUND-OPEN FAILED"; exit 1; }
 
 SF_VERIFY=${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}
 SF_BENCH=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 VOUT=${SPARK_GRAFT_VERIFY_OUT:-/tmp/graft_doctor_vout}
 
-echo "== doctor 1/4: sbt test"
+echo "== doctor 1/5: sbt test"
 sbt -batch test 2>&1 | tail -5
 [ "${PIPESTATUS[0]}" -ne 0 ] && { echo "doctor: TESTS FAILED"; exit 1; }
 
-echo "== doctor 2/4: Verify @ $SF_VERIFY"
+echo "== doctor 2/5: Verify @ $SF_VERIFY"
 rm -rf "$VOUT"
 vlog=$(mktemp)
 sbt -batch "runMain graft.Verify $SF_VERIFY $VOUT" >"$vlog" 2>&1
@@ -31,11 +33,11 @@ if [ "$vstatus" -ne 0 ] || grep -q '\[verify\].*failed' "$vlog"; then
   echo "doctor: VERIFY FAILED"; exit 1
 fi
 
-echo "== doctor 3/4: DuckDB oracle compare"
+echo "== doctor 3/5: DuckDB oracle compare"
 python3 scripts/oracle_check.py "$SF_VERIFY" "$VOUT" | tail -3
 [ "${PIPESTATUS[0]}" -ne 0 ] && { echo "doctor: ORACLE MISMATCH"; exit 1; }
 
-echo "== doctor 4/4: Bench @ $SF_BENCH"
+echo "== doctor 4/5: Bench @ $SF_BENCH"
 blog=$(mktemp)
 SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" >"$blog" 2>&1
 bstatus=$?
@@ -45,4 +47,18 @@ if [ "$bstatus" -ne 0 ] || [ -z "$headline" ] ||
    grep -q '\[bench\].*failed' "$blog"; then
   echo "doctor: BENCH FAILED"; exit 1
 fi
-echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench)"
+echo "== doctor 5/5: perturb drift gate @ p30"
+if [ "${GRAFT_SKIP_PERTURB:-0}" = "1" ]; then
+  echo "doctor: perturb gate SKIPPED (GRAFT_SKIP_PERTURB=1)"
+else
+  plog=$(mktemp)
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch \
+    "runMain graft.ScaleSmoke 30 all perturb reuse once json=/tmp/graft_perturb_p30.json" \
+    >"$plog" 2>&1
+  pstatus=$?
+  grep -E '\[scale\] (corpus ready|walls written)' "$plog"
+  [ "$pstatus" -ne 0 ] && { echo "doctor: PERTURB SWEEP FAILED"; tail -5 "$plog"; exit 1; }
+  python3 scripts/perturb_check.py scripts/perturb_p30_baseline.json \
+    /tmp/graft_perturb_p30.json || { echo "doctor: PERTURB DRIFT"; exit 1; }
+fi
+echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench, perturb)"

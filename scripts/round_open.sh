@@ -30,7 +30,10 @@ if git diff --cached --quiet; then
   echo "[round-open] artifacts already committed — clean"
 else
   # round number = highest CORRECTNESS_r{N} present (the driver writes it last)
-  round=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+  # `|| true`: under set -euo pipefail an unexpanded glob makes `ls` fail
+  # inside the substitution and aborts the script AFTER git add (artifacts
+  # staged but uncommitted) — the ${round:-?} fallback must stay reachable
+  round=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1 || true)
   git commit -m "round ${round:-?}: driver artifact refresh (verdict/advice/correctness/bench)" -- "${present[@]}"
   echo "[round-open] committed driver artifact refresh for round ${round:-?}"
 fi

@@ -190,6 +190,7 @@ import org.apache.spark.sql.functions._
   * 9.7 s at 100×, near-linear.
   *
   * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb] [reuse]
+  *        [once] [json=<path>]
   * (`reuse` skips re-deriving an already-materialized rung corpus).
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
@@ -213,7 +214,17 @@ object ScaleSmoke {
     // derivation — everything in it is deterministic), so successive
     // query batches against one rung don't re-pay the 100× write
     val reuse = rest0.contains("reuse")
-    val rest = rest0.filterNot(t => t == "perturb" || t == "reuse")
+    // `once` token: single timed run per op, no warm pass — the sweep-gate
+    // mode (3x cheaper than warm+min-of-2; the recorded p30 baseline is
+    // measured the same way, so the drift check compares like with like)
+    val once = rest0.contains("once")
+    // `json=<path>` token: dump {op: wall_sec} after the sweep — the
+    // machine-readable row the perturb drift gate (doctor step 5 /
+    // scripts/perturb_check.py) diffs against scripts/perturb_p30_baseline.json
+    val jsonOut = rest0.collectFirst { case t if t.startsWith("json=") =>
+      t.stripPrefix("json=") }
+    val rest = rest0.filterNot(t =>
+      t == "perturb" || t == "reuse" || t == "once" || t.startsWith("json="))
     // `all` token: sweep the ENTIRE registry — the exhaustive audit pass
     // (sorted for a stable, resumable order)
     val names = if (rest == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
@@ -243,23 +254,45 @@ object ScaleSmoke {
     Tables.names.filterNot(Set("documents", "embeddings", "events"))
       .foreach { t =>
         val link = java.nio.file.Paths.get(s"$out/$t.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link,
-            java.nio.file.Paths.get(s"$src/$t.parquet"))
+        val target = java.nio.file.Paths.get(s"$src/$t.parquet")
+        // NOFOLLOW: a stale/broken link must read as present-but-wrong,
+        // not absent (Files.exists follows links, so a broken one both
+        // dodged re-pointing AND made createSymbolicLink throw); re-point
+        // whenever the recorded target differs from the current src so a
+        // changed SPARK_GRAFT_SF_DIR can't silently measure the old corpus
+        if (java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          if (java.nio.file.Files.isSymbolicLink(link) &&
+              java.nio.file.Files.readSymbolicLink(link) != target) {
+            java.nio.file.Files.delete(link)
+            java.nio.file.Files.createSymbolicLink(link, target)
+          }
+        } else java.nio.file.Files.createSymbolicLink(link, target)
       }
 
     println(s"[scale] corpus ready: ${factor}x at $out")
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { name =>
       spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
-      fn(spark, out).count() // warm (codegen, file listing)
-      val times = (1 to 2).map { _ =>
+      if (!once) fn(spark, out).count() // warm (codegen, file listing)
+      val times = (1 to (if (once) 1 else 2)).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val rows = fn(spark, out).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
+      walls(name) = times.map(_._1).min
       println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+    }
+    jsonOut.foreach { path =>
+      val body = walls.map { case (k, v) =>
+        "\"" + k + "\": " + f"$v%.3f" }.mkString(",\n  ")
+      val head = "{\n  \"_factor\": " + factor + ", \"_perturb\": " + perturb +
+        ", \"_once\": " + once + ",\n  "
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (head + body + "\n}\n").getBytes("UTF-8"))
+      println(s"[scale] walls written to $path")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{GraftTuning, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.{SimHash64, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -128,13 +128,13 @@ object DedupOps {
     * re-verified candidates against complete shingle sets; that probe join
     * cost |candidates|·|avg set| ≈ 50× more than this and changed no
     * detected pair on this corpus.) */
-  def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame =
+  def ddNgramJaccard(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap): DataFrame =
     ngramJaccardPairs(s, dir, dfCap).orderBy(col("id_a"), col("id_b"))
 
   /** [[ddNgramJaccard]] without the final report sort — downstream
     * consumers (components) destroy ordering immediately, and a persisted
     * global sort of the pair set is pure waste there. */
-  private[operators] def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+  private[operators] def ngramJaccardPairs(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     // discriminative-universe shingle set feeds 3 branches; cache once
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -198,7 +198,7 @@ object DedupOps {
     *
     * Scale: identical candidate shape to [[ddNgramJaccard]] (df-capped
     * buckets bound the pair work); the histogram is a model-sized agg. */
-  def ddJaccardHist(s: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+  def ddJaccardHist(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -291,7 +291,7 @@ object DedupOps {
     * ~sampleCap²/2 dots (constant), agreement join pair-frame-sized,
     * report 3 rows. */
   def ddSignalAgreement(s: SparkSession, dir: String,
-      sampleCap: Int = 1500): DataFrame = {
+      sampleCap: Int = GraftTuning.AgreementSampleCap): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idsAll = docs(s, dir).select(col("doc_id"))
       .join(Tables.load(s, dir, "embeddings")
@@ -355,18 +355,18 @@ object DedupOps {
   // certifies the sampled default at ANY corpus size — not only under the
   // cap where sampling is a no-op
   val ddSignalAgreementSql: String =
-    """WITH ids AS (
+    s"""WITH ids AS (
       |  SELECT d.doc_id FROM documents d
       |  JOIN embeddings e ON d.doc_id = e.vec_id
       |), tot AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ids
       |), sids AS (
       |  SELECT doc_id FROM ids CROSS JOIN tot
-      |  WHERE total <= 1500
+      |  WHERE total <= ${GraftTuning.AgreementSampleCap}
       |    OR CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-      |       < CAST(CEIL(1500.0 / total * 4294967296.0) AS BIGINT)
+      |       < CAST(CEIL(${GraftTuning.AgreementSampleCap}.0 / total * 4294967296.0) AS BIGINT)
       |), toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(CASE WHEN len(t) >= 3
@@ -429,7 +429,7 @@ object DedupOps {
     * Scale: identical shape to [[ddNgramJaccard]] — the df cap bounds
     * every shingle bucket, so candidate work is O(Σ df²) not O(n²); the
     * containment report adds only arithmetic on the pair frame. */
-  def ddContainment(s: SparkSession, dir: String, dfCap: Int = 50,
+  def ddContainment(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap,
       thr: Double = 0.5): DataFrame = {
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -488,7 +488,7 @@ object DedupOps {
     * |A| is computable row-locally (2²⁴ bits vs ~10⁴–10⁵ keys at gate
     * SFs ⇒ ≪1 expected false positive — the substringDupSketch
     * discipline; at corpus scale, size numBits to the universe). */
-  def containmentCorpusState(s: SparkSession, dir: String, dfCap: Int = 50)
+  def containmentCorpusState(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap)
       : (DataFrame, DataFrame, Array[Byte]) = {
     val sh = discriminativeShingles(docs(s, dir), dfCap).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -719,7 +719,7 @@ object DedupOps {
     * verified in ScalaTest against ddNgramJaccard instead. */
   def ddMinHashLsh(s: SparkSession, dir: String,
       numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.2,
-      dfCap: Int = 50): DataFrame = {
+      dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     val rows = numPerms / bands
     // same discriminative universe as ddNgramJaccard so re-verified jaccard
     // values agree with the exact operator
@@ -884,7 +884,7 @@ object DedupOps {
     * stays constant-cost while the production operator it certifies
     * (ddSimHashPairs) scales linearly. */
   def ddSimHashPairsCheck(s: SparkSession, dir: String, maxHam: Int = 6,
-      sampleCap: Int = 1500): DataFrame = {
+      sampleCap: Int = GraftTuning.AgreementSampleCap): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigAll = simHashSignatures(docs(s, dir))
     val total = sigAll.count()
@@ -1133,7 +1133,7 @@ object DedupOps {
     * recovers strings for the report rows only ([[graft.operators.
     * TextQueries]] boilerplate-census discipline). */
   def ddPairEvidence(s: SparkSession, dir: String, top: Int = 3,
-      dfCap: Int = 50): DataFrame = {
+      dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     val sh = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
@@ -1209,7 +1209,7 @@ object DedupOps {
     * linear in data; the eval side is typically tiny and arrives
     * pre-shrunk at the join. */
   def ddDecontaminate(s: SparkSession, dir: String,
-      minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+      minShared: Int = 3, dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     // the shingle subtree feeds BOTH join sides — persist it once, same as
     // ngramJaccardPairs, so the window df-count doesn't evaluate twice
     val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
@@ -1268,7 +1268,7 @@ object DedupOps {
     * probe is a map-side hash lookup — the train side is never shuffled
     * at all beyond the df-cap window; per-doc counts are map-combined. */
   def ddContamFraction(s: SparkSession, dir: String,
-      dfCap: Int = 50): DataFrame = {
+      dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalG = sh.filter(col("source") === "src0").select(col("hs")).distinct()
@@ -1341,7 +1341,7 @@ object DedupOps {
     * probes: the df-capped discriminative universe and the eval suite's
     * shingle set — corpus model state, rebuilt offline at batch cadence. */
   private[graft] def contamStatics(s: SparkSession, dir: String,
-      dfCap: Int = 50): (DataFrame, DataFrame) = {
+      dfCap: Int = GraftTuning.ShingleDfCap): (DataFrame, DataFrame) = {
     val sh = discriminativeShingles(docs(s, dir), dfCap, carry = Seq("source"))
     (sh.select(col("hs")).distinct(),
       sh.filter(col("source") === "src0").select(col("hs")).distinct())
@@ -1571,7 +1571,7 @@ object DedupOps {
     * bits from the recall-complete 6 until the probe-adjusted per-vector
     * candidate budget probes(bits) · nDistinct / 2^bits drops to
     * `budget`, bounding total candidate rows at ≤ budget·tables·n. */
-  private[graft] def annBitsFor(nDistinct: Long, budget: Double = 512.0): Int = {
+  private[graft] def annBitsFor(nDistinct: Long, budget: Double = GraftTuning.AnnCandidateBudget): Int = {
     var bits = 6
     while (bits < 24 &&
         probeOrbit(bits) * nDistinct.toDouble / (1L << bits) > budget)
@@ -1608,8 +1608,9 @@ object DedupOps {
     * (vec_id, ve, nrm) frame — shared with [[ddSemDedupAnn]]'s
     * distinct-representative path. `base` must be materialized by the
     * caller (it sits on three sides of the plan). */
-  private def annCandidatePairsFrom(base: DataFrame, threshold: Double,
-      bits: Int, tables: Int): DataFrame = {
+  private[graft] def annCandidatePairsFrom(base: DataFrame, threshold: Double,
+      bits: Int, tables: Int,
+      joinVerifyMax: Long = GraftTuning.VerifyJoinMaxCandidates): DataFrame = {
     val cands = annRawCandidates(base, bits, tables)
       .distinct()
       .localCheckpoint()
@@ -1621,11 +1622,13 @@ object DedupOps {
     // The candidate count is free here — the distinct() already shuffled
     // and the localCheckpoint materialized it — so pick the join form
     // below the measured crossover (join ≈ 1 s per 1M candidate rows of
-    // array shuffle vs the blocked path's flat ~4 s ⇒ crossover ~4M).
+    // array shuffle vs the blocked path's flat ~4 s ⇒ crossover ~4M;
+    // `joinVerifyMax` lifts the dial so probe tooling measures the trade
+    // without patching the operator — GraftTuning cites the fit).
     // Both paths share the numeric contract (sequential left-to-right
     // dot fold, caller norms, round(·,6) before the threshold filter) —
     // pinned equal pair-for-pair and value-for-value by the spec.
-    if (cands.count() <= 4000000L) verifyCandidatesJoin(base, cands, threshold)
+    if (cands.count() <= joinVerifyMax) verifyCandidatesJoin(base, cands, threshold)
     else verifyCandidatesBlocked(base, cands, threshold)
   }
 
@@ -2062,7 +2065,7 @@ object DedupOps {
     * must estimate exactly 1: identical shingle sets give identical mins
     * under every permutation (asserted in spec; no hash luck involved). */
   private[graft] def ddMinHashEstReport(s: SparkSession, dir: String,
-      numPerms: Int = 32, dfCap: Int = 50): DataFrame = {
+      numPerms: Int = 32, dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
     val sh = discriminativeShingles(docs(s, dir), dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until numPerms).map { i =>
@@ -2840,7 +2843,7 @@ object DedupOps {
   private[graft] def fingerprintIndex(withFp: DataFrame): DataFrame =
     withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("exact_id"))
 
-  def ddIncremental(s: SparkSession, dir: String, dfCap: Int = 50,
+  def ddIncremental(s: SparkSession, dir: String, dfCap: Int = GraftTuning.ShingleDfCap,
       threshold: Double = 0.2): DataFrame = {
     val flagged = docs(s, dir).withColumn("is_delta",
       substring(md5(col("doc_id").cast("string")), 1, 1) >= "d")

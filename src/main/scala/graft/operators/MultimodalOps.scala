@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{GraftTuning, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -318,7 +318,7 @@ object MultimodalOps {
     * election keys on min(doc_id), never on phash order), so width 64
     * stays correct; it just isn't oracle-replayable via POWER(2, slot). */
   private[graft] def mmDedupGroupsWidth(s: SparkSession, dir: String,
-      width: Int = 16, driverCodeCap: Long = 1L << 17): DataFrame = {
+      width: Int = 16, driverCodeCap: Long = GraftTuning.MmDriverCodeCap): DataFrame = {
     require(width >= 1 && width <= 64, s"phash width must be in [1,64]: $width")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{GraftTuning, Tables}
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1229,7 +1229,7 @@ object SimilarityOps {
   /** Default [[embKnnMutual]] block cap, interpolated into
     * [[embKnnMutualSql]] so the Scala default and the oracle cannot
     * silently drift (the oracle only certifies THIS cap). */
-  val DefaultKnnBlockCap: Int = 256
+  val DefaultKnnBlockCap: Int = GraftTuning.KnnBlockCap
 
   val embKnnMutualSql: String =
     s"""WITH v AS (

@@ -1388,4 +1388,81 @@ class CurationSamplingSpec extends AnyFunSuite {
     got.foreach { case (t, _, m, sd, lo, hi) =>
       assert(sd >= 0.0 && lo <= m + 1e-9 && m <= hi + 1e-9, s"type $t bounds") }
   }
+
+  // ----------------------------------- emb_intrinsic_dim bounded blk path
+  test("emb_intrinsic_dim above the block cap == plain-Scala blk-rule replay") {
+    // The r13 fix bounds per-label pair work by balanced sub-blocks, but
+    // every gate label fits ONE block (n <= 256), so the replay above only
+    // exercises the degenerate blk = 0 case. Build a corpus with one label
+    // PAST the cap (400 > 256 => 2 blocks) and one under it, and replay the
+    // exact rule — md5-rank balanced chunking, per-(label, blk) two-NN,
+    // DECIMAL MLE rollup — in plain Scala. This is the Scala-side twin of
+    // the oracle's blk CTE, so the bounded path's parity no longer rests on
+    // DuckDB alone.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idim_blk").toString
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 8
+    val rows = (0 until 450).map { i =>
+      val label = if (i < 400) 1 else 2
+      (i.toLong * 7 + 3, Array.fill(dim)(rnd.nextGaussian().toFloat), label)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val cap = graft.GraftTuning.KnnBlockCap
+    def md5hex(x: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (acc, i) = (0.0, 0)
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = rows.map { case (id, v, lab) =>
+      (lab, id, v.map(_.toDouble))
+    }.groupBy(_._1)
+    val want = byLabel.map { case (lab, g) =>
+      val n = g.length
+      val nblk = (n + cap - 1) / cap
+      // rank0 within label by (md5(vec_id), vec_id); blk = rank0*nblk div n
+      val ordered = g.sortBy { case (_, id, _) => (md5hex(id), id) }
+      val blocks = ordered.zipWithIndex
+        .groupBy { case (_, rank0) => rank0.toLong * nblk / n }
+        .values.map(_.map(_._1))
+      val twos = blocks.flatMap { blk =>
+        blk.flatMap { case (_, src, va) =>
+          val ds = blk.filter(_._2 != src)
+            .map { case (_, dst, vb) =>
+              (dot(va, va) + dot(vb, vb) - dot(va, vb) * 2, dst) }
+            .sortBy { case (d, dst) => (d, dst) }
+          if (ds.length < 2) None else Some((ds(0)._1, ds(1)._1))
+        }
+      }.toSeq
+      val used = twos.filter(_._1 > 0.0)
+      val slm = used.map { case (d1, dn) =>
+        BigDecimal(math.log(dn / d1) * 0.5)
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (lab, used.size.toLong, (twos.size - used.size).toLong,
+        r6(used.size.toDouble / slm))
+    }.toSet
+    val got = graft.operators.SimilarityOps.embIntrinsicDim(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+    // and the bounded estimate stays within estimator tolerance of the
+    // unbounded exact twin on the SAME corpus (TwoNN subsample consistency)
+    val exact = graft.operators.SimilarityOps.embIntrinsicDimExact(spark, tmp)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    got.foreach { case (lab, _, _, dh) =>
+      val ex = exact(lab)
+      assert(math.abs(dh - ex) / ex < 0.35,
+        s"label $lab bounded d_hat=$dh vs exact $ex — outside tolerance")
+    }
+  }
 }

@@ -76,7 +76,7 @@ object ScaleProbe {
     // operator would actually run it
     val nBlocked = timed("ann", "exact verify (blocked)")(
       DedupOps.verifyCandidatesBlocked(base, cands, 0.4).count())
-    if (nCand <= 4000000L) {
+    if (nCand <= graft.GraftTuning.VerifyJoinMaxCandidates) {
       val nJoin = timed("ann", "exact verify (two joins)")(
         DedupOps.verifyCandidatesJoin(base, cands, 0.4).count())
       println(s"[ann] verified pairs join=$nJoin blocked=$nBlocked" +
