@@ -28,6 +28,17 @@ object GraftTuning {
     * loss, no wall win — BASELINE.md). */
   val AnnCandidateBudget: Double = 512.0
 
+  /** Broadcast budget (in total Doubles = rows × dim) under which the ANN
+    * exact-verify joins the candidate frame against an EXPLICITLY
+    * broadcast vector table — both joins become map-side hash lookups and
+    * the candidate rows never shuffle with arrays attached. 16M doubles
+    * ≈ 128 MB serialized: a routine dimension-table broadcast on any
+    * production cluster, and it covers the p100 rung (200k × 64 = 12.8M).
+    * Set by the r14 crossover probe: at 118M candidates / 60k vectors the
+    * broadcast join verifies in 6.3 s vs 122.9 s for the shuffled join
+    * and 22.7 s for the blocked group verify (BASELINE.md r14). */
+  val BroadcastVerifyMaxDoubles: Long = 16L * 1024 * 1024
+
   /** Candidate-count crossover between the two exact-verify strategies in
     * the ANN pipeline: at or below this the two-join form wins (fully
     * codegen'd, no corpus replication); above it the blocked group verify

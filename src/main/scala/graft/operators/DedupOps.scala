@@ -1415,8 +1415,6 @@ object DedupOps {
       .select(col("vec_id"), col("label").as("group_rep"),
         (col("vec_id") === col("label")).as("is_canonical"))
       .orderBy(col("vec_id"))
-    edges.unpersist()
-    pairs.unpersist()
     out
   }
 
@@ -1508,11 +1506,21 @@ object DedupOps {
         sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
       .localCheckpoint()
     repOf.unpersist()
+    // localCheckpoint, NOT lazy persist: `edges` reads `pairs` on BOTH
+    // union branches in one job, and a lazy cache lets that first job
+    // compute the whole candidate+verify pipeline twice before any
+    // partition lands in the cache — a cost only COLD runs paid (warm
+    // reruns found the cache hot), which is why it hid from min-of-2
+    // rungs for three rounds: eager materialization cut the p30
+    // once-mode wall 93.3 -> 71.4 s in isolation (46.6 s combined with
+    // the one-pass verify restructure above) and left warm unchanged
+    // (BASELINE.md r14). The frame is verified-pair-sized (1.26M rows
+    // at p30), checkpoint-cheap.
     val pairs = annCandidatePairsFrom(repBase, threshold = 0.4,
         bits = bits, tables = 8)
-      .select(col("id_a"), col("id_b")).persist(lvl)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist(lvl)
+      .toDF("src", "dst").localCheckpoint()
     val labels = connectedComponents(edges)
     // rep → component label (rep IS its clone-group's min vec_id and CC
     // labels by min rep, so the label is the GLOBAL min vec_id of the
@@ -1528,8 +1536,6 @@ object DedupOps {
         (col("vec_id") === coalesce(col("label"), col("rep"))).as("is_canonical"))
       .orderBy(col("vec_id"))
       .localCheckpoint()
-    edges.unpersist()
-    pairs.unpersist()
     out
   }
 
@@ -1611,25 +1617,45 @@ object DedupOps {
   private[graft] def annCandidatePairsFrom(base: DataFrame, threshold: Double,
       bits: Int, tables: Int,
       joinVerifyMax: Long = GraftTuning.VerifyJoinMaxCandidates): DataFrame = {
-    val cands = annRawCandidates(base, bits, tables)
-      .distinct()
-      .localCheckpoint()
-    // Adaptive verify-strategy switch: the blocked group verify exists
-    // for candidate floods (118M rows at perturb-30×, where the join
-    // form's array-laden shuffle cost a measured 114 s), but it carries
-    // ~4 s of fixed overhead (2·blocks corpus replication + a typed
-    // non-codegen flatMapSortedGroups) that dominates at toy scale.
-    // The candidate count is free here — the distinct() already shuffled
-    // and the localCheckpoint materialized it — so pick the join form
-    // below the measured crossover (join ≈ 1 s per 1M candidate rows of
-    // array shuffle vs the blocked path's flat ~4 s ⇒ crossover ~4M;
-    // `joinVerifyMax` lifts the dial so probe tooling measures the trade
-    // without patching the operator — GraftTuning cites the fit).
-    // Both paths share the numeric contract (sequential left-to-right
-    // dot fold, caller norms, round(·,6) before the threshold filter) —
+    val candsLazy = annRawCandidates(base, bits, tables).distinct()
+    // Adaptive verify-strategy switch, decided BEFORE the candidate frame
+    // materializes. FIRST tier (r14): if the whole vector table fits a
+    // broadcast — decided from base alone, which the caller materialized —
+    // both verify joins become map-side hash lookups, the candidate rows
+    // never shuffle with arrays attached, and verify consumes the
+    // candidate stream EXACTLY ONCE, so the candidates flow raw→distinct→
+    // verify in one continuous plan with no checkpoint. Materializing
+    // them anyway was the r14 annop probe's second finding: the 498M-row
+    // distinct().localCheckpoint() at perturb-100× cost ~8 GB of
+    // checkpoint write + a spill-pressured re-read that the one-pass
+    // verify never needed — candidates+verify 182 s in-op against ~54 s
+    // for the same stages isolated; removing it (p100 once-wall
+    // 354 → 166 s, p30 93 → 47 s with the eager-pairs fix below) closed
+    // the gap. The r14 probe also showed the r13
+    // "4M candidate crossover" was really measuring broadcastability:
+    // the p10 join win (1.8 s at 33M candidates) was Spark AUTO-
+    // broadcasting the ≤10MB base, and the p30 cliff (122.9 s at 118M)
+    // was the same join once the 30MB base fell back to shuffles —
+    // explicit hint, measured: 6.3 s vs blocked's 22.7 s at p30, 26.7 s
+    // vs 119.0 s at p100 (BASELINE.md r14 "verify crossover").
+    //
+    // Vector tables past the broadcast budget (high-dim or multi-million
+    // distinct vectors) fall to the r13 pair: materialize + count the
+    // candidates once, then the measured candidate-count crossover picks
+    // shuffled-join (≤ joinVerifyMax) or the blocked group verify. All
+    // paths share the numeric contract (sequential left-to-right dot
+    // fold, caller norms, round(·,6) before the threshold filter) —
     // pinned equal pair-for-pair and value-for-value by the spec.
-    if (cands.count() <= joinVerifyMax) verifyCandidatesJoin(base, cands, threshold)
-    else verifyCandidatesBlocked(base, cands, threshold)
+    val dim = base.select(size(col("ve"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (base.count() * dim <= GraftTuning.BroadcastVerifyMaxDoubles)
+      verifyCandidatesJoin(base, candsLazy, threshold, hintBroadcast = true)
+    else {
+      val cands = candsLazy.localCheckpoint()
+      if (cands.count() <= joinVerifyMax)
+        verifyCandidatesJoin(base, cands, threshold)
+      else verifyCandidatesBlocked(base, cands, threshold)
+    }
   }
 
   /** Exact cosine verification by attaching vectors to candidate rows
@@ -1641,16 +1667,22 @@ object DedupOps {
     * measured 114 s cliff at 118M rows that [[verifyCandidatesBlocked]]
     * retires above the crossover. */
   private[graft] def verifyCandidatesJoin(base: DataFrame, cands: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, hintBroadcast: Boolean = false): DataFrame = {
+    // with the hint, BOTH joins are broadcast-hash: the candidate frame
+    // streams through two map-side lookups and the array-laden shuffle
+    // (the 114-123 s cliff) never exists — the r14 probe measured this
+    // at 118M candidates: 6.3 s vs 122.9 s shuffled-join / 22.7 s blocked
+    def side(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
     cands
-      .join(base.select(col("vec_id").as("id_a"), col("ve").as("va"),
-        col("nrm").as("na")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("ve").as("vb"),
-        col("nrm").as("nb")), Seq("id_b"))
+      .join(side(base.select(col("vec_id").as("id_a"), col("ve").as("va"),
+        col("nrm").as("na"))), Seq("id_a"))
+      .join(side(base.select(col("vec_id").as("id_b"), col("ve").as("vb"),
+        col("nrm").as("nb"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VF.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos"))
       .filter(col("cos") >= threshold)
+  }
 
   /** Exact cosine verification of a candidate pair frame WITHOUT
     * attaching vectors to candidate rows. The r12 perturb-30× probe

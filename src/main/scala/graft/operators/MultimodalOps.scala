@@ -186,14 +186,25 @@ object MultimodalOps {
     * pigeonhole completeness) is the real thing. Emits
     * (doc_id, phash, n_near) where n_near counts partners at Hamming ≤ 1.
     *
-    * Candidate generation: the 16-bit code splits into two 8-bit blocks;
-    * Hamming ≤ 1 leaves at least one block identical (pigeonhole), so the
-    * union of the two block-keyed self-joins is COMPLETE — the
-    * [[graft.operators.DedupOps.ddSimHashPairs]] recipe at media grain.
+    * Partner counting runs at the CODE level, never the doc level (the
+    * family discipline [[mmDedupGroups]] already uses): a doc with code c
+    * has exactly (cnt(c) − 1) + Σ_{j<16} cnt(c ^ 2^j) Hamming-≤1
+    * partners, so the whole computation is a ≤2¹⁶-row code-count
+    * aggregation, a 16-way probe self-join ON THAT CODE TABLE, and one
+    * broadcast join back to docs. The r13 shape — two 8-bit pigeonhole
+    * blocks and a doc-grain candidate self-join — was COMPLETE but
+    * carried Σ_blk n_blk² intermediate rows: at perturb-100× (500k docs
+    * into 2×256 buckets) that is ~2e9 candidate rows before the Hamming
+    * filter, and the r14 sweep OOMed the JVM on it (exit 52). The code
+    * contraction computes the identical counts with intermediate state
+    * bounded by the code universe at ANY corpus size: p30 38.2 → 9.6 s,
+    * p100 OOM → 12.5 s (BASELINE.md r14).
     *
-    * Scale: the signature is one map-side pass + a doc-keyed 16-row
-    * aggregation; candidates shuffle on (block, table) with bucket sizes
-    * bounded by code locality, never all-pairs. */
+    * At widths where the code universe itself outgrows memory (a 64-bit
+    * production pHash), this contraction stops applying and the blocked
+    * pigeonhole join ([[graft.operators.DedupOps.ddSimHashPairs]], 64-bit
+    * signatures, Hamming banding) is the shape to reach for — the 16-bit
+    * stub keeps the code-universe discipline honest. */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val codes = Tables.load(s, dir, "documents")
@@ -209,25 +220,18 @@ object MultimodalOps {
         pow(lit(2.0), col("slot").cast("double")).cast("long"))
         .otherwise(lit(0L))).as("phash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = codes.select(col("doc_id"), col("phash"),
-      col("phash").bitwiseAND(lit(255L)).as("b0"),
-      shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("b1"))
-    def side(t: Int, blk: String, idAs: String, phAs: String) =
-      blocked.select(col(blk).as("blk"), lit(t).as("t"),
-        col("doc_id").as(idAs), col("phash").as(phAs))
-    val cand = (side(0, "b0", "id_a", "pa") unionByName side(1, "b1", "id_a", "pa"))
-      .join(side(0, "b0", "id_b", "pb") unionByName side(1, "b1", "id_b", "pb"),
-        Seq("blk", "t"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
-      .distinct()
-    val near = cand
-      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= 1)
-      .groupBy(col("id_a").as("doc_id"))
-      .agg(count(lit(1)).as("n_near"))
-    val out = codes.join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("phash"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+    val cnts = codes.groupBy(col("phash")).agg(count(lit(1)).as("cnt"))
+    val flips = cnts
+      .select(col("phash"), explode(array((0 until 16).map(b =>
+        col("phash").bitwiseXOR(lit(1L << b))): _*)).as("nb"))
+      .join(cnts.select(col("phash").as("nb"), col("cnt").as("nbcnt")),
+        Seq("nb"))
+      .groupBy(col("phash")).agg(sum(col("nbcnt")).as("flip_cnt"))
+    val codeNear = cnts.join(flips, Seq("phash"), "left")
+      .select(col("phash"),
+        (col("cnt") - 1 + coalesce(col("flip_cnt"), lit(0L))).as("n_near"))
+    val out = codes.join(broadcast(codeNear), Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_near"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
     codes.unpersist()
@@ -250,27 +254,21 @@ object MultimodalOps {
       |    CAST(SUM(CASE WHEN ss * 16 > tot
       |      THEN CAST(POWER(2, slot) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
       |  FROM tt GROUP BY doc_id
-      |), blocked AS (
-      |  SELECT doc_id, phash, phash & 255 AS b0, (phash >> 8) & 255 AS b1
-      |  FROM codes
-      |), sides AS (
-      |  SELECT b0 AS blk, 0 AS t, doc_id, phash FROM blocked
-      |  UNION ALL
-      |  SELECT b1 AS blk, 1 AS t, doc_id, phash FROM blocked
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    a.phash AS pa, b.phash AS pb
-      |  FROM sides a JOIN sides b ON a.blk = b.blk AND a.t = b.t
-      |  WHERE a.doc_id <> b.doc_id
-      |), near AS (
-      |  SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
-      |  FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+      |), cnts AS (
+      |  SELECT phash, CAST(COUNT(*) AS BIGINT) AS cnt FROM codes GROUP BY 1
+      |), flips AS (
+      |  SELECT p.phash, CAST(SUM(n.cnt) AS BIGINT) AS flip_cnt
+      |  FROM (SELECT phash, xor(phash, CAST(POWER(2, j) AS BIGINT)) AS nb
+      |        FROM cnts CROSS JOIN generate_series(0, 15) AS t(j)) p
+      |  JOIN cnts n ON n.phash = p.nb
       |  GROUP BY 1
       |)
-      |SELECT c.doc_id, c.phash,
-      |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
-      |FROM codes c LEFT JOIN near n ON c.doc_id = n.doc_id
-      |ORDER BY c.doc_id""".stripMargin
+      |SELECT co.doc_id, co.phash,
+      |  CAST(cn.cnt - 1 + COALESCE(f.flip_cnt, 0) AS BIGINT) AS n_near
+      |FROM codes co
+      |JOIN cnts cn ON co.phash = cn.phash
+      |LEFT JOIN flips f ON co.phash = f.phash
+      |ORDER BY co.doc_id""".stripMargin
 
   // --------------------------------------------- media near-dup groups
   /** Media near-dup GROUPS: connected components over the [[mmPhash]]
@@ -302,7 +300,13 @@ object MultimodalOps {
     * pointer-jumping loop, and the code→component/rep joins drop their
     * broadcast hints (a >cap code table must shuffle). Both paths are the
     * same Ham≤1 relation; a spec replays the forced-distributed path
-    * against the driver default and asserts row equality. */
+    * against the driver default and asserts row equality, and the r14
+    * rung MEASURED it (ScaleProbe `mm`, width 32, perturb corpora):
+    * forced-distributed 7.1 / 18.1 / 17.2 s at p10/p30/p100 (50k/150k/
+    * 500k docs) vs driver-auto 6.4 / 7.5 / 10.6 s — the distributed
+    * twin's wall is FLAT across the decade because the pointer-jumping
+    * loop runs on the code graph, which is code-universe-bounded, never
+    * corpus-sized; identical output row counts at every rung. */
   def mmDedupGroups(s: SparkSession, dir: String): DataFrame =
     mmDedupGroupsWidth(s, dir)
 

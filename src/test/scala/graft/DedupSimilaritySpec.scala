@@ -173,9 +173,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("adaptive verify: join and blocked strategies agree pair-for-pair, value-for-value") {
-    // the candidate-count switch in annCandidatePairsFrom picks the join
-    // verify at gate scale and the blocked group verify above the ~4M
-    // crossover; numeric interchangeability is the switch's whole
+    // the switch in annCandidatePairsFrom picks the broadcast join while
+    // the vector table fits the broadcast budget, the shuffled join below
+    // the candidate crossover, the blocked group verify above it;
+    // numeric interchangeability is the switch's whole
     // contract, so pin BOTH private paths against each other on the same
     // base + candidate frames (all-pairs, so verified-pair coverage is
     // total, including pairs straddling every (lo, hi) block combination)
@@ -193,11 +194,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def byPair(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val viaJoin = byPair(DedupOps.verifyCandidatesJoin(base, cands, 0.4))
+    val viaBcast = byPair(
+      DedupOps.verifyCandidatesJoin(base, cands, 0.4, hintBroadcast = true))
     val viaBlocked = byPair(DedupOps.verifyCandidatesBlocked(base, cands, 0.4))
     assert(viaJoin.nonEmpty, "all-pairs at cos >= 0.4 should be non-empty")
     assert(viaJoin == viaBlocked,
       s"missing=${(viaJoin.keySet -- viaBlocked.keySet).take(3)} " +
         s"spurious=${(viaBlocked.keySet -- viaJoin.keySet).take(3)}")
+    // the r14 broadcast tier is the same join with a hint — the hint may
+    // change the physical plan, never a value
+    assert(viaBcast == viaJoin, "broadcast hint changed verify values")
   }
 
   test("signal-agreement sampler: class proportions within the binomial envelope") {

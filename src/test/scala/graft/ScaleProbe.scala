@@ -27,14 +27,24 @@ import org.apache.spark.sql.functions._
   *  - `pq [dir ...]` — full PQ recall report (floor > 1 disables the
   *    violation filter) on the given dirs, default the three testdata
   *    SFs; the measurement behind sim_pq_recall's design notes and the
-  *    r13 auto-overfetch rule. */
+  *    r13 auto-overfetch rule.
+  *  - `mm <dir> [width] [capForced]` — mm_dedup_groups driver union-find
+  *    vs forced-distributed CC on the same corpus (the r14 rung).
+  *  - `annop <dir>` — phase-level wall of the FULL dd_semdedup_ann
+  *    (contraction / candidates+verify / CC / expansion), plus the
+  *    shipped operator end-to-end with a row-count drift assert.
+  *
+  * `ann ... both` times the two-join verify even past the crossover —
+  * the honest way to measure WHERE the curves cross. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("ann") => ann(args.drop(1))
     case Some("ivf") => ivf(args.drop(1))
     case Some("pq")  => pq(args.drop(1))
+    case Some("mm")  => mm(args.drop(1))
+    case Some("annop") => annop(args.drop(1))
     case other => sys.error(
-      s"usage: ScaleProbe <ann|ivf|pq> [args] — got $other")
+      s"usage: ScaleProbe <ann|ivf|pq|mm> [args] — got $other")
   }
 
   private def timed[T](tag: String, label: String)(f: => T): T = {
@@ -46,7 +56,8 @@ object ScaleProbe {
 
   private def ann(args: Seq[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale_p30")
-    val budget = args.drop(1).headOption.map(_.toDouble).getOrElse(512.0)
+    val budget = args.drop(1).find(_ != "both").map(_.toDouble)
+      .getOrElse(graft.GraftTuning.AnnCandidateBudget)
     val spark = GraftSession.local()
     import graft.functions.{VectorFunctions => VF}
 
@@ -74,14 +85,79 @@ object ScaleProbe {
     // mirror the operator's adaptive switch: above the crossover the join
     // verify IS the measured 114 s cliff — time it only where the
     // operator would actually run it
+    val nBcast = timed("ann", "exact verify (bcast join)")(
+      DedupOps.verifyCandidatesJoin(base, cands, 0.4, hintBroadcast = true)
+        .count())
     val nBlocked = timed("ann", "exact verify (blocked)")(
       DedupOps.verifyCandidatesBlocked(base, cands, 0.4).count())
-    if (nCand <= graft.GraftTuning.VerifyJoinMaxCandidates) {
+    if (nBcast != nBlocked)
+      println(s"[ann] ** STRATEGY DISAGREEMENT ** bcast=$nBcast blocked=$nBlocked")
+    // `both` forces the join-form timing even past the crossover — the
+    // r14 crossover measurement needs both curves on both sides of 4M
+    if (args.contains("both") ||
+        nCand <= graft.GraftTuning.VerifyJoinMaxCandidates) {
       val nJoin = timed("ann", "exact verify (two joins)")(
         DedupOps.verifyCandidatesJoin(base, cands, 0.4).count())
       println(s"[ann] verified pairs join=$nJoin blocked=$nBlocked" +
         (if (nJoin != nBlocked) "  ** STRATEGY DISAGREEMENT **" else ""))
     } else println(s"[ann] verified pairs blocked=$nBlocked")
+    spark.stop()
+  }
+
+  /** Phase-level timing of the FULL dd_semdedup_ann operator (the `ann`
+    * mode stops at verified pairs; this mirrors DedupOps.ddSemDedupAnn's
+    * body phase for phase — contraction, rep mapping, candidate+verify,
+    * edge build, CC, final expansion — to locate wall the stage probe
+    * can't see). Mirrors, not reuses, the op body (it has no internal
+    * seams); the final count is asserted equal to the shipped operator's
+    * row count so the mirror cannot drift silently. */
+  private def annop(args: Seq[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_p30")
+    val spark = GraftSession.local()
+    import graft.functions.{VectorFunctions => VF}
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__ok", DedupOps.finiteNormGuard(col("embedding")))
+    val repOf = emb.filter(col("__ok"))
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+      .persist(lvl)
+    val nDistinct = timed("annop", "contraction (groupBy emb)")(repOf.count())
+    val vecToRep = timed("annop", "vecToRep (join on emb)")(
+      emb.join(repOf, Seq("embedding"), "left")
+        .select(col("vec_id"),
+          coalesce(when(col("__ok"), col("rep")), col("vec_id")).as("rep"))
+        .localCheckpoint())
+    val bits = DedupOps.annBitsFor(nDistinct)
+    val repBase = timed("annop", "repBase checkpoint")(repOf
+      .select(col("rep").as("vec_id"), VF.asDouble(col("embedding")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
+      .localCheckpoint())
+    repOf.unpersist()
+    val pairs = timed("annop", "candidates+verify")(
+      DedupOps.annCandidatePairsFrom(repBase, threshold = 0.4,
+          bits = bits, tables = 8)
+        .select(col("id_a"), col("id_b")).localCheckpoint())
+    println(s"[annop] nDistinct=$nDistinct bits=$bits pairs=${pairs.count()}")
+    val edges = timed("annop", "edges checkpoint")(
+      pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst").localCheckpoint())
+    val labels = timed("annop", "connected components")(
+      DedupOps.connectedComponents(edges).localCheckpoint())
+    val repLabel = repBase.select(col("vec_id").as("rep"))
+      .join(labels.select(col("doc_id").as("rep"), col("label")),
+        Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("label"))
+    val n = timed("annop", "final expansion join")(
+      vecToRep.join(repLabel, Seq("rep"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("rep")).as("group_rep"))
+        .orderBy(col("vec_id")).localCheckpoint().count())
+    val opN = timed("annop", "shipped operator, end-to-end")(
+      DedupOps.ddSemDedupAnn(spark, dir).count())
+    println(s"[annop] mirror rows=$n op rows=$opN" +
+      (if (n != opN) "  ** MIRROR DRIFT **" else ""))
     spark.stop()
   }
 
@@ -123,6 +199,31 @@ object ScaleProbe {
             (col("qnrm") * col("nrm"))).as("cos_raw"))
         .count())
     println(s"[ivf] scored rows = $scored")
+    spark.stop()
+  }
+
+  /** mm_dedup_groups CC-strategy timing: the driver union-find vs the
+    * forced-distributed pointer-jumping twin on the SAME corpus/width —
+    * the one scale-critical code path that had no wall number (VERDICT
+    * r13 #4). `mm <dir> [width] [capForced]`: runs the width-`width`
+    * phash grouping once with the default driver cap and once with cap
+    * `capForced` (default 0 ⇒ every run distributed), printing distinct
+    * codes, wall, and output rows for each. */
+  private def mm(args: Seq[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_p30")
+    val width = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+    val capForced = args.drop(2).headOption.map(_.toLong).getOrElse(0L)
+    val spark = GraftSession.local()
+    import graft.operators.MultimodalOps
+    val n = Tables.load(spark, dir, "documents").count()
+    println(s"[mm] corpus $dir docs=$n width=$width")
+    val auto = timed("mm", s"auto cap=${graft.GraftTuning.MmDriverCodeCap}")(
+      MultimodalOps.mmDedupGroupsWidth(spark, dir, width).count())
+    val forced = timed("mm", s"forced-distributed cap=$capForced")(
+      MultimodalOps.mmDedupGroupsWidth(spark, dir, width,
+        driverCodeCap = capForced).count())
+    println(s"[mm] rows auto=$auto forced=$forced" +
+      (if (auto != forced) "  ** STRATEGY DISAGREEMENT **" else ""))
     spark.stop()
   }
 
