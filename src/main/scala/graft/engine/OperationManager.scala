@@ -79,8 +79,18 @@ final class OperationManager(spark: SparkSession) {
     get(handle).map(_.status).getOrElse(OpStatus.Error)
 
   def fetch(handle: OperationHandle, token: Long): FetchResult =
-    get(handle).flatMap(_.store) match {
-      case Some(store) => store.fetch(token)
+    get(handle) match {
+      case Some(info) => info.store match {
+        case Some(store) => store.fetch(token)
+        // terminal op that never built a store (canceled/errored before
+        // the body reached store creation): a NOT_READY here would spin
+        // a well-behaved fetch loop forever — the r14 concurrency soak
+        // caught exactly that race (cancel landing between submit and
+        // store init). Terminal ⇒ EOS, same as a store that closed empty.
+        case None if info.status == OpStatus.Canceled ||
+          info.status == OpStatus.Error => FetchResult("EOS", Nil, Nil, None)
+        case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
+      }
       case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
     }
 

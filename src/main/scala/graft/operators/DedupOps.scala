@@ -1415,6 +1415,8 @@ object DedupOps {
       .select(col("vec_id"), col("label").as("group_rep"),
         (col("vec_id") === col("label")).as("is_canonical"))
       .orderBy(col("vec_id"))
+    edges.unpersist()
+    pairs.unpersist()
     out
   }
 
