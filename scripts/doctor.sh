@@ -41,7 +41,10 @@ echo "== doctor 4/5: Bench @ $SF_BENCH"
 blog=$(mktemp)
 SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" >"$blog" 2>&1
 bstatus=$?
-headline=$(grep -E '^\[info\] \{"metric"' "$blog" | sed 's/^\[info\] //' | tail -1)
+# the bench line leads with "queries" and puts metric/total at the END
+# (Bench.scala's driver-window discipline) and carries an [info] prefix
+# only when sbt logs through a pty — match the metric key anywhere
+headline=$(grep -E '"metric":"total"' "$blog" | sed 's/^\[info\] //' | tail -1)
 echo "$headline"
 if [ "$bstatus" -ne 0 ] || [ -z "$headline" ] ||
    grep -q '\[bench\].*failed' "$blog"; then
