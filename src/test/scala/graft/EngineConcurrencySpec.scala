@@ -132,4 +132,22 @@ class EngineConcurrencySpec extends AnyFunSuite {
       drain(h) // EOS reachable on a canceled stream store
     }
   }
+
+  test("fetch on an op canceled before store creation answers EOS, not NOT_READY forever") {
+    // deterministic form of the race the soak caught probabilistically:
+    // the body parks BEFORE creating its store, cancel lands, and a
+    // well-behaved fetch loop must terminate (pre-fix: NOT_READY forever)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val h = session.ops.submit("soak: storeless cancel") { _ =>
+      gate.await() // park with store = None
+    }
+    // op is Pending/Running with no store: fetch must hold the line open
+    assert(session.ops.fetch(h, 0L).resultType == "NOT_READY")
+    session.ops.cancel(h)
+    gate.countDown()
+    assert(session.ops.status(h) == OpStatus.Canceled)
+    val r = session.ops.fetch(h, 0L)
+    assert(r.resultType == "EOS" && r.rows.isEmpty,
+      s"terminal storeless op answered ${r.resultType}")
+  }
 }
