@@ -50,7 +50,7 @@ if [ "$bstatus" -ne 0 ] || [ -z "$headline" ] ||
    grep -q '\[bench\].*failed' "$blog"; then
   echo "doctor: BENCH FAILED"; exit 1
 fi
-echo "== doctor 5/5: perturb drift gate @ p30"
+echo "== doctor 5/6: perturb drift gate @ p30"
 if [ "${GRAFT_SKIP_PERTURB:-0}" = "1" ]; then
   echo "doctor: perturb gate SKIPPED (GRAFT_SKIP_PERTURB=1)"
 else
@@ -59,9 +59,34 @@ else
     "runMain graft.ScaleSmoke 30 all perturb reuse once json=/tmp/graft_perturb_p30.json" \
     >"$plog" 2>&1
   pstatus=$?
-  grep -E '\[scale\] (corpus ready|walls written)' "$plog"
+  grep -E '\[scale\] (corpus ready|reusing|walls written)' "$plog"
   [ "$pstatus" -ne 0 ] && { echo "doctor: PERTURB SWEEP FAILED"; tail -5 "$plog"; exit 1; }
   python3 scripts/perturb_check.py scripts/perturb_p30_baseline.json \
     /tmp/graft_perturb_p30.json || { echo "doctor: PERTURB DRIFT"; exit 1; }
 fi
-echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench, perturb)"
+
+echo "== doctor 6/6: skew drift gate @ p30-skew"
+if [ "${GRAFT_SKIP_PERTURB:-0}" = "1" ]; then
+  echo "doctor: skew gate SKIPPED (GRAFT_SKIP_PERTURB=1)"
+else
+  slog=$(mktemp)
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch \
+    "runMain graft.ScaleSmoke 30 all perturb skew reuse once json=/tmp/graft_perturb_p30s.json" \
+    >"$slog" 2>&1
+  sstatus=$?
+  grep -E '\[scale\] (corpus ready|reusing|walls written)' "$slog"
+  [ "$sstatus" -ne 0 ] && { echo "doctor: SKEW SWEEP FAILED"; tail -5 "$slog"; exit 1; }
+  python3 scripts/perturb_check.py scripts/perturb_p30_skew_baseline.json \
+    /tmp/graft_perturb_p30s.json || { echo "doctor: SKEW DRIFT"; exit 1; }
+fi
+
+# opt-in: streaming-state drift gate (slow; mirrors GRAFT_SOAK's gating)
+if [ "${GRAFT_SOAK:-0}" = "1" ]; then
+  echo "== doctor 7 (opt-in): streaming soak drift gate"
+  GRAFT_SOAK=1 GRAFT_SOAK_JSON=/tmp/graft_soak.json sbt -batch \
+    'testOnly graft.StreamingSoakSpec' >/dev/null 2>&1 \
+    || { echo "doctor: STREAMING SOAK FAILED"; exit 1; }
+  python3 scripts/soak_check.py scripts/soak_baseline.json /tmp/graft_soak.json \
+    || { echo "doctor: STREAMING SOAK DRIFT"; exit 1; }
+fi
+echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench, perturb, skew)"

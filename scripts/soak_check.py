@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Streaming-soak drift gate (doctor opt-in step, GRAFT_SOAK=1): compare a
+fresh StreamingSoakSpec run (GRAFT_SOAK_JSON=/tmp/graft_soak.json) against
+the recorded baseline (scripts/soak_baseline.json).
+
+Bounds are deliberately GENEROUS (judge-specified): state_peak <= 2x the
+recorded peak, wall_tail <= max(1.5x recorded, recorded + 1000 ms). The
+leak class this catches is categorical, not marginal — dropping a
+withWatermark sends the windowed agg's state from ~80 rows to the full
+cumulative window universe (~3.6k), 45x past any noise band — while VM
+noise on a 60-batch median stays well inside 1.5x. Also flags paths
+present in one file but not the other.
+"""
+import json, sys
+
+def main():
+    base_path = sys.argv[1] if len(sys.argv) > 1 else "scripts/soak_baseline.json"
+    run_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_soak.json"
+    with open(base_path) as f:
+        base = json.load(f)
+    with open(run_path) as f:
+        run = json.load(f)
+    fails = []
+    for tag in sorted(set(base) - set(run)):
+        fails.append(f"missing from run (deleted path? remove baseline row): {tag}")
+    for tag in sorted(set(run) - set(base)):
+        fails.append(f"no recorded baseline row (new path? record one): {tag}")
+    for tag in sorted(set(base) & set(run)):
+        b, r = base[tag], run[tag]
+        if r["state_peak"] > 2 * b["state_peak"]:
+            fails.append(f"STATE LEAK {tag}: peak {r['state_peak']} vs "
+                         f"recorded {b['state_peak']} (limit {2*b['state_peak']})")
+        wall_limit = max(1.5 * b["wall_tail_ms"], b["wall_tail_ms"] + 1000)
+        if r["wall_tail_ms"] > wall_limit:
+            fails.append(f"WALL DRIFT {tag}: tail {r['wall_tail_ms']}ms vs "
+                         f"recorded {b['wall_tail_ms']}ms (limit {wall_limit:.0f}ms)")
+        print(f"   {tag}: state_peak {r['state_peak']}/{b['state_peak']} "
+              f"wall_tail {r['wall_tail_ms']}/{b['wall_tail_ms']}ms "
+              f"batches {r['batches']}")
+    print(f"== soak gate: {len(set(base) & set(run))} paths compared, "
+          f"{len(fails)} flags")
+    for f in fails:
+        print("FLAG " + f)
+    sys.exit(1 if fails else 0)
+
+main()

@@ -189,9 +189,12 @@ import org.apache.spark.sql.functions._
   * (max(16, ⌈n/512⌉), oracle-mirrored) brought it to 2.9 s at 30× /
   * 9.7 s at 100×, near-linear.
   *
-  * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb] [reuse]
-  *        [once] [json=<path>]
-  * (`reuse` skips re-deriving an already-materialized rung corpus).
+  * Usage: runMain graft.ScaleSmoke [factor] [query ...] [perturb] [skew]
+  *        [degenerate] [dim=N] [reuse] [once] [json=<path>]
+  * (`reuse` skips re-deriving an already-materialized rung corpus when its
+  * recorded derivation signature matches — src dir, factor, and every axis
+  * token are part of the signature, so a changed SPARK_GRAFT_SF_DIR or mode
+  * re-derives instead of silently measuring a stale corpus).
   * Not part of the driver gate — a builder-side measurement tool. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -209,6 +212,31 @@ object ScaleSmoke {
     // bits ≈ log₂(n_distinct/B) rule deserves, vs the byte-clone corpus
     // where n_distinct is constant by construction.
     val perturb = rest0.contains("perturb")
+    // `skew` token: the third adversarial axis — clone and perturb both grow
+    // corpora near-uniformly, so no rung had ever planted a hot key. skew
+    // zipf-reassigns AFTER derivation: one source holds ~50% of docs (the
+    // samp_bysource/mix_* group axis), one user emits ~30% of events (every
+    // evt_* user-keyed window), exactly ShingleDfCap docs share one planted
+    // trigram (the largest shingle bucket the df cap admits), and ~50% of
+    // vectors collapse into one dominant cluster (pairwise cos ≈ 0.8 — one
+    // giant k-means cell WITHOUT pushing the pairs above near-dup
+    // thresholds). All reassignment is deterministic (xxhash64 on the row
+    // key), and the derived parquet is what both Spark and the drift gate
+    // read, so no oracle-portability concern arises at derivation time.
+    val skew = rest0.contains("skew")
+    // `degenerate` token: append ~20 pathological document rows (empty,
+    // single-token, all-whitespace, 4-byte unicode, one ~8 MB doc, one
+    // 1 MB single token, punctuation-only) — the hostile-content sweep.
+    // Row count is constant regardless of factor; doc_ids are negative so
+    // they can never collide with clone offsets.
+    val degenerate = rest0.contains("degenerate")
+    // `dim=N` token: tile the 64-dim embeddings to N dims (N must be a
+    // multiple of 64; tiling preserves every pairwise cosine exactly, so
+    // near-dup structure carries over) — the high-dim rung that exercises
+    // the BroadcastVerifyMaxDoubles tier boundary with real geometry.
+    val dim = rest0.collectFirst { case t if t.startsWith("dim=") =>
+      t.stripPrefix("dim=").toInt }.getOrElse(64)
+    require(dim >= 64 && dim % 64 == 0, s"dim must be a multiple of 64, got $dim")
     // `reuse` token: skip the corpus derivation when the output dir is
     // already materialized (same factor + same mode ⇒ byte-identical
     // derivation — everything in it is deterministic), so successive
@@ -224,7 +252,8 @@ object ScaleSmoke {
     val jsonOut = rest0.collectFirst { case t if t.startsWith("json=") =>
       t.stripPrefix("json=") }
     val rest = rest0.filterNot(t =>
-      t == "perturb" || t == "reuse" || t == "once" || t.startsWith("json="))
+      t == "perturb" || t == "reuse" || t == "once" || t == "skew" ||
+        t == "degenerate" || t.startsWith("dim=") || t.startsWith("json="))
     // `all` token: sweep the ENTIRE registry — the exhaustive audit pass
     // (sorted for a stable, resumable order)
     val names = if (rest == Seq("all")) SparkEntry.queries.keys.toSeq.sorted
@@ -240,14 +269,27 @@ object ScaleSmoke {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = GraftSession.local()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out =
-      if (perturb) s"/tmp/graft_scale_p$factor" else s"/tmp/graft_scale_x$factor"
+    val out = s"/tmp/graft_scale_${if (perturb) "p" else "x"}$factor" +
+      (if (skew) "s" else "") + (if (degenerate) "g" else "") +
+      (if (dim != 64) s"_d$dim" else "")
 
     val derived = Seq("documents", "embeddings", "events")
       .forall(t => java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$out/$t.parquet")))
-    if (reuse && derived) println(s"[scale] reusing derived corpus at $out")
-    else deriveCorpus(spark, src, out, factor, perturb)
+    // the derivation SIGNATURE is part of reuse: a rung dir left by a
+    // different src dir (or a pre-signature build) re-derives instead of
+    // silently measuring a stale corpus mixed with fresh dim symlinks
+    val sig = s"src=$src factor=$factor perturb=$perturb skew=$skew " +
+      s"degenerate=$degenerate dim=$dim"
+    val marker = java.nio.file.Paths.get(s"$out/derivation.marker")
+    val sigOk = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == sig
+    if (reuse && derived && sigOk)
+      println(s"[scale] reusing derived corpus at $out")
+    else {
+      deriveCorpus(spark, src, out, factor, perturb, skew, degenerate, dim)
+      java.nio.file.Files.write(marker, sig.getBytes("UTF-8"))
+    }
     // the non-derived tables (TPC-H side) symlink to the source SF so the
     // FULL registry can run against a rung corpus — relational queries
     // simply re-measure at 1×, the derived-table families at factor×
@@ -286,10 +328,14 @@ object ScaleSmoke {
       println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
     }
     jsonOut.foreach { path =>
+      // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+      // "1,234" — invalid JSON — and crash the drift gate's parser
       val body = walls.map { case (k, v) =>
-        "\"" + k + "\": " + f"$v%.3f" }.mkString(",\n  ")
+        "\"" + k + "\": " + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString(",\n  ")
       val head = "{\n  \"_factor\": " + factor + ", \"_perturb\": " + perturb +
-        ", \"_once\": " + once + ",\n  "
+        ", \"_skew\": " + skew + ", \"_degenerate\": " + degenerate +
+        ", \"_dim\": " + dim + ", \"_once\": " + once + ",\n  "
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (head + body + "\n}\n").getBytes("UTF-8"))
       println(s"[scale] walls written to $path")
@@ -298,9 +344,19 @@ object ScaleSmoke {
   }
 
   private def deriveCorpus(spark: org.apache.spark.sql.SparkSession,
-      src: String, out: String, factor: Int, perturb: Boolean): Unit = {
+      src: String, out: String, factor: Int, perturb: Boolean,
+      skew: Boolean = false, degenerate: Boolean = false,
+      dim: Int = 64): Unit = {
     val docs = Tables.load(spark, src, "documents")
-    val emb = Tables.load(spark, src, "embeddings")
+    // dim tiling FIRST: flatten(array_repeat) multiplies every vector's
+    // coordinates verbatim, preserving all pairwise cosines, so the
+    // high-dim rung measures the verify-tier boundary on the same
+    // neighborhood structure the 64-dim rungs certified. The perturb
+    // offset then runs over all `dim` positions (its d-indexed pattern
+    // keeps every clone distinct at any width).
+    val emb0 = Tables.load(spark, src, "embeddings")
+    val emb = if (dim == 64) emb0 else emb0.withColumn("embedding",
+      flatten(array_repeat(col("embedding"), dim / 64)))
     val copies = (0 until factor).map { k =>
       // clone mode: a copy-unique PREFIX token — kills cross-copy exact
       // duplication but leaves ~298 of ~300 shingles shared, so every doc
@@ -324,9 +380,54 @@ object ScaleSmoke {
           textCol)
       docs.select(cols: _*)
     }
-    copies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    (0 until factor).map { k =>
+    var docsAll = copies.reduce(_ unionByName _)
+    if (skew) {
+      // hot source: ~50% of docs collapse into one NEW source value, the
+      // remaining 20 sources keep ~2.5% each — the zipf head that makes
+      // every source-keyed groupBy/shuffle (samp_bysource, mix_*,
+      // src_scorecard) route half the corpus through one key
+      docsAll = docsAll.withColumn("source",
+        when(pmod(xxhash64(col("doc_id")), lit(2)) === 0, lit("src_hot"))
+          .otherwise(col("source")))
+      // hot shingle bucket: exactly ShingleDfCap docs (TakeOrdered by doc
+      // hash — deterministic, no global window) gain one shared trigram,
+      // planting the LARGEST bucket the df cap admits (cap·(cap−1)/2
+      // pairs from a single shingle) without tripping the prune
+      val hotIds = docsAll.select(col("doc_id"))
+        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .limit(GraftTuning.ShingleDfCap).withColumn("hot_sh", lit(true))
+      docsAll = docsAll.join(broadcast(hotIds), Seq("doc_id"), "left")
+        .withColumn("text", when(col("hot_sh"),
+          concat(col("text"), lit(" hotshqa hotshqb hotshqc")))
+          .otherwise(col("text")))
+        .drop("hot_sh")
+    }
+    if (degenerate) {
+      import spark.implicits._
+      // pathological rows the text/dedup families never see in the driver
+      // corpora: ids negative (clone offsets are ≥0), constant count at
+      // every factor. The 8 MB doc stresses per-doc explode paths (~1.2M
+      // tokens in ONE document); the 1 MB single token stresses every
+      // tokenizer's no-whitespace branch.
+      val huge = (0 until 1200000).map(i => "w" + (i % 9973)).mkString(" ")
+      val giantTok = "a" * 1000000
+      val rows = Seq(
+        (-1L, "", "en"), (-2L, "", "xx"),
+        (-3L, "solo", "en"), (-4L, "x", "en"), (-5L, "é", "fr"),
+        (-6L, "   \t   \n   ", "en"), (-7L, " ", "en"),
+        (-8L, "😀 🚀🚀 𝔘𝔫𝔦 你好 مرحبا", "zh"),
+        (-9L, "𝓗𝓮𝓵𝓵𝓸 🌍", "en"),
+        (-10L, huge, "en"), (-11L, giantTok, "en"),
+        (-12L, "!!! ??? ... ;;; ::: ,,,", "en"),
+        (-13L, "same same same same same same same same", "en"))
+        .toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("src_degen"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      docsAll = docsAll.unionByName(
+        rows.select(docsAll.columns.toIndexedSeq.map(col): _*))
+    }
+    docsAll.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    var embAll = (0 until factor).map { k =>
       // offset modulus 251 > any rung factor (the r11 form's mod-13 made
       // clones k and k+13 byte-identical, so the 100x corpus carried only
       // ~14 distinct variants per original); k*1009 steps the offset
@@ -343,7 +444,23 @@ object ScaleSmoke {
         embCol +: emb.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
       emb.select(cols: _*)
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (skew) {
+      // dominant cluster: ~50% of vectors (hash-selected) are REPLACED by
+      // one fixed direction plus per-vector uniform jitter. Amplitudes
+      // chosen so pairwise cos among hot vectors ≈ |base|²/(|base|²+|j|²)
+      // ≈ 20.5/(20.5+5.3) ≈ 0.79 at dim 64 — one giant k-means cell /
+      // IVF list, but BELOW the semantic near-dup thresholds, so the skew
+      // stresses partitioning (hot centroid assignment, hot cluster
+      // all-pairs guards), not pair-output density.
+      embAll = embAll.withColumn("embedding",
+        when(pmod(xxhash64(col("vec_id")), lit(2)) === 0,
+          transform(col("embedding"), (_, d) =>
+            (sin(d.cast("double") * 0.37) * 0.8 +
+              (pmod(xxhash64(col("vec_id")) * 31 + d.cast("long") * 17,
+                lit(997L)).cast("double") / 997.0 - 0.5)).cast("float")))
+          .otherwise(col("embedding")))
+    }
+    embAll.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // events clone: offset event_id AND user_id per copy, keep ts/type/
     // value/props — every clone user replays the identical sequence, so
     // the user population grows ×factor while per-user state stays
@@ -352,13 +469,20 @@ object ScaleSmoke {
     // after Tables.load normalization, so the re-written parquet takes
     // Tables.load's passthrough branch on reload.
     val events = Tables.load(spark, src, "events")
-    (0 until factor).map { k =>
+    var evAll = (0 until factor).map { k =>
       events.select(
         (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (skew)
+      // hot user: ~30% of ALL events (hash on event_id, so the selection
+      // cuts across every clone) re-key to one user — the single-reducer
+      // stress for every user-keyed evt_* window/sessionize plan
+      evAll = evAll.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(10)) < 3, lit(424242L))
+          .otherwise(col("user_id")))
+    evAll.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 }

@@ -25,6 +25,28 @@ final class OperationInfo(
   @volatile var streamingQuery: Option[StreamingQuery] = None
   /** Streaming ⇔ results keep arriving after RUNNING (SURVEY §7.4 #2). */
   @volatile var isStreaming: Boolean = false
+
+  /** Pending→Running, atomic with [[markCanceled]]: a cancel landing
+    * between the runnable's Canceled check and its Running write used to
+    * be LOST (the op ran to Finished despite the cancel) — the check and
+    * the write must be one critical section. Returns false when the op
+    * was canceled first, i.e. the body must not run. */
+  def tryStart(): Boolean = synchronized {
+    if (status == OpStatus.Canceled) false
+    else { status = OpStatus.Running; true }
+  }
+
+  /** Running→Finished unless a concurrent cancel already moved the status
+    * (Canceled must stick — it is what the canceller observed). */
+  def finishIfRunning(): Unit = synchronized {
+    if (status == OpStatus.Running) status = OpStatus.Finished
+  }
+
+  def markCanceled(): Unit = synchronized { status = OpStatus.Canceled }
+
+  def errorUnlessCanceled(): Unit = synchronized {
+    if (status != OpStatus.Canceled) status = OpStatus.Error
+  }
 }
 
 /** Async statement execution with handles, status polling, and cancellation.
@@ -53,17 +75,16 @@ final class OperationManager(spark: SparkSession) {
     ops.put(info.handle.id, info)
     pool.submit(new Runnable {
       override def run(): Unit = {
-        if (info.status == OpStatus.Canceled) return
-        info.status = OpStatus.Running
+        if (!info.tryStart()) return
         spark.sparkContext.setJobGroup(info.handle.id, statement, interruptOnCancel = true)
         try {
           body(info)
-          if (info.status == OpStatus.Running) info.status = OpStatus.Finished
+          info.finishIfRunning()
         } catch {
           case NonFatal(t) =>
             info.error = Some(t)
             info.store.foreach(_.fail(t))
-            if (info.status != OpStatus.Canceled) info.status = OpStatus.Error
+            info.errorUnlessCanceled()
         } finally {
           spark.sparkContext.clearJobGroup()
         }
@@ -83,19 +104,23 @@ final class OperationManager(spark: SparkSession) {
       case Some(info) => info.store match {
         case Some(store) => store.fetch(token)
         // terminal op that never built a store (canceled/errored before
-        // the body reached store creation): a NOT_READY here would spin
+        // the body reached store creation, or a body — DDL, SET — that
+        // legitimately finishes storeless): a NOT_READY here would spin
         // a well-behaved fetch loop forever — the r14 concurrency soak
         // caught exactly that race (cancel landing between submit and
-        // store init). Terminal ⇒ EOS, same as a store that closed empty.
+        // store init). store is only ever assigned INSIDE the body, so a
+        // terminal status with store=None is final. Terminal ⇒ EOS, same
+        // as a store that closed empty.
         case None if info.status == OpStatus.Canceled ||
-          info.status == OpStatus.Error => FetchResult("EOS", Nil, Nil, None)
+          info.status == OpStatus.Error ||
+          info.status == OpStatus.Finished => FetchResult("EOS", Nil, Nil, None)
         case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
       }
       case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
     }
 
   def cancel(handle: OperationHandle): Unit = get(handle).foreach { info =>
-    info.status = OpStatus.Canceled
+    info.markCanceled()
     info.streamingQuery.foreach(q => if (q.isActive) q.stop())
     spark.sparkContext.cancelJobGroup(info.handle.id)
     info.store.foreach(_.markEos())

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{GraftTuning, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -153,7 +153,7 @@ object CurationOps {
   }
 
   val dsSplitLeakageSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -162,7 +162,7 @@ object CurationOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (

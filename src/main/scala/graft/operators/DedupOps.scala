@@ -159,7 +159,7 @@ object DedupOps {
   }
 
   val ddNgramJaccardSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -168,7 +168,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -221,7 +221,7 @@ object DedupOps {
   }
 
   val ddJaccardHistSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -230,7 +230,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -374,7 +374,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -452,7 +452,7 @@ object DedupOps {
   }
 
   val ddContainmentSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -461,7 +461,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -642,7 +642,7 @@ object DedupOps {
   }
 
   val pipeDedupCascadeSql: String =
-    """WITH toksAll AS (
+    raw"""WITH toksAll AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents
       |), train AS (
@@ -662,7 +662,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toksAll
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -1161,7 +1161,7 @@ object DedupOps {
   }
 
   val ddPairEvidenceSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -1172,7 +1172,7 @@ object DedupOps {
       |), dfc AS (
       |  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY 1
       |), sh AS (
-      |  SELECT sh0.doc_id, sh0.s, df FROM sh0 JOIN dfc USING (s) WHERE df <= 50
+      |  SELECT sh0.doc_id, sh0.s, df FROM sh0 JOIN dfc USING (s) WHERE df <= ${GraftTuning.ShingleDfCap}
       |), cnt AS (
       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
       |), inter AS (
@@ -1232,7 +1232,7 @@ object DedupOps {
   }
 
   val ddDecontaminateSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents
       |), sh0 AS (
@@ -1242,7 +1242,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |)
@@ -1312,7 +1312,7 @@ object DedupOps {
       .orderBy(col("eval_doc"))
 
   val ddEvalExposureSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents
       |), sh0 AS (
@@ -1322,7 +1322,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), pairs AS (
@@ -1348,7 +1348,7 @@ object DedupOps {
   }
 
   val ddContamFractionSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents
       |), sh0 AS (
@@ -1358,7 +1358,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), evalg AS (
@@ -1832,7 +1832,7 @@ object DedupOps {
   }
 
   val dsGroupSplitSql: String =
-    """WITH RECURSIVE toks AS (
+    raw"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -1841,7 +1841,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -1917,7 +1917,7 @@ object DedupOps {
   }
 
   val ddCanonicalSql: String =
-    """WITH RECURSIVE toks AS (
+    raw"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -1926,7 +1926,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -2058,7 +2058,7 @@ object DedupOps {
   }
 
   val ddDedupGroupsSql: String =
-    """WITH RECURSIVE toks AS (
+    raw"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -2067,7 +2067,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -2158,7 +2158,7 @@ object DedupOps {
     * (asserted every round by the driver) recall is complete — the oracle
     * is the exact pair set itself, projected to the minhash output columns. */
   val ddMinHashLshSql: String =
-    """WITH toks AS (
+    raw"""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       |), sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -2167,7 +2167,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (
@@ -2933,7 +2933,7 @@ object DedupOps {
   }
 
   val ddIncrementalSql: String =
-    """WITH flagged AS (
+    raw"""WITH flagged AS (
       |  SELECT doc_id, text,
       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd' AS is_delta
       |  FROM documents
@@ -2956,7 +2956,7 @@ object DedupOps {
       |      ELSE [] END) AS s
       |  FROM toks
       |), rare AS (
-      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 50
+      |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${GraftTuning.ShingleDfCap}
       |), sh AS (
       |  SELECT sh0.* FROM sh0 JOIN rare USING (s)
       |), cnt AS (

@@ -270,6 +270,138 @@ object MultimodalOps {
       |LEFT JOIN flips f ON co.phash = f.phash
       |ORDER BY co.doc_id""".stripMargin
 
+  // ------------------------------------------ production-width 64-bit pHash
+  /** Production-width (64-bit) media near-dup: the shape [[mmPhash]]'s
+    * scaladoc names for widths where single-bit-flip probing stops being
+    * the right tool. A real pHash is 64 bits and "near-dup" means Hamming
+    * ≤ ~6, so the probe explode (Σ_{d≤6} C(64,d) ≈ 83M probes per code)
+    * is out — instead the HmSearch blocking [[graft.operators.DedupOps
+    * .ddSimHashPairs]] proved at 64-bit: split the signature into 8 bytes,
+    * key on every PAIR of blocks (28 combos of 16 bits) — pigeonhole: ≤ 6
+    * differing bits touch ≤ 6 blocks, so ≥ 2 blocks agree and that combo
+    * is one of the 28 keys. Exact recall, `bit_count(xor)` as the exact
+    * verify.
+    *
+    * Scale: the banding join runs at CODE grain, never doc grain — the
+    * same contraction that fixed mm_phash's r14 OOM. Identical docs (and
+    * clone floods) collapse into one code row with a count BEFORE any
+    * join, so bucket size is bounded by distinct-code diversity, not
+    * corpus size, and the 16-bit combo keys spread distinct codes over
+    * 65,536 buckets per combo (E[bucket] ≈ n_codes/2¹⁶). Partner counts
+    * come back count-weighted: n_near(doc with code c) = (cnt(c) − 1) +
+    * Σ_{c' : 1 ≤ ham(c,c') ≤ maxHam} cnt(c'). The code→doc join
+    * broadcasts only while the code table is under [[GraftTuning
+    * .MmDriverCodeCap]] — beyond it the join shuffles (a >cap code table
+    * is no longer a dimension). Emits (doc_id, phash, n_near).
+    *
+    * The 64-slot stripe profile is the same integer-exact stub statistic
+    * as [[mmPhash]]'s (production swaps it for 8×8 DCT bits; the Spark
+    * shape is the real thing). Slot 63 is the long's SIGN bit —
+    * `shiftleft(1L, 63)` wraps to Long.MinValue and the bit-pattern sum
+    * stays exact (each bit set once, so the signed total IS the pattern);
+    * the oracle spells that one slot as a literal because DuckDB's `<<`
+    * range-checks where Spark's wraps. */
+  def mmPhash64(s: SparkSession, dir: String, maxHam: Int = 6,
+      driverCodeCap: Long = GraftTuning.MmDriverCodeCap): DataFrame = {
+    require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val codes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (col("pos") % 64).as("slot"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
+      .withColumn("tot", sum(col("ss")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("ss") * 64 > col("tot"),
+        expr("shiftleft(1L, slot)")).otherwise(lit(0L))).as("phash"))
+      .persist(lvl)
+    val cnts = codes.groupBy(col("phash")).agg(count(lit(1)).as("cnt"))
+      .persist(lvl)
+    val nCodes = cnts.count() // also materializes the persist
+    def block(k: Int) =
+      shiftrightunsigned(col("phash"), 8 * k).bitwiseAND(lit(0xFFL))
+    val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val comboStructs = combos.zipWithIndex.map { case ((i, j), c) =>
+      struct(lit(c).as("combo"), (block(i) * 256 + block(j)).as("ckey"))
+    }
+    val keyed = cnts
+      .select(col("phash"), explode(array(comboStructs: _*)).as("ck"))
+      .select(col("phash"), col("ck.combo").as("combo"), col("ck.ckey").as("ckey"))
+    // verify BEFORE distinct: bit_count is a codegen'd scalar, and a pair
+    // can surface from up to 28 combos — filtering first shrinks the
+    // distinct's shuffle to true near-dup code pairs
+    val codePairs = keyed.as("x").join(keyed.as("y"),
+        col("x.combo") === col("y.combo") && col("x.ckey") === col("y.ckey") &&
+          col("x.phash") < col("y.phash"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHam)
+      .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    val near = codePairs.select(col("pa").as("phash"), col("pb").as("nb"))
+      .union(codePairs.select(col("pb").as("phash"), col("pa").as("nb")))
+      .join(cnts.select(col("phash").as("nb"), col("cnt").as("nbcnt")), Seq("nb"))
+      .groupBy(col("phash")).agg(sum(col("nbcnt")).as("nearcnt"))
+    val codeNear = cnts.join(near, Seq("phash"), "left")
+      .select(col("phash"),
+        (col("cnt") - 1 + coalesce(col("nearcnt"), lit(0L))).as("n_near"))
+    val maybeB = if (nCodes <= driverCodeCap) broadcast(codeNear) else codeNear
+    val out = codes.join(maybeB, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_near"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    cnts.unpersist()
+    codes.unpersist()
+    out
+  }
+
+  val mmPhash64Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS ch
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents)
+      |), ss AS (
+      |  SELECT doc_id, pos % 64 AS slot,
+      |    CAST(SUM(ascii(ch)) AS BIGINT) AS ss
+      |  FROM chars GROUP BY 1, 2
+      |), tt AS (
+      |  SELECT doc_id, slot, ss, SUM(ss) OVER (PARTITION BY doc_id) AS tot
+      |  FROM ss
+      |), codes AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN ss * 64 > tot THEN
+      |      CASE WHEN slot = 63 THEN -9223372036854775808
+      |           ELSE CAST(1 AS BIGINT) << slot END
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM tt GROUP BY doc_id
+      |), cnts AS (
+      |  SELECT phash, CAST(COUNT(*) AS BIGINT) AS cnt FROM codes GROUP BY 1
+      |), combos AS (
+      |  SELECT a.i, b.j FROM generate_series(0, 7) a(i)
+      |  JOIN generate_series(0, 7) b(j) ON a.i < b.j
+      |), keyed AS (
+      |  SELECT phash, i, j,
+      |    ((phash >> (8 * i)) & 255) * 256 + ((phash >> (8 * j)) & 255) AS ckey
+      |  FROM cnts CROSS JOIN combos
+      |), pairs AS (
+      |  SELECT DISTINCT x.phash AS pa, y.phash AS pb
+      |  FROM keyed x JOIN keyed y
+      |    ON x.i = y.i AND x.j = y.j AND x.ckey = y.ckey AND x.phash < y.phash
+      |  WHERE bit_count(xor(x.phash, y.phash)) <= 6
+      |), near AS (
+      |  SELECT d.phash, CAST(SUM(c.cnt) AS BIGINT) AS nearcnt
+      |  FROM (SELECT pa AS phash, pb AS nb FROM pairs
+      |        UNION ALL SELECT pb AS phash, pa AS nb FROM pairs) d
+      |  JOIN cnts c ON c.phash = d.nb
+      |  GROUP BY 1
+      |)
+      |SELECT co.doc_id, co.phash,
+      |  CAST(cn.cnt - 1 + COALESCE(ne.nearcnt, 0) AS BIGINT) AS n_near
+      |FROM codes co
+      |JOIN cnts cn ON co.phash = cn.phash
+      |LEFT JOIN near ne ON co.phash = ne.phash
+      |ORDER BY co.doc_id""".stripMargin
+
   // --------------------------------------------- media near-dup groups
   /** Media near-dup GROUPS: connected components over the [[mmPhash]]
     * Hamming≤1 graph with min-id canonical election — the media-side
@@ -515,6 +647,7 @@ object MultimodalOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> (mmPhash _),
+    "mm_phash64" -> ((s: SparkSession, d: String) => mmPhash64(s, d)),
     "mm_decode" -> (mmDecode _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
@@ -524,6 +657,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "mm_phash" -> mmPhashSql,
+    "mm_phash64" -> mmPhash64Sql,
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,

@@ -58,4 +58,25 @@ class ContractSpec extends AnyFunSuite {
       s"nested-typed output columns (pandas comparator cannot hash them):\n" +
         offenders.mkString("\n"))
   }
+
+  test("oracle SQL shingle df-caps all interpolate GraftTuning.ShingleDfCap") {
+    // GraftTuning's contract is that Scala defaults and DuckDB twins can
+    // never drift; that only holds if no oracle string hardcodes the cap.
+    // Scans every registered oracle for the df-cap idiom (the `rare`/`dfc`
+    // CTEs over sh0) and asserts the literal equals the constant, so a
+    // future literal-valued copy of the idiom fails here, not in the
+    // driver's hash compare.
+    val dfCapIdiom = raw"HAVING COUNT\(\*\) <= (\d+)".r
+    val dfColIdiom = raw"WHERE df <= (\d+)".r
+    val drifted = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        (dfCapIdiom.findAllMatchIn(sql) ++ dfColIdiom.findAllMatchIn(sql))
+          .collect {
+            case m if sql.substring(math.max(0, m.start - 400), m.start)
+              .contains("sh0") && m.group(1).toInt != GraftTuning.ShingleDfCap =>
+              s"$name: '${m.matched}' != ShingleDfCap=${GraftTuning.ShingleDfCap}"
+          }
+    }
+    assert(drifted.isEmpty, s"drifted df-cap literals:\n${drifted.mkString("\n")}")
+  }
 }

@@ -150,4 +150,35 @@ class EngineConcurrencySpec extends AnyFunSuite {
     assert(r.resultType == "EOS" && r.rows.isEmpty,
       s"terminal storeless op answered ${r.resultType}")
   }
+
+  test("cancel is atomic with the Pending->Running transition") {
+    // the r15 advisor gap: cancel landing between the runnable's Canceled
+    // check and its Running write was LOST (the op ran to Finished). The
+    // transition primitives are synchronized now — pin their invariants
+    // deterministically rather than racing the pool.
+    val a = new OperationInfo(OperationHandle("t-a"), "s")
+    a.markCanceled()
+    assert(!a.tryStart(), "tryStart must refuse after cancel")
+    assert(a.status == OpStatus.Canceled)
+    val b = new OperationInfo(OperationHandle("t-b"), "s")
+    assert(b.tryStart())
+    b.markCanceled() // cancel mid-run
+    b.finishIfRunning() // body completion must NOT overwrite the cancel
+    assert(b.status == OpStatus.Canceled,
+      "Canceled must stick through body completion")
+  }
+
+  test("fetch on a Finished op that never created a store answers EOS") {
+    // DDL/SET-shaped bodies legitimately finish storeless; store is only
+    // assigned inside the body, so Finished-with-no-store is final and a
+    // fetch loop must terminate (pre-fix: NOT_READY forever)
+    val h = session.ops.submit("soak: storeless finish") { _ => () }
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (session.ops.status(h) != OpStatus.Finished &&
+      System.nanoTime() < deadline) Thread.sleep(5)
+    assert(session.ops.status(h) == OpStatus.Finished)
+    val r = session.ops.fetch(h, 0L)
+    assert(r.resultType == "EOS" && r.rows.isEmpty,
+      s"Finished storeless op answered ${r.resultType}")
+  }
 }

@@ -76,6 +76,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "testdata's dup pairs should collide")
   }
 
+  test("mm_phash64: codes match a plain-Scala replay; 28-combo banding is Hamming<=6-complete") {
+    // the production-width path: 64-bit codes, near = Hamming <= 6 via
+    // HmSearch block-pair banding at CODE grain. Brute-force replay of
+    // both the signature and the full O(n^2) partner count.
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def phash64(text: String): Long = {
+      val ss = new Array[Long](64)
+      text.zipWithIndex.foreach { case (c, i) => ss(i % 64) += c.toInt }
+      val tot = ss.sum
+      (0 until 64).map(j => if (ss(j) * 64 > tot) 1L << j else 0L).sum
+    }
+    val want = corpus.map { case (id, t) => id -> phash64(t) }.toMap
+    val got = MultimodalOps.mmPhash64(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == want, "64-bit phash codes diverge")
+    val ids = want.keys.toSeq.sorted
+    val brute = ids.map { a =>
+      a -> ids.count(b =>
+        b != a && java.lang.Long.bitCount(want(a) ^ want(b)) <= 6).toLong
+    }.toMap
+    got.foreach { case (id, _, n) =>
+      assert(n == brute(id), s"doc $id n_near $n != brute ${brute(id)}")
+    }
+    assert(got.exists(_._3 > 0), "testdata's dup pairs should collide at Ham<=6")
+    // the sign-bit slot participates: at 64 slots some doc should set bit 63
+    // (stripe 63 above mean happens for ~half the long docs) — if the corpus
+    // never exercises it this assertion documents that gap instead of hiding it
+    info(s"docs with sign bit set: ${want.values.count(_ < 0)}/${want.size}")
+  }
+
+  test("mm_phash64: forced-shuffle code join (cap 0) == broadcast default") {
+    // the driverCodeCap dial switches only the PLAN (broadcast vs shuffle
+    // of the code->n_near table), never the relation
+    val a = MultimodalOps.mmPhash64(spark, dir).collect().toSeq
+    val b = MultimodalOps.mmPhash64(spark, dir, driverCodeCap = 0L).collect().toSeq
+    assert(a == b, "cap-forced shuffle path diverged from broadcast path")
+  }
+
   test("mm_dedup_groups: components consistent with mm_phash partner counts") {
     val groups = MultimodalOps.mmDedupGroups(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))

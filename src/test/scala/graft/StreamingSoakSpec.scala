@@ -91,6 +91,33 @@ class StreamingSoakSpec extends AnyFunSuite {
     val s = xs.sorted; s(s.length / 2)
   }
 
+  /** Machine-readable soak record (r14 verdict #3: the soak numbers lived
+    * only in BASELINE prose — no gate could diff them). When
+    * GRAFT_SOAK_JSON is set, each test merges its row into that file:
+    * `{tag: {state_peak, state_end, wall_head_ms, wall_tail_ms, batches}}`.
+    * scripts/soak_check.py diffs a fresh run against the committed
+    * scripts/soak_baseline.json with generous bounds (state 2x, wall 1.5x)
+    * — a dropped watermark inflates state_peak orders of magnitude, so the
+    * gate trips on the leak class, not on VM noise. Read-modify-write so
+    * the three tests (run in one suite, any order) share the file. */
+  private def emitSoak(tag: String, ps: Seq[StreamingQueryProgress]): Unit =
+    sys.env.get("GRAFT_SOAK_JSON").foreach { path =>
+      val walls = ps.map(wallMs)
+      val rows = ps.map(stateRows)
+      val rec = s""""$tag": {"state_peak": ${rows.max}, "state_end": ${rows.last},
+        | "wall_head_ms": ${median(walls.slice(5, 20))},
+        | "wall_tail_ms": ${median(walls.takeRight(15))},
+        | "batches": ${ps.length}}""".stripMargin.replaceAll("\n", "")
+      val p = Paths.get(path)
+      val prior = if (Files.exists(p))
+        new String(Files.readAllBytes(p), "UTF-8").trim
+          .stripPrefix("{").stripSuffix("}").trim else ""
+      val merged = (prior.split(",(?=\\s*\"[a-z_]+\": \\{)").toSeq
+        .filter(e => e.nonEmpty && !e.trim.startsWith("\"" + tag + "\"")) :+ rec)
+        .mkString(",\n ")
+      Files.write(p, s"{$merged}\n".getBytes("UTF-8"))
+    }
+
   /** Flatness: the soak's last third may not run slower than 2.5× its
     * first third (post-warmup). A state leak shows as monotone growth —
     * on 60 batches the tail/head ratio is the cheap, robust detector. */
@@ -133,6 +160,7 @@ class StreamingSoakSpec extends AnyFunSuite {
     val nTypes = spark.read.parquet(soakDir).select("event_type").distinct().count()
     assertBoundedState("tumble", ps, boundRows = nTypes * 120)
     assertFlat("tumble", ps)
+    emitSoak("tumble", ps)
     val out = spark.table("soak_tumble")
     assert(out.count() > 2000, "append stream should finalize most windows")
   }
@@ -154,6 +182,7 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(peak < emitted / 10,
       s"dedup state peak $peak not far below emitted key universe $emitted")
     assertFlat("dedup", ps)
+    emitSoak("dedup", ps)
   }
 
   test("soak: domain-bounded update agg (hourly counts) holds model-sized state") {
@@ -171,5 +200,6 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(rows.max <= nTypes * 24,
       s"hourly state ${rows.max} exceeded the 24×$nTypes domain bound")
     assertFlat("hourly", ps)
+    emitSoak("hourly", ps)
   }
 }
