@@ -314,19 +314,32 @@ object ScaleSmoke {
 
     println(s"[scale] corpus ready: ${factor}x at $out")
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var crashed = 0
     names.foreach { name =>
       spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
-      if (!once) fn(spark, out).count() // warm (codegen, file listing)
-      val times = (1 to (if (once) 1 else 2)).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val rows = fn(spark, out).count()
-        ((System.nanoTime() - t0) / 1e9, rows)
+      // per-op isolation: a crash (the degenerate sweep's whole point is
+      // finding them) must not abort the remaining registry — the op is
+      // OMITTED from the walls json, which the drift gate flags as
+      // missing-from-run, so a crash can never read as a pass
+      try {
+        if (!once) fn(spark, out).count() // warm (codegen, file listing)
+        val times = (1 to (if (once) 1 else 2)).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = fn(spark, out).count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        walls(name) = times.map(_._1).min
+        println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+      } catch {
+        case e: Throwable =>
+          crashed += 1
+          println(s"[scale] $name FAILED: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
       }
-      walls(name) = times.map(_._1).min
-      println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
     }
+    if (crashed > 0) println(s"[scale] $crashed op(s) FAILED this sweep")
     jsonOut.foreach { path =>
       // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
       // "1,234" — invalid JSON — and crash the drift gate's parser
@@ -446,18 +459,31 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
     if (skew) {
       // dominant cluster: ~50% of vectors (hash-selected) are REPLACED by
-      // one fixed direction plus per-vector uniform jitter. Amplitudes
-      // chosen so pairwise cos among hot vectors ≈ |base|²/(|base|²+|j|²)
-      // ≈ 20.5/(20.5+5.3) ≈ 0.79 at dim 64 — one giant k-means cell /
-      // IVF list, but BELOW the semantic near-dup thresholds, so the skew
-      // stresses partitioning (hot centroid assignment, hot cluster
-      // all-pairs guards), not pair-output density.
+      // one fixed direction (|b|² ≈ 20.5) plus per-vector uniform jitter
+      // (±1.7/dim ⇒ |j|² ≈ 62). Geometry this buys, measured against the
+      // unit-norm originals: the blob sits at distance ~4.5 from the
+      // original cloud and its points are closer to the blob centroid
+      // (d² = |j|² ≈ 62) than to any original-region centroid (≈ 83), so
+      // k-means holds it as ONE ~50% cell — the hot-partition stress —
+      // while pairwise cos among blob points is |b|²/(|b|²+|j|²) ≈ 0.25
+      // (σ ≈ 0.08), BELOW every pair-emitting operator's threshold
+      // (dd_embed_cosine 0.4, dd_semdedup 0.9): the corpus skews the
+      // PARTITIONING, not the answer's own size. The first sweep used
+      // ±0.5 jitter (cos ≈ 0.79) and legitimately quadrupled the ≥0.2
+      // pair graph to ~450M rows — which found dd_cos_thresholds
+      // materializing it (fixed to stream; see its scaladoc), but also
+      // made every pair-emitting op's OUTPUT quadratic by construction,
+      // which measures output size, not skew handling.
       embAll = embAll.withColumn("embedding",
         when(pmod(xxhash64(col("vec_id")), lit(2)) === 0,
           transform(col("embedding"), (_, d) =>
+            // pmod the hash into a small domain BEFORE arithmetic: ANSI
+            // mode makes a raw xxhash64 * 31 a runtime overflow error
             (sin(d.cast("double") * 0.37) * 0.8 +
-              (pmod(xxhash64(col("vec_id")) * 31 + d.cast("long") * 17,
-                lit(997L)).cast("double") / 997.0 - 0.5)).cast("float")))
+              (pmod(pmod(xxhash64(col("vec_id")), lit(100003L)) * 31 +
+                d.cast("long") * 17, lit(997L)).cast("double") / 997.0 - 0.5)
+                * 3.4)
+              .cast("float")))
           .otherwise(col("embedding")))
     }
     embAll.write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -514,29 +514,35 @@ object CurationOps {
     * shuffles; the only exchanges are the fp-keyed dup-count join
     * (buckets boilerplate-bounded — the dd_chunk_dups shape) and the
     * presentation sort. No corpus-scale collect. */
-  /** The CDC cut itself, as ONE per-row higher-order fold — no explode,
-    * no window, no shuffle: each document's chunk list is built inside
-    * the row (running chunk closed when a boundary token arrives, tail
-    * flushed by the finish lambda). Stateless per row, so the SAME
-    * projection is the streaming dedup-on-arrival form
-    * ([[graft.streaming.StreamOps.streamingCdcChunks]]) — and the batch
-    * chunker pays zero shuffle before the dup join. A document that is
-    * empty after trim yields no chunks. */
+  /** The CDC cut itself, as per-row array expressions — no explode,
+    * no window, no shuffle: each token is suffixed with a sentinel
+    * (boundary -> U+0001, else a space), the marked tokens concatenate,
+    * and one split on the sentinel yields the chunk list (a chunk's
+    * tokens end up single-space-joined, the trailing run is the flushed
+    * tail, rtrim removes the last non-boundary token's space). Stateless
+    * per row, so the SAME projection is the streaming dedup-on-arrival
+    * form ([[graft.streaming.StreamOps.streamingCdcChunks]]) — and the
+    * batch chunker pays zero shuffle before the dup join. A document
+    * that is empty after trim yields no chunks.
+    *
+    * This replaced an `aggregate` fold whose accumulator CARRIED the
+    * growing chunk array: Catalyst copies an array-bearing accumulator
+    * on every step, so a 1.2M-token document (the r15 degenerate
+    * sweep's 8 MB row) cost O(tokens × chunks) array copies — one task
+    * pinned a core for 30+ minutes. The sentinel form is O(tokens).
+    * U+0001 in the INPUT is normalized to a token separator first (it
+    * is the one byte the construction reserves; the oracle applies the
+    * same replace), so hostile content cannot forge a cut. */
   private[graft] def cdcChunkGrain(d: DataFrame): DataFrame = {
-    val chunksCol = aggregate(
-      filter(tokens(col("text")), t => t =!= ""),
-      struct(typedlit(Seq.empty[String]).as("done"), lit("").as("cur")),
-      (acc, t) => {
-        val joined = when(acc.getField("cur") === "", t)
-          .otherwise(concat(acc.getField("cur"), lit(" "), t))
-        val isB = substring(md5(t.cast("binary")), 1, 1) === "0"
-        struct(
-          when(isB, array_append(acc.getField("done"), joined))
-            .otherwise(acc.getField("done")).as("done"),
-          when(isB, lit("")).otherwise(joined).as("cur"))
-      },
-      acc => when(acc.getField("cur") === "", acc.getField("done"))
-        .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
+    val sentinel = "\u0001"
+    val toks = filter(tokens(translate(col("text"), sentinel, " ")),
+      t => t =!= "")
+    val marked = transform(toks, t =>
+      concat(t, when(substring(md5(t.cast("binary")), 1, 1) === "0",
+        lit(sentinel)).otherwise(lit(" "))))
+    val chunksCol = filter(
+      transform(split(array_join(marked, ""), sentinel), c => rtrim(c)),
+      c => c =!= "")
     d.select(col("doc_id"), posexplode(chunksCol).as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(split(col("chunk"), " ")).cast("long").as("n_tok"),
@@ -559,7 +565,8 @@ object CurationOps {
 
   val txtCdcChunksSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, $duckToks AS toks FROM documents
+       |  SELECT doc_id, $duckToks AS toks
+       |  FROM (SELECT doc_id, replace(text, chr(1), ' ') AS text FROM documents)
        |), tk AS (
        |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
        |    CASE WHEN substr(md5(u.tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b

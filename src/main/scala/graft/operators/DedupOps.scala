@@ -997,8 +997,16 @@ object DedupOps {
           while (k < a.length) { acc += a(k) * b(k); k += 1 }
           acc
         }
-        val out = Iterator.newBuilder[(Long, Long, Double)]
-        def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Unit = {
+        // LAZY pair emission: the group's qualifying pairs stream out of
+        // this iterator one at a time — per-group memory stays O(block
+        // vectors) (the buffered sides above, block-bounded by design),
+        // never O(qualifying pairs). The r15 skew sweep's dominant-cluster
+        // corpus qualified ~3,750² pairs per mixed group (≈ 500 MB of
+        // buffered tuples per in-flight task at the old eager builder) and
+        // OOMed 32 concurrent tasks; a plain corpus qualifies ~6% and hid
+        // the eager buffer for four rounds.
+        def emit(a: (Long, Array[Double], Double),
+            b: (Long, Array[Double], Double)): Iterator[(Long, Long, Double)] = {
           // dot(lower-id, higher-id) so the fold order is pair-canonical,
           // independent of which block each vector hashed into
           val (x, y) = if (a._1 < b._1) (a, b) else (b, a)
@@ -1007,27 +1015,20 @@ object DedupOps {
           // in [thr - 5e-7, thr) rounds UP to the threshold and must reach
           // the final rounded filter (which still enforces the contract) —
           // a tighter guard here would drop pairs the oracle keeps
-          if (c >= threshold - 5e-7) out += ((x._1, y._1, c))
+          if (c >= threshold - 5e-7) Iterator.single((x._1, y._1, c))
+          else Iterator.empty
         }
-        if (lo == hi) {
+        if (lo == hi)
           // same-block pairs: computed here and ONLY here
-          var i = 0
-          while (i < left.length) {
-            var j = i + 1
-            while (j < left.length) { emit(left(i), left(j)); j += 1 }
-            i += 1
+          Iterator.range(0, left.length).flatMap { i =>
+            Iterator.range(i + 1, left.length).flatMap(j => emit(left(i), left(j)))
           }
-        } else {
+        else
           // mixed groups: cross-side pairs only (same-block co-occurrences
           // here would duplicate every (b,·) group's work)
-          var i = 0
-          while (i < left.length) {
-            var j = 0
-            while (j < right.length) { emit(left(i), right(j)); j += 1 }
-            i += 1
+          Iterator.range(0, left.length).flatMap { i =>
+            Iterator.range(0, right.length).flatMap(j => emit(left(i), right(j)))
           }
-        }
-        out.result()
       }
       .toDF("id_a", "id_b", "cos_raw")
     pairs
@@ -1057,33 +1058,44 @@ object DedupOps {
     * emit (the sweep's whole point is seeing where the curve dies).
     *
     * Scale: ONE block-pair scan at the loosest threshold ([[
-    * embeddingCosinePairs]]'s bounded shape); the sweep itself is
-    * arithmetic on the pair graph — explode ×|thrs| then model-sized
-    * aggs. Nothing recomputes the n² work per threshold. */
+    * embeddingCosinePairs]]'s bounded shape), consumed as a STREAM — the
+    * pair graph is never persisted, exploded ×|thrs|, or distinct'd. The
+    * r15 skew sweep's dominant-cluster corpus made the ≥min(thrs) pair
+    * graph legitimately ~450M rows, and the previous shape (persist the
+    * pairs + explode ×|thrs| + a (thr, vec) distinct) OOMed the sweep JVM
+    * materializing SOMETHING THE REPORT NEVER NEEDED: the report is six
+    * counts. Everything it emits comes from one pass: explode each pair
+    * into its two (vec, cos) touches, aggregate per vector (|thrs|
+    * conditional partner counters + max cos — map-side combined, executor
+    * state ≤ n vector rows regardless of pair density), then n_pairs(t) =
+    * Σ_v counters_t(v) / 2 and n_vecs(t) = |{v : max_cos(v) ≥ t}| in one
+    * model-sized final agg. Zero-pair thresholds still emit (the
+    * empty-input agg yields one all-null row; coalesce pins 0). */
   def ddCosThresholds(s: SparkSession, dir: String,
       thrs: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.7, 0.9)): DataFrame = {
     val pairs = embeddingCosinePairs(s, dir, threshold = thrs.min)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val byThr = pairs
-      .select(explode(array(thrs.map(lit): _*)).as("thr"),
-        col("id_a"), col("id_b"), col("cos"))
-      .filter(col("cos") >= col("thr"))
-    val np = byThr.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
-    val nv = byThr
-      .select(col("thr"), explode(array(col("id_a"), col("id_b"))).as("v"))
-      .distinct()
-      .groupBy(col("thr")).agg(count(lit(1)).as("n_vecs"))
-    val thrDf = s.range(1)
-      .select(explode(array(thrs.map(lit): _*)).as("thr"))
-    val report = thrDf
-      .join(np, Seq("thr"), "left")
-      .join(nv, Seq("thr"), "left")
-      .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val perVec = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"), col("cos"))
+      .groupBy(col("v"))
+      .agg(max(col("cos")).as("mx"),
+        thrs.zipWithIndex.map { case (t, i) =>
+          sum(when(col("cos") >= t, 1L).otherwise(0L)).as(s"c$i")
+        }: _*)
+    val aggCols = thrs.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(col(s"c$i")).as(s"p$i"),
+        sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"v$i"))
+    }
+    val totals = perVec.agg(aggCols.head, aggCols.tail: _*)
+    totals
+      .select(explode(array(thrs.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("thr"),
+          coalesce((col(s"p$i") / 2).cast("long"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"v$i"), lit(0L)).as("n_vecs"))
+      }: _*)).as("r"))
+      .select(col("r.thr").as("thr"), col("r.n_pairs").as("n_pairs"),
+        col("r.n_vecs").as("n_vecs"))
       .orderBy(col("thr"))
       .localCheckpoint()
-    pairs.unpersist()
-    report
   }
 
   val ddCosThresholdsSql: String =

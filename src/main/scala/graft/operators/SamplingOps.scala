@@ -130,6 +130,13 @@ object SamplingOps {
       lit(281474976710656.0)
     val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
     docs(s, dir)
+      // zero-weight items are unsampleable BY DEFINITION in A-Res
+      // (P ∝ w = 0): excluded from the frame, not given an ∞ priority —
+      // ANSI Spark makes 1/0 a runtime error, and the two engines
+      // disagree on ∞ ordering edge cases; the explicit filter pins one
+      // semantics on both sides (found by the r15 degenerate sweep's
+      // empty documents)
+      .filter(col("n_chars") > 0)
       .select(col("source"), col("doc_id"),
         (-log(u) / col("n_chars").cast("double")).as("pri"))
       .withColumn("rank", row_number().over(w))
@@ -144,7 +151,7 @@ object SamplingOps {
        |    -ln((CAST(CAST('0x' || ${duckHex(WeightStart, WeightLen)} AS BIGINT)
        |         AS DOUBLE) + 0.5) / 281474976710656.0)
        |      / CAST(n_chars AS DOUBLE) AS pri
-       |  FROM documents
+       |  FROM documents WHERE n_chars > 0
        |)
        |SELECT source, doc_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)

@@ -136,16 +136,35 @@ object WindowQueries {
   // ------------------------------------------------- interval join (batch)
   /** Time-bounded (interval) join — Flink's stream-stream interval join
     * (SURVEY §2.3 tier-V): purchase ⋈ clicks by user within (-10 min, 0].
-    * Same expression runs under readStream with watermarks (StreamingSpec);
-    * Spark plans the equi-key part as the join key and the time bounds as
-    * post-filters, so the shuffle is keyed by user, never a cross join. */
+    * The streaming twin keeps the raw range predicate (StreamingSpec) —
+    * Spark infers stream-state eviction FROM that predicate and the
+    * watermarks, so it must stay a range condition there.
+    *
+    * The batch form BANDS the time axis into the equi-join key: clicks
+    * key on (user, ⌊ts/10min⌋) and each purchase probes the two 10-min
+    * buckets its lookback range can touch, with the exact time bounds as
+    * residual filters. Semantics are identical — a click in bucket b
+    * matches a purchase probe row only at bkt = b, so no pair duplicates
+    * — but the join's unit of work shrinks from per-user to per-(user,
+    * 10 minutes). The plain user-keyed form put BOTH time bounds in the
+    * post-filter of a user-keyed sort-merge join, so one user holding
+    * 30% of a 3M-event corpus (the r15 skew rung) meant ~450k × 450k
+    * in-key comparisons in ONE task — the sweep found it 28 minutes into
+    * a single pinned core. Banded: that user's quadratic is sliced into
+    * 4,320 ten-minute cells (~100×100 each), and a hot KEY no longer
+    * implies a hot TASK at any corpus size. */
   def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 600000000L // 10 minutes, the interval width, in micros
     val ev = events(s, dir)
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+        floor(unix_micros(col("ts")) / bucketUs).as("bkt0"))
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        explode(array(col("bkt0"), col("bkt0") - 1)).as("bkt"))
     val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    p.join(c, col("user_id") === col("c_user") &&
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        floor(unix_micros(col("ts")) / bucketUs).as("c_bkt"))
+    p.join(c, col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
       .groupBy(col("p_id"), col("user_id"))
