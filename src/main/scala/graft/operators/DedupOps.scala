@@ -1004,31 +1004,49 @@ object DedupOps {
         // corpus qualified ~3,750² pairs per mixed group (≈ 500 MB of
         // buffered tuples per in-flight task at the old eager builder) and
         // OOMed 32 concurrent tasks; a plain corpus qualifies ~6% and hid
-        // the eager buffer for four rounds.
-        def emit(a: (Long, Array[Double], Double),
-            b: (Long, Array[Double], Double)): Iterator[(Long, Long, Double)] = {
-          // dot(lower-id, higher-id) so the fold order is pair-canonical,
-          // independent of which block each vector hashed into
-          val (x, y) = if (a._1 < b._1) (a, b) else (b, a)
-          val c = dot(x._2, y._2) / (x._3 * y._3)
-          // emit down to the 6-dp HALF_UP rounding half-window: a raw cosine
-          // in [thr - 5e-7, thr) rounds UP to the threshold and must reach
-          // the final rounded filter (which still enforces the contract) —
-          // a tighter guard here would drop pairs the oracle keeps
-          if (c >= threshold - 5e-7) Iterator.single((x._1, y._1, c))
-          else Iterator.empty
+        // the eager buffer for four rounds. Hand-rolled (not
+        // flatMap-of-Iterator.single, whose per-CANDIDATE iterator
+        // allocations cost the p100 quadratic twins ~1.5×): the only
+        // allocation is the output tuple for a QUALIFYING pair, which the
+        // row encoder needs anyway.
+        // Pair canon: dot(lower-id, higher-id) so the fold order is
+        // pair-canonical, independent of which block each vector hashed
+        // into. Qualify down to the 6-dp HALF_UP rounding half-window: a
+        // raw cosine in [thr - 5e-7, thr) rounds UP to the threshold and
+        // must reach the final rounded filter (which still enforces the
+        // contract) — a tighter guard here would drop pairs the oracle
+        // keeps.
+        val same = lo == hi
+        // same-block pairs computed in the (b, b) group and ONLY there;
+        // mixed groups take cross-side pairs only (a same-block pair
+        // here would duplicate every (b, ·) group's work)
+        val as = left
+        val bs = if (same) left else right
+        new scala.collection.AbstractIterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = if (same) 1 else 0
+          private var nxt: (Long, Long, Double) = _
+          private var has = false
+          private def step(): Unit = {
+            has = false
+            while (!has && i < as.length) {
+              if (j >= bs.length) {
+                i += 1
+                j = if (same) i + 1 else 0
+              } else {
+                val a = as(i); val b = bs(j); j += 1
+                val (x, y) = if (a._1 < b._1) (a, b) else (b, a)
+                val c = dot(x._2, y._2) / (x._3 * y._3)
+                if (c >= threshold - 5e-7) { nxt = (x._1, y._1, c); has = true }
+              }
+            }
+          }
+          step()
+          override def hasNext: Boolean = has
+          override def next(): (Long, Long, Double) = {
+            val r = nxt; step(); r
+          }
         }
-        if (lo == hi)
-          // same-block pairs: computed here and ONLY here
-          Iterator.range(0, left.length).flatMap { i =>
-            Iterator.range(i + 1, left.length).flatMap(j => emit(left(i), left(j)))
-          }
-        else
-          // mixed groups: cross-side pairs only (same-block co-occurrences
-          // here would duplicate every (b,·) group's work)
-          Iterator.range(0, left.length).flatMap { i =>
-            Iterator.range(0, right.length).flatMap(j => emit(left(i), right(j)))
-          }
       }
       .toDF("id_a", "id_b", "cos_raw")
     pairs
