@@ -61,8 +61,27 @@ else
   pstatus=$?
   grep -E '\[scale\] (corpus ready|reusing|walls written)' "$plog"
   [ "$pstatus" -ne 0 ] && { echo "doctor: PERTURB SWEEP FAILED"; tail -5 "$plog"; exit 1; }
+  # exponent leg (r16): re-measure the heavy ops at p10 and gate on the
+  # p10->p30 scaling exponent — host-speed-independent, so a >3x-slower
+  # host can fall back to GRAFT_PERTURB_EXP_ONLY=1 without losing the
+  # unbounded-join detector. Heavies = ops with a recorded p30 wall >= 2 s
+  # (below that, single-run noise swamps the exponent).
+  EXPARGS=""
+  if [ -f scripts/perturb_p10_baseline.json ]; then
+    heavies=$(python3 -c "import json; d=json.load(open('scripts/perturb_p30_baseline.json')); print(' '.join(sorted(k for k,v in d.items() if not k.startswith('_') and float(v)>=2.0)))")
+    elog=$(mktemp)
+    SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch \
+      "runMain graft.ScaleSmoke 10 $heavies perturb reuse once json=/tmp/graft_perturb_p10.json" \
+      >"$elog" 2>&1
+    estatus=$?
+    grep -E '\[scale\] (corpus ready|reusing|walls written)' "$elog"
+    [ "$estatus" -ne 0 ] && { echo "doctor: P10 SWEEP FAILED"; tail -5 "$elog"; exit 1; }
+    EXPARGS="--exp scripts/perturb_p10_baseline.json /tmp/graft_perturb_p10.json"
+  else
+    echo "doctor: no p10 baseline recorded — exponent leg skipped"
+  fi
   python3 scripts/perturb_check.py scripts/perturb_p30_baseline.json \
-    /tmp/graft_perturb_p30.json || { echo "doctor: PERTURB DRIFT"; exit 1; }
+    /tmp/graft_perturb_p30.json $EXPARGS || { echo "doctor: PERTURB DRIFT"; exit 1; }
 fi
 
 echo "== doctor 6/6: skew drift gate @ p30-skew"

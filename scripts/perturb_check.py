@@ -4,34 +4,55 @@
 per-op baseline (scripts/perturb_p30_baseline.json or
 scripts/perturb_p30_skew_baseline.json, measured the same single-run way).
 
-Host calibration (r15): the recorded walls come from one specific machine;
-on a slower or more loaded host every op drifts together and an absolute
-gate false-positives across the board — training operators to skip the
-gate entirely. Before flagging, compute the MEDIAN run/baseline ratio over
-the ops with a baseline wall >= 0.5 s (sub-second rows are VM-noise-bound)
-and scale every limit by clamp(median, 1.0, 3.0): a uniformly-2x-slower
-host raises all limits 2x, while a single unbounded-join regression (one
-op at 30x, the r14 seeded demo) cannot move the median and still trips.
-The clamp floor 1.0 means calibration can only LOOSEN limits on slow
-hosts, never tighten below the recorded bound; the ceiling 3.0 keeps a
-catastrophically loaded host from masking a real 4x cliff.
+Host calibration (r15, ANCHORED in r16): the recorded walls come from one
+specific machine; on a slower host every op drifts together and an absolute
+gate false-positives across the board. Before flagging, compute the MEDIAN
+run/baseline ratio — but over a PINNED anchor set spanning six independent
+operator families (r16: the r15 advice showed a global median lets a
+regression touching one broad family — e.g. every shingle-idiom dd_* op,
+more than half the eligible rows — shift its own calibration and loosen
+every limit). A regression would now have to span most of the anchor
+families to self-calibrate away. Limits scale by clamp(median, 1.0, 3.0):
+the floor means calibration only LOOSENS on slow hosts, never tightens;
+the ceiling keeps a catastrophically loaded host from masking a real 4x
+cliff. Calib > 1.3 is printed prominently — on the recording host that is
+itself a signal.
 
-Flags an op when its wall exceeds calib * max(1.5 * recorded,
-recorded + 2.0 s) — the 1.5x factor is the judge-specified drift bound;
-the +2 s absolute floor keeps sub-second ops (where shared-VM noise swamps
-any ratio) from false-positives. Also flags registry drift: ops present in
-one file but not the other (a new op must get a recorded row; a deleted op
-must leave the baseline), and mode drift (factor/perturb/skew/dim of the
-run must match the baseline's axes).
+Wall flag: run wall > calib * max(1.5 * recorded, recorded + 2.0 s) —
+1.5x is the judge-specified drift bound; the +2 s floor keeps sub-second
+ops (shared-VM noise swamps any ratio there) from false-positives. Also
+flags registry drift (ops present in one file but not the other) and mode
+drift (factor/perturb/skew/dim must match).
+
+Exponent gate (r16, verdict r15 #7): `--exp base10.json run10.json` adds a
+HOST-SPEED-INDEPENDENT check for the heavy ops: the p10->p30 scaling
+exponent log3(wall30/wall10) compares a run against the recorded curve
+SHAPE — a >3x-slower host shifts both walls equally and the exponent
+cancels, while a planted quadratic (the r14 seeded demo class) moves the
+exponent by >= +1.0. Flag at exp_run > exp_base + 0.55 (session-transient
+bursts of the documented ~1.6x band move an exponent by at most ~0.43)
+AND run30 > base30 + 1 s (an absolute-growth floor). Only ops with
+base10 >= 1 s and base30 >= 2 s carry exponents — below that, single-run
+noise dominates the ratio. On a >3x-throttled host set
+GRAFT_PERTURB_EXP_ONLY=1: wall flags demote to warnings and the exponent
+gate (plus registry/mode drift) decides — the seeded regression still
+trips it at any host speed.
 
 This is the only instrument that catches unbounded-join regressions
 gate-SF correctness cannot see (it caught emb_intrinsic_dim's
 sum-of-n_label^2 join in r13 and mm_phash's pigeonhole self-join in r14).
 """
-import json, statistics, sys
+import json, math, os, statistics, sys
 
 META_DEFAULTS = {"_factor": None, "_perturb": False, "_skew": False,
                  "_degenerate": False, "_dim": 64}
+
+# Calibration anchors: stable >=0.5s ops spanning independent families
+# (lexical dedup, text stats, LM models, embeddings, PQ/sim, multimodal,
+# sampling, spectral). A single-family regression cannot move this median.
+ANCHOR_OPS = ["dd_exact", "txt_tfidf", "txt_entropy", "txt_bigram_ppl",
+              "emb_kmeans", "sim_pq_codes", "mm_phash", "emb_pca_check",
+              "samp_dsir"]
 
 def load(path):
     with open(path) as f:
@@ -41,11 +62,18 @@ def load(path):
     return meta, walls
 
 def main():
-    base_path = sys.argv[1] if len(sys.argv) > 1 else "scripts/perturb_p30_baseline.json"
-    run_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_perturb_p30.json"
+    args = sys.argv[1:]
+    exp_paths = None
+    if "--exp" in args:
+        i = args.index("--exp")
+        exp_paths = (args[i + 1], args[i + 2])
+        args = args[:i] + args[i + 3:]
+    base_path = args[0] if len(args) > 0 else "scripts/perturb_p30_baseline.json"
+    run_path = args[1] if len(args) > 1 else "/tmp/graft_perturb_p30.json"
+    exp_only = os.environ.get("GRAFT_PERTURB_EXP_ONLY") == "1"
     bmeta, base = load(base_path)
     rmeta, run = load(run_path)
-    fails = []
+    fails, warns = [], []
     for k in META_DEFAULTS:
         if bmeta[k] != rmeta[k]:
             fails.append(f"mode mismatch: {k} baseline={bmeta[k]} run={rmeta[k]}")
@@ -54,20 +82,51 @@ def main():
     for op in sorted(set(run) - set(base)):
         fails.append(f"no recorded baseline row (new op? record one): {op}")
     shared = sorted(set(base) & set(run))
-    ratios = [run[op] / base[op] for op in shared if base[op] >= 0.5]
+    anchors = [op for op in ANCHOR_OPS if op in shared and base[op] >= 0.5]
+    if len(anchors) >= 5:
+        ratios = [run[op] / base[op] for op in anchors]
+        calib_src = f"{len(anchors)} anchors"
+    else:  # anchor set broken (renamed ops?) — fall back, loudly
+        ratios = [run[op] / base[op] for op in shared if base[op] >= 0.5]
+        calib_src = "GLOBAL median (anchor set unavailable — fix ANCHOR_OPS)"
+        warns.append("calibration fell back to the global median; a "
+                     "family-wide regression can self-calibrate there")
     calib = min(3.0, max(1.0, statistics.median(ratios))) if ratios else 1.0
+    if calib > 1.3:
+        warns.append(f"host calib {calib:.2f}x > 1.3 — on the recording "
+                     "host this is itself a drift signal")
     worst = []
     for op in shared:
         limit = calib * max(1.5 * base[op], base[op] + 2.0)
         if run[op] > limit:
-            fails.append(f"DRIFT {op}: {run[op]:.2f}s vs recorded {base[op]:.2f}s "
-                         f"(limit {limit:.2f}s, host calib {calib:.2f}x)")
+            msg = (f"DRIFT {op}: {run[op]:.2f}s vs recorded {base[op]:.2f}s "
+                   f"(limit {limit:.2f}s, host calib {calib:.2f}x)")
+            (warns if exp_only else fails).append(msg)
         worst.append((run[op] / base[op] if base[op] > 0 else 0.0, op))
+    n_exp = 0
+    if exp_paths:
+        _, base10 = load(exp_paths[0])
+        _, run10 = load(exp_paths[1])
+        for op in shared:
+            if op not in base10 or op not in run10:
+                continue
+            if base10[op] < 1.0 or base[op] < 2.0:
+                continue  # noise-bound denominators carry no exponent signal
+            n_exp += 1
+            eb = math.log(base[op] / base10[op]) / math.log(3)
+            er = math.log(run[op] / run10[op]) / math.log(3)
+            if er > eb + 0.55 and run[op] > base[op] + 1.0:
+                fails.append(f"EXPONENT {op}: p10->p30 exponent {er:.2f} vs "
+                             f"recorded {eb:.2f} (+{er-eb:.2f} > 0.55) — the "
+                             f"scaling SHAPE changed, not the host speed")
     worst.sort(reverse=True)
     print(f"== drift gate [{base_path}]: {len(shared)} ops compared, "
-          f"host calib {calib:.2f}x, {len(fails)} flags")
+          f"host calib {calib:.2f}x ({calib_src}), {n_exp} exponents, "
+          f"{len(fails)} flags, {len(warns)} warnings")
     for r, op in worst[:5]:
         print(f"   top ratio {op}: {r:.2f}x ({run[op]:.2f}s vs {base[op]:.2f}s)")
+    for w in warns:
+        print("WARN " + w)
     for f in fails:
         print("FLAG " + f)
     sys.exit(1 if fails else 0)

@@ -27,9 +27,31 @@ def main():
         fails.append(f"no recorded baseline row (new path? record one): {tag}")
     for tag in sorted(set(base) & set(run)):
         b, r = base[tag], run[tag]
+        # regime check (r15 advice): a run that completed materially fewer
+        # batches than the baseline compares tail medians from different
+        # regimes — 10 batches of a 60-batch soak can pass every bound while
+        # measuring nothing. Batches are deterministic per corpus, so any
+        # material gap means the soak did not run the recorded workload.
+        if r["batches"] < 0.75 * b["batches"]:
+            fails.append(f"REGIME {tag}: run completed {r['batches']} batches "
+                         f"vs recorded {b['batches']} — not the same soak")
         if r["state_peak"] > 2 * b["state_peak"]:
             fails.append(f"STATE LEAK {tag}: peak {r['state_peak']} vs "
                          f"recorded {b['state_peak']} (limit {2*b['state_peak']})")
+        # end-of-soak state (r15 advice): a monotone leak that hasn't yet
+        # doubled state_peak is invisible to the peak bound, but its
+        # signature is the LAST point being the max — state_end growing past
+        # 2x its recorded value while the peak bound still holds is exactly
+        # the not-yet-doubled leak. Floor of 64 rows: tiny-state paths
+        # (domain-bounded aggs) jitter by whole windows.
+        if r["state_end"] > max(2 * b["state_end"], 64):
+            fails.append(f"STATE END {tag}: end {r['state_end']} vs "
+                         f"recorded {b['state_end']} (limit {2*b['state_end']})")
+        # tail-vs-head within the RUN: host-speed-independent leak detector
+        # (both medians come from the same session, so a slow host cancels)
+        if r["wall_tail_ms"] > max(2.5 * r["wall_head_ms"], r["wall_head_ms"] + 1000):
+            fails.append(f"WALL GROWTH {tag}: tail {r['wall_tail_ms']}ms vs own "
+                         f"head {r['wall_head_ms']}ms — per-batch cost is growing")
         wall_limit = max(1.5 * b["wall_tail_ms"], b["wall_tail_ms"] + 1000)
         if r["wall_tail_ms"] > wall_limit:
             fails.append(f"WALL DRIFT {tag}: tail {r['wall_tail_ms']}ms vs "

@@ -333,10 +333,19 @@ object ScaleSmoke {
         walls(name) = times.map(_._1).min
         println(f"[scale] $name%-20s min=${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
       } catch {
-        case e: Throwable =>
+        // NonFatal only (r15 advice): after an OutOfMemoryError or
+        // LinkageError the shared JVM/SparkSession may be degraded, so
+        // every wall measured after it would be baseline-poisoned —
+        // fatal errors ABORT the sweep (no walls json is written past
+        // this point, so a partial run can never be recorded).
+        case scala.util.control.NonFatal(e) =>
           crashed += 1
           println(s"[scale] $name FAILED: ${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+        case e: Throwable =>
+          println(s"[scale] $name FATAL ${e.getClass.getSimpleName} — " +
+            "aborting sweep (post-fatal walls are not baseline-valid)")
+          throw e
       }
     }
     if (crashed > 0) println(s"[scale] $crashed op(s) FAILED this sweep")

@@ -44,8 +44,16 @@ final class OperationInfo(
 
   def markCanceled(): Unit = synchronized { status = OpStatus.Canceled }
 
-  def errorUnlessCanceled(): Unit = synchronized {
-    if (status != OpStatus.Canceled) status = OpStatus.Error
+  /** Running→Error unless a concurrent cancel already moved the status.
+    * Returns whether the op actually became Error — the caller must fail
+    * the store ONLY then: a canceled op's body dies with the job-group
+    * cancellation exception, and recording THAT into the store would make
+    * a later fetch rethrow it at the client, violating the cancel
+    * contract (Canceled ⇒ EOS reachable, content unspecified — the
+    * concurrency soak's victim drain caught the rethrow racily). */
+  def errorUnlessCanceled(): Boolean = synchronized {
+    if (status != OpStatus.Canceled) { status = OpStatus.Error; true }
+    else false
   }
 }
 
@@ -83,8 +91,11 @@ final class OperationManager(spark: SparkSession) {
         } catch {
           case NonFatal(t) =>
             info.error = Some(t)
-            info.store.foreach(_.fail(t))
-            info.errorUnlessCanceled()
+            if (info.errorUnlessCanceled()) info.store.foreach(_.fail(t))
+            // canceled: the exception IS the cancellation — terminate the
+            // store cleanly so the client's fetch loop reaches EOS instead
+            // of rethrowing SPARK_JOB_CANCELLED at it
+            else info.store.foreach(_.markEos())
         } finally {
           spark.sparkContext.clearJobGroup()
         }
@@ -101,21 +112,30 @@ final class OperationManager(spark: SparkSession) {
 
   def fetch(handle: OperationHandle, token: Long): FetchResult =
     get(handle) match {
-      case Some(info) => info.store match {
-        case Some(store) => store.fetch(token)
-        // terminal op that never built a store (canceled/errored before
-        // the body reached store creation, or a body — DDL, SET — that
-        // legitimately finishes storeless): a NOT_READY here would spin
-        // a well-behaved fetch loop forever — the r14 concurrency soak
-        // caught exactly that race (cancel landing between submit and
-        // store init). store is only ever assigned INSIDE the body, so a
-        // terminal status with store=None is final. Terminal ⇒ EOS, same
-        // as a store that closed empty.
-        case None if info.status == OpStatus.Canceled ||
-          info.status == OpStatus.Error ||
-          info.status == OpStatus.Finished => FetchResult("EOS", Nil, Nil, None)
-        case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
-      }
+      case Some(info) =>
+        // status BEFORE store — the ordering is load-bearing (r15 advice):
+        // the body assigns store and only THEN finishIfRunning() publishes
+        // Finished (both volatile), so a fetch that observes a terminal
+        // status is guaranteed to see the store that op created, if any.
+        // The prior store-first read raced: observe store=None, get
+        // preempted across the body's store-assign + Finished write, then
+        // observe Finished and answer EOS — silently dropping results.
+        val status = info.status
+        info.store match {
+          case Some(store) => store.fetch(token)
+          // terminal op that never built a store (canceled/errored before
+          // the body reached store creation, or a body — DDL, SET — that
+          // legitimately finishes storeless): a NOT_READY here would spin
+          // a well-behaved fetch loop forever — the r14 concurrency soak
+          // caught exactly that race (cancel landing between submit and
+          // store init). store is only ever assigned INSIDE the body, so a
+          // terminal status observed BEFORE a store=None read is final.
+          // Terminal ⇒ EOS, same as a store that closed empty.
+          case None if status == OpStatus.Canceled ||
+            status == OpStatus.Error ||
+            status == OpStatus.Finished => FetchResult("EOS", Nil, Nil, None)
+          case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
+        }
       case None => FetchResult("NOT_READY", Nil, Nil, Some(token))
     }
 

@@ -168,6 +168,36 @@ class EngineConcurrencySpec extends AnyFunSuite {
       "Canceled must stick through body completion")
   }
 
+  test("a fetch racing the store-assign/Finished window never drops results") {
+    // r15 advice (TOCTOU): fetch used to read store BEFORE status, so it
+    // could observe store=None, lose the CPU across the body's
+    // store-assign + Finished write, then observe Finished and answer an
+    // empty EOS — silently dropping the op's rows. fetch now reads status
+    // FIRST (store write happens-before the Finished write, so a terminal
+    // status guarantees store visibility). Hammer the exact window: tight
+    // unthrottled fetch spins against bodies that assign a one-row store
+    // and immediately finish — the first terminal answer must always carry
+    // the row, never an empty EOS.
+    (1 to 500).foreach { i =>
+      val h = session.ops.submit(s"toctou $i") { info =>
+        val store = new ResultStore(Seq("v"))
+        store.append(Seq(i))
+        store.markEos()
+        info.store = Some(store)
+      }
+      var r = session.ops.fetch(h, 0L)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (r.resultType == "NOT_READY" && System.nanoTime() < deadline)
+        r = session.ops.fetch(h, 0L) // no sleep — maximize window pressure
+      // the terminal page carries the final rows (an at-EOS store serves
+      // rows WITH resultType=EOS); the drop-bug signature is specifically
+      // an EMPTY terminal answer for an op that produced a row
+      assert(r.rows.map(_.fields) == Seq(Seq(i)),
+        s"iteration $i: first terminal fetch was ${r.resultType} with " +
+          s"${r.rows.size} rows — results dropped in the assign/Finish window")
+    }
+  }
+
   test("fetch on a Finished op that never created a store answers EOS") {
     // DDL/SET-shaped bodies legitimately finish storeless; store is only
     // assigned inside the body, so Finished-with-no-store is final and a
