@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CumulateWindows, CurationOps, DedupOps, EmbeddingOps, MultimodalOps, RelationalQueries, SamplingOps, SimilarityOps, TextQueries, WindowQueries}
+import graft.operators.{CumulateWindows, CurationOps, DedupOps, EmbeddingOps, EventPattern, MultimodalOps, RelationalQueries, SamplingOps, SimilarityOps, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ DedupOps.all ++
       SimilarityOps.all ++ WindowQueries.all ++ MultimodalOps.all ++
       CumulateWindows.all ++ CurationOps.all ++ EmbeddingOps.all ++
-      SamplingOps.all
+      SamplingOps.all ++ EventPattern.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. EVERY query carries an oracle (ContractSpec
@@ -24,5 +24,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ WindowQueries.oracles ++ MultimodalOps.oracles ++
       CumulateWindows.oracles ++ CurationOps.oracles ++ EmbeddingOps.oracles ++
-      SamplingOps.oracles
+      SamplingOps.oracles ++ EventPattern.oracles
 }

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-pattern recognition (MATCH_RECOGNIZE-class) — the
+  * tier-V envelope row the reference inherits from Flink's full planner
+  * (`/root/reference/flink-runtime/build.gradle:37` pulls
+  * flink-table-planner, which ships SQL row-pattern recognition): detect
+  * occurrences of an N-stage ordered pattern per partition key, each stage
+  * with its own row predicate, the whole match bounded by a time window
+  * from the pattern's first row (MATCH_RECOGNIZE's `WITHIN`).
+  *
+  * Two AFTER MATCH modes, mirroring the standard's two useful skips:
+  *
+  *  - [[matchPattern]] — `AFTER MATCH SKIP TO NEXT ROW`: one match per
+  *    qualifying START row (matches may overlap). Fully declarative:
+  *    N−1 join+min-agg rounds, so Catalyst plans it and it scales like
+  *    any keyed join. This is the registry/oracle form.
+  *  - [[matchPatternGreedy]] — `AFTER MATCH SKIP PAST LAST ROW` (the
+  *    Flink CEP default): leftmost-earliest match, then resume scanning
+  *    after the match's last row — matches never overlap. A per-key
+  *    ordered scan (the funnel family's posture: per-user state is the
+  *    axis that stays constant as users grow); the pure matcher
+  *    [[greedyMatches]] is shared verbatim by the streaming twin
+  *    ([[graft.streaming.StreamOps.streamingPattern]]), so twin
+  *    equality is equality of inputs, not of two implementations.
+  *
+  * Stage-anchor semantics (both modes): stage 1 anchors at a row
+  * satisfying its predicate; stage k>1 anchors at the EARLIEST row with
+  * ts STRICTLY after stage k−1's anchor and ts ≤ t1 + within. Greedy
+  * earliest anchoring is optimal for match existence: a later stage-k
+  * choice only narrows every later stage's window (c > t_k is harder for
+  * larger t_k), so if any completion exists the greedy one completes.
+  * That argument is what makes the declarative min-agg form EXACT, not
+  * heuristic.
+  *
+  * Scale: the join in [[matchPattern]] bands event time into the equi-key
+  * (the r15 w_interval_join fix): stage-k candidates key on
+  * (user, ⌊ts/within⌋) and each anchor probes the two bands its window
+  * (t_{k−1}, t1+within] ⊆ (t_{k−1}, t_{k−1}+within] can touch, with the
+  * exact bounds as residual filters — a user holding 30% of a corpus
+  * shuffles into per-(user, band) work units instead of one quadratic
+  * task. A candidate row lives in exactly one band, so no pair
+  * duplicates arise.
+  */
+object EventPattern {
+
+  /** One pattern stage: a display name and the row predicate over the
+    * events schema (event_type, value, props, …). */
+  final case class PatternStage(name: String, pred: Column)
+
+  /** Bitmask column: bit k set ⇔ the row satisfies stage k's predicate.
+    * One codegen'd projection qualifies every row for every stage at
+    * once — both the greedy scan and the streaming twin consume (ts,
+    * mask) pairs, never re-evaluating predicates per stage. */
+  def stageMask(stages: Seq[PatternStage]): Column =
+    stages.zipWithIndex
+      .map { case (st, i) => when(st.pred, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ bitwiseOR _)
+
+  /** `AFTER MATCH SKIP TO NEXT ROW`: one match per distinct qualifying
+    * (user_id, t1). Output: user_id, t1_us … tN_us (epoch micros),
+    * ordered by (user_id, t1_us). */
+  def matchPattern(events: DataFrame, stages: Seq[PatternStage],
+      withinUs: Long): DataFrame = {
+    require(stages.size >= 2, "a pattern needs at least two stages")
+    val ev = events.filter(col("ts").isNotNull)
+    var cur = ev.filter(stages.head.pred)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+      .distinct()
+    stages.zipWithIndex.drop(1).foreach { case (st, k) =>
+      val prev = s"t$k"
+      val cand = ev.filter(st.pred)
+        .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+          floor(unix_micros(col("ts")) / withinUs).as("c_bkt"))
+      val probes = cur.withColumn("bkt",
+        explode(array(floor(col(prev) / withinUs),
+          floor(col(prev) / withinUs) + 1)))
+      cur = probes.join(cand,
+          col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+            col("c_ts") > col(prev) && col("c_ts") <= col("t1") + withinUs)
+        .groupBy(col("user_id") +: (1 to k).map(i => col(s"t$i")): _*)
+        .agg(min(col("c_ts")).as(s"t${k + 1}"))
+    }
+    cur.select(col("user_id") +:
+        (1 to stages.size).map(i => col(s"t$i").as(s"t${i}_us")): _*)
+      .orderBy(col("user_id"), col("t1_us"))
+  }
+
+  /** Pure greedy matcher over one key's (ts_us, mask) rows, sorted
+    * ascending: leftmost-earliest match, then SKIP PAST LAST ROW.
+    * Anchors are tried in row order; the first completable anchor yields
+    * the leftmost match (matches order by their first row, and greedy
+    * inner anchoring is completion-optimal — see object doc). Shared by
+    * the batch greedy form and the streaming twin. */
+  def greedyMatches(evs: IndexedSeq[(Long, Int)], nStages: Int,
+      withinUs: Long): List[IndexedSeq[Long]] = {
+    val out = List.newBuilder[IndexedSeq[Long]]
+    var from = 0
+    while (from < evs.length) {
+      var found: IndexedSeq[Long] = null
+      var i = from
+      while (found == null && i < evs.length) {
+        if ((evs(i)._2 & 1) != 0) {
+          val t1 = evs(i)._1
+          val anchors = new Array[Long](nStages)
+          anchors(0) = t1
+          var k = 1
+          var j = i + 1
+          var lastIdx = i
+          while (k < nStages && j < evs.length && evs(j)._1 <= t1 + withinUs) {
+            if ((evs(j)._2 & (1 << k)) != 0 && evs(j)._1 > anchors(k - 1)) {
+              anchors(k) = evs(j)._1; lastIdx = j; k += 1
+            }
+            j += 1
+          }
+          if (k == nStages) { found = anchors.toIndexedSeq; from = lastIdx + 1 }
+        }
+        i += 1
+      }
+      if (found == null) from = evs.length else out += found
+    }
+    out.result()
+  }
+
+  /** `AFTER MATCH SKIP PAST LAST ROW` (Flink CEP default): non-overlapping
+    * matches via a per-user ordered scan. Rows dedup on (ts, mask) first —
+    * same-instant same-qualification duplicates are inert to the pattern
+    * (strict > makes the duplicate unconsumable), and the dedup is what
+    * makes the streaming twin's at-least-once re-delivery tolerance hold
+    * definitionally. Output: user_id, stage_ts (array of epoch-µs anchors,
+    * one per stage), one row per match. */
+  def matchPatternGreedy(events: DataFrame, stages: Seq[PatternStage],
+      withinUs: Long)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = stages.size
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        stageMask(stages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, rows: Iterator[(Long, Long, Int)]) =>
+        val evs = rows.map(r => (r._2, r._3)).toIndexedSeq.distinct.sorted
+        greedyMatches(evs, n, withinUs).map(m => (uid, m.toSeq))
+      }
+      .toDF("user_id", "stage_ts")
+      .orderBy(col("user_id"), col("stage_ts"))
+  }
+
+  // ----------------------------------------------------- registry binding
+  /** The concrete registry pattern: view → click(value ≥ 50) → purchase
+    * WITHIN 24 hours of the view — a funnel-shaped pattern whose middle
+    * stage carries a non-type predicate (the thing q36 cannot express). */
+  private val withinUs24h = 24L * 3600 * 1000000L
+  private def patternStages: Seq[PatternStage] = Seq(
+    PatternStage("view", col("event_type") === "view"),
+    PatternStage("click50",
+      col("event_type") === "click" && col("value") >= 50),
+    PatternStage("purchase", col("event_type") === "purchase"))
+
+  def evtPattern(s: SparkSession, dir: String): DataFrame =
+    matchPattern(Tables.load(s, dir, "events"), patternStages, withinUs24h)
+
+  val evtPatternSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, ts FROM events WHERE ts IS NOT NULL
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts AS t1 FROM ev WHERE event_type = 'view'
+      |), ab AS (
+      |  SELECT a.user_id, a.t1, MIN(e.ts) AS t2 FROM a
+      |  JOIN ev e ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.value >= 50
+      |    AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |), abc AS (
+      |  SELECT ab.user_id, ab.t1, ab.t2, MIN(e.ts) AS t3 FROM ab
+      |  JOIN ev e ON e.user_id = ab.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > ab.t2 AND e.ts <= ab.t1 + INTERVAL 24 HOUR
+      |  GROUP BY ab.user_id, ab.t1, ab.t2
+      |)
+      |SELECT user_id, epoch_us(CAST(t1 AS TIMESTAMP)) AS t1_us,
+      |  epoch_us(CAST(t2 AS TIMESTAMP)) AS t2_us,
+      |  epoch_us(CAST(t3 AS TIMESTAMP)) AS t3_us
+      |FROM abc ORDER BY user_id, t1_us""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_pattern" -> (evtPattern _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_pattern" -> evtPatternSql)
+}

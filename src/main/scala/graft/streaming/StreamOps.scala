@@ -820,6 +820,54 @@ object StreamOps {
       }
   }
 
+  // ----------------------------- streaming pattern (evt_pattern's twin)
+  case class PatternState(events: List[(Long, Int)])
+  case class PatternSnapshot(user_id: Long, matches: Seq[Seq[Long]])
+
+  /** MATCH_RECOGNIZE-on-arrival —
+    * [[graft.operators.EventPattern.matchPatternGreedy]]'s streaming twin
+    * (AFTER MATCH SKIP PAST LAST ROW): per-user non-overlapping pattern
+    * matches maintained incrementally. Each update emits the user's full
+    * corrected match list (the [[streamingSessionize]] snapshot
+    * discipline): a late row can re-anchor the leftmost match and shift
+    * every later match's skip point, so per-match deltas would strand
+    * already-emitted rows, while the snapshot is always the batch answer
+    * over events-so-far. The matcher itself is
+    * [[graft.operators.EventPattern.greedyMatches]] — the SAME function
+    * the batch form runs, so twin equality is equality of inputs.
+    *
+    * State per user: distinct (ts, stage-mask) pairs — the stage mask is
+    * computed ONCE in a codegen'd projection, rows qualifying for no
+    * stage never enter state, and (ts, mask) dedup makes at-least-once
+    * re-delivery a no-op. In production the watermark bounds it
+    * (the [[streamingNearDupTtl]] pattern): a match whose window
+    * [t1, t1+within] closed below the watermark is final — its rows
+    * aggregate out and emit once. */
+  def streamingPattern(events: DataFrame,
+      stages: Seq[graft.operators.EventPattern.PatternStage],
+      withinUs: Long)(
+      implicit spark: SparkSession): Dataset[PatternSnapshot] = {
+    import spark.implicits._
+    val n = stages.size
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        graft.operators.EventPattern.stageMask(stages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[PatternState, PatternSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Int)],
+            state: GroupState[PatternState]) =>
+          val evs = (state.getOption.map(_.events).getOrElse(Nil) ++
+            rows.map(r => (r._2, r._3))).distinct
+          state.update(PatternState(evs))
+          PatternSnapshot(uid,
+            graft.operators.EventPattern.greedyMatches(
+              evs.sorted.toIndexedSeq, n, withinUs).map(_.toSeq))
+      }
+  }
+
   /** Streaming winnowing fingerprints — the MOSS selection of
     * [[graft.operators.TextQueries.txtWinnowing]] on arrival. The batch
     * side's doc-keyed sliding window min becomes a ROW-LOCAL array_min
