@@ -460,6 +460,95 @@ object StreamOps {
       }
   }
 
+  // ------------------- horizon-bounded sessionize (the production form)
+  case class SessOpen(start_us: Long, end_us: Long, n: Long, sum: BigDecimal)
+  case class SessTtlState(opens: List[SessOpen], seen: List[(Long, Long)],
+      maxTs: Long, nextSid: Long)
+  case class FinalSession(user_id: Long, session_id: Long, start_us: Long,
+      end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Horizon-bounded streaming sessionize — [[streamingSessionize]] with
+    * the eviction its scaladoc promises, made real (r15 verdict #2: one
+    * hot user holding 30% of a stream made the snapshot twin's per-user
+    * full-history state the single-reducer cliff). Two structural changes:
+    *
+    *  - state holds SESSION SUMMARIES, not events: gaps-and-islands
+    *    merging only ever needs a session's boundaries (an event extends a
+    *    summary iff it lands within `gap` of it; two summaries merge iff
+    *    gap-adjacent), so per-user state is O(open sessions), not
+    *    O(events) — a hot user costs what its session count costs, at any
+    *    event rate;
+    *  - `horizonUs` is the allowed lateness: events older than
+    *    maxTs − horizon are dropped (the watermark late-drop contract),
+    *    and a session whose end is below maxTs − horizon − gap is FINAL —
+    *    any admissible event has ts ≥ maxTs − horizon > end + gap, so
+    *    nothing can ever extend or merge it. Finals EMIT ONCE and leave
+    *    state. The same inequality proves finals leave in start order, so
+    *    the emitted session numbering equals the batch ROW_NUMBER
+    *    numbering (in-order or horizon-bounded-disorder arrival).
+    *
+    * Re-delivery dedup: event ids within the admissible horizon are kept
+    * (and pruned with it) — at-least-once upstream cannot double-count.
+    * Sum discipline mirrors the batch DECIMAL(30,15) form digit for digit
+    * (exact scale-15 sums in state; toDouble → setScale(6) at emission).
+    *
+    * Bounded corpora: the tail sessions never finalize on their own
+    * (nothing advances maxTs past them) — the spec closes them with a
+    * per-user fence event beyond horizon + gap, the streaming analogue of
+    * end-of-input. */
+  def streamingSessionizeTtl(events: DataFrame,
+      gapUs: Long = 1800L * 1000000L,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalSession] = {
+    import spark.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessTtlState, FinalSession](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[SessTtlState]) =>
+          val st = state.getOption.getOrElse(
+            SessTtlState(Nil, Nil, Long.MinValue, 1L))
+          val seen = st.seen.toMap
+          // saturating lower bounds: maxTs starts at MinValue and plain
+          // subtraction would wrap positive, silently dropping batch 1
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue
+            else ts - back
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          // each admissible event becomes a singleton summary; one sort +
+          // coalesce merges everything gap-adjacent (events into sessions,
+          // sessions into each other — the bridging case included)
+          val singles = fresh.map(e => SessOpen(e._1, e._1, 1L,
+            BigDecimal(e._3).setScale(15, BigDecimal.RoundingMode.HALF_UP)))
+          val merged = (st.opens ++ singles).sortBy(o => (o.start_us, o.end_us))
+            .foldLeft(List.empty[SessOpen]) {
+              case (acc @ (h :: t), o) if o.start_us - h.end_us <= gapUs =>
+                SessOpen(h.start_us, math.max(h.end_us, o.end_us),
+                  h.n + o.n, h.sum + o.sum) :: t
+              case (acc, o) => o :: acc
+            }.reverse
+          val (fin, opens) = merged.partition(
+            _.end_us < floorOf(maxTs, horizonUs + gapUs))
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(SessTtlState(opens, seenKept, maxTs,
+            st.nextSid + fin.size))
+          fin.iterator.zipWithIndex.map { case (s, i) =>
+            FinalSession(uid, st.nextSid + i, s.start_us, s.end_us, s.n,
+              BigDecimal(s.sum.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+          }
+      }
+  }
+
   /** Exact-substring cut on arrival — the streaming twin of
     * [[graft.operators.DedupOps.ddSubstringCut]]: remove from each
     * arriving document every token covered by a k-token window whose hash
@@ -487,9 +576,21 @@ object StreamOps {
             i => BloomSketch.mightContainLit(sketch,
               xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))))
           .otherwise(expr("CAST(array() AS array<int>)")))
+      // covered-index set built ONCE from dup_pos, then a single
+      // array_except — NOT a per-position `exists(dup_pos, …)` lambda:
+      // withColumn chains collapse into one Project with aliases INLINED,
+      // so a dup_pos reference inside a per-element lambda re-evaluates
+      // the entire |toks| bloom-probe scan for EVERY position — O(n²)
+      // probes, 2.5e9 on a 50k-token document (the r16 degenerate
+      // streaming sweep found it 810 s into one pinned core; gate-SF
+      // docs at ~300 tokens never showed it). Inlining still duplicates
+      // the probe scan once per OUTPUT column that references the chain,
+      // but that is a constant factor, not a per-element one.
+      .withColumn("covered",
+        array_distinct(flatten(transform(col("dup_pos"),
+          p => sequence(p, p + (k - 1))))))
       .withColumn("keep_idx",
-        filter(sequence(lit(1), size(col("toks"))),
-          j => !exists(col("dup_pos"), p => p <= j && j <= p + (k - 1))))
+        array_except(sequence(lit(1), size(col("toks"))), col("covered")))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("keep_idx"))).cast("long").as("n_removed"),

@@ -68,6 +68,76 @@ class DegenerateContentSpec extends AnyFunSuite {
     assert(picked.contains(3L) || picked.contains(7L), "positive-weight docs sample")
   }
 
+  // -------------------------------------------- streaming half (r15 #3)
+  // The batch degenerate sweep (ScaleSmoke `degenerate`) runs every
+  // registry op over hostile rows, but the streaming twins never saw them.
+  // Drive the stateless projections (pii, bpe-apply, substring-cut, dsir,
+  // cdc-chunks) and a stateful path (near-dup over the huge doc's simhash)
+  // from a multi-batch file stream of the SAME pathological rows and
+  // assert twin ≡ batch row-for-row — divergence on hostile content is a
+  // branch the uniform corpora never take (empty token arrays, a 100k-char
+  // single token, a 50k-token doc in one row).
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      mode: String, name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("stateless streaming twins match batch on hostile rows") {
+    import graft.streaming.StreamOps
+    val gateDir = "/root/testdata/sf0.001"
+    val d = degenDocs
+    val sdir = java.nio.file.Files.createTempDirectory("degen-stream").toString
+    d.repartition(3).write.mode("overwrite").parquet(sdir)
+    def stream = StreamOps.readParquetStream(spark, sdir, d.schema)
+    // model state comes from the GATE corpus (train offline, score on
+    // arrival) — the hostile rows are pure probe-side input
+    val sketch = graft.operators.DedupOps.substringDupSketch(spark, gateDir)
+    val buckets = graft.operators.SamplingOps.dsirLlrBuckets(spark, gateDir)
+    val merges = graft.operators.CurationOps.txtBpeTrain(spark, gateDir)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val twins = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "pii" -> (StreamOps.streamingPii(_)),
+      "cdc" -> (StreamOps.streamingCdcChunks(_)),
+      "cut" -> (StreamOps.streamingSubstringCut(_, sketch)),
+      "dsir" -> (StreamOps.streamingDsirScore(_, buckets)),
+      "bpe" -> (StreamOps.streamingBpeApply(_, merges)))
+    twins.foreach { case (tag, f) =>
+      val streamed = runToCompletion(f(stream), "append", s"degen_${tag}_out")
+      val batch = f(d)
+      assert(canon(streamed) == canon(batch),
+        s"$tag twin diverged from batch on hostile rows")
+    }
+  }
+
+  test("streaming near-dup matches batch on hostile-doc simhashes (incl. huge docs)") {
+    import graft.streaming.StreamOps
+    import graft.functions.{SimHash64, TextFunctions}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sigs = degenDocs.select(col("doc_id"),
+        SimHash64(TextFunctions.tokens(lower(col("text")))).as("sig"))
+      .as[(Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamingNearDup(mem.toDS())(spark).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("degen_nd_out").start()
+    try {
+      mem.addData(sigs.take(3): _*); q.processAllAvailable()
+      mem.addData(sigs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("degen_nd_out")
+    val batch = StreamOps.batchNearDup(spark.createDataset(sigs))(spark)
+    assert(canon(streamed) == canon(batch.toDF()),
+      "near-dup twin diverged on hostile-doc signatures")
+  }
+
   test("mm_phash/mm_phash64: empty-text docs are absent; multibyte text hashes") {
     val dir = java.nio.file.Files.createTempDirectory("degen2").toString
     degenDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -145,6 +145,100 @@ class StreamingSoakSpec extends AnyFunSuite {
       s"$tag state still growing at soak end (last=${rows.last} max=${rows.max})")
   }
 
+  /** Hot-key variant (r15 verdict #2): same p30 clone derivation, then
+    * ~30% of ALL events re-key to one user (the ScaleSmoke skew rule,
+    * hash on event_id so the selection cuts across clones) — one
+    * mapGroupsWithState group receives 30% of the stream. The uniform
+    * soak can never see a hot-group cliff; this corpus is built to. */
+  private lazy val skewSoakDir: String = {
+    val d = "/tmp/graft_soak_events_skew"
+    if (!Files.exists(Paths.get(s"$d/_SOAK_READY"))) {
+      val base = Tables.load(spark, srcDir, "events")
+      val cloned = (0 until factor).map { k =>
+        base.select(
+          (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(10)) < 3, lit(424242L))
+            .otherwise(col("user_id")))
+        .withColumn("__chunk", ntile(60).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+        .localCheckpoint()
+      (1 to 60).foreach { c =>
+        cloned.filter(col("__chunk") === c).drop("__chunk")
+          .coalesce(1).write.mode("append").parquet(d)
+      }
+      Files.createFile(Paths.get(s"$d/_SOAK_READY"))
+    }
+    d
+  }
+
+  test("skew soak: horizon-bounded sessionize is state- and wall-flat under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    val ps = soak(
+      StreamOps.streamingSessionizeTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema))(spark)
+        .toDF(),
+      "update", "soak_sess_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    // state rows = one SessTtlState row per live user; the hot user's
+    // CONTENT is horizon-bounded (open session summaries + seen-ids within
+    // 2h), so state BYTES must not trend — tail ≤ 2x head is the leak
+    // detector the summary compaction exists to pass (the unbounded
+    // snapshot twin fails it by construction: its hot-user state grows
+    // linearly with the stream)
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"sessionize_ttl_skew: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user state bytes trending: head $bHead tail $bTail")
+    assertFlat("sessionize_ttl_skew", ps)
+    emitSoak("sessionize_ttl_skew", ps)
+    assert(spark.table("soak_sess_skew").count() > 1000,
+      "most sessions should finalize during the soak")
+  }
+
+  test("skew soak: funnel state stays geometry-bounded under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    val ps = soak(
+      StreamOps.streamingFunnel(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema))(spark)
+        .toDF(),
+      "update", "soak_funnel_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    // per-user state = anchor + clicks ≤ t1+win + purchases ≤ t1+2win:
+    // once the hot user's first view lands, its lists FREEZE at the
+    // first-window population — constant thereafter, wall flat
+    assertFlat("funnel_skew", ps)
+    emitSoak("funnel_skew", ps)
+  }
+
+  test("skew soak: stream-stream interval join under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    val ev = StreamOps.readParquetStream(spark, skewSoakDir, soakSchema)
+    val p = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    val ps = soak(joined, "append", "soak_ivjoin_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    // join state is watermark-bounded on BOTH sides (the raw range
+    // predicate is what Spark derives eviction from); the hot user makes
+    // one key hold 30% of the horizon — bounded, so flat
+    assertFlat("ivjoin_skew", ps)
+    emitSoak("ivjoin_skew", ps)
+    assert(spark.table("soak_ivjoin_skew").count() > 0)
+  }
+
   test("soak: windowed agg state is watermark-bounded and wall-flat (60 batches)") {
     assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
     val ps = soak(

@@ -76,6 +76,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("horizon-bounded sessionize: finals == batch q38 rows, numbering included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(_._2.getTime) // ts-ordered arrival; horizon covers in-batch ties
+    val horizonUs = 2L * 3600 * 1000000L
+    val gapUs = 1800L * 1000000L
+    val maxUs = ev.last._2.getTime * 1000L
+    // end-of-input fence: one far-future event per user pushes maxTs past
+    // horizon + gap of everything real, finalizing every real session; the
+    // fence sessions themselves stay open and never emit
+    val fences = ev.map(_._1).distinct.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp((maxUs + horizonUs + 2 * gapUs) / 1000L + 1000L),
+        -1000L - i, 0.0)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamOps.streamingSessionizeTtl(df, gapUs, horizonUs).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_ttl_out").start()
+    try {
+      ev.grouped((ev.length + 9) / 10).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(fences.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_ttl_out")
+    val batch = graft.operators.RelationalQueries.q38Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+    assert(canon(streamed) == canon(batch),
+      "horizon-bounded finals must equal the batch session table")
+    // emit-once: no duplicate (user, session) rows
+    assert(streamed.select("user_id", "session_id").distinct().count() ==
+      streamed.count())
+  }
+
+  test("horizon-bounded sessionize: late drop, eviction, re-delivery, bridge-merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamOps.streamingSessionizeTtl(df).toDF() // gap 30m, horizon 2h
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_ttl_hand").start()
+    try {
+      // session A: 12:00 + 12:58 are separate (58m > gap) until the 12:29
+      // bridge merges all three into one summary — the compaction case
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, 1.0),
+        (1L, t("2024-01-01 12:58:00"), 2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 12:29:00"), 3L, 4.0),
+        (1L, t("2024-01-01 12:29:00"), 3L, 4.0)) // same batch re-delivery
+      q.processAllAvailable()
+      // advance maxTs to 16:00: A (ends 12:58) < 16:00-2h-30m = 13:30 ->
+      // A finalizes NOW and leaves state
+      mem.addData((1L, t("2024-01-01 16:00:00"), 4L, 8.0))
+      q.processAllAvailable()
+      // cross-batch re-delivery of event 1 AND a late event at 12:05
+      // (below 16:00 - 2h): both must be dropped — no new session, no
+      // re-emission, no double count
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, 1.0),
+        (1L, t("2024-01-01 12:05:00"), 9L, 99.0))
+      q.processAllAvailable()
+      // fence finalizes the 16:00 session
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_ttl_hand")
+      .select("user_id", "session_id", "start_us", "end_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+    def us(s: String) = t(s).getTime * 1000L
+    assert(rows.length == 2, s"expected 2 finals, got ${rows.mkString("; ")}")
+    assert(rows(0) == Seq(1L, 1L, us("2024-01-01 12:00:00"),
+      us("2024-01-01 12:58:00"), 3L, 7.0), s"session 1 wrong: ${rows(0)}")
+    assert(rows(1) == Seq(1L, 2L, us("2024-01-01 16:00:00"),
+      us("2024-01-01 16:00:00"), 1L, 8.0), s"session 2 wrong: ${rows(1)}")
+  }
+
   test("watermark drops late rows (append-mode tumble)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
