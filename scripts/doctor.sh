@@ -76,7 +76,7 @@ else
     estatus=$?
     grep -E '\[scale\] (corpus ready|reusing|walls written)' "$elog"
     [ "$estatus" -ne 0 ] && { echo "doctor: P10 SWEEP FAILED"; tail -5 "$elog"; exit 1; }
-    EXPARGS="--exp scripts/perturb_p10_baseline.json /tmp/graft_perturb_p10.json"
+    EXPARGS="--exp scripts/perturb_p30exp_baseline.json scripts/perturb_p10_baseline.json /tmp/graft_perturb_p10.json"
   else
     echo "doctor: no p10 baseline recorded — exponent leg skipped"
   fi

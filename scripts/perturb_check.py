@@ -24,19 +24,24 @@ ops (shared-VM noise swamps any ratio there) from false-positives. Also
 flags registry drift (ops present in one file but not the other) and mode
 drift (factor/perturb/skew/dim must match).
 
-Exponent gate (r16, verdict r15 #7): `--exp base10.json run10.json` adds a
-HOST-SPEED-INDEPENDENT check for the heavy ops: the p10->p30 scaling
-exponent log3(wall30/wall10) compares a run against the recorded curve
-SHAPE — a >3x-slower host shifts both walls equally and the exponent
-cancels, while a planted quadratic (the r14 seeded demo class) moves the
-exponent by >= +1.0. Flag at exp_run > exp_base + 0.55 (session-transient
-bursts of the documented ~1.6x band move an exponent by at most ~0.43)
-AND run30 > base30 + 1 s (an absolute-growth floor). Only ops with
-base10 >= 1 s and base30 >= 2 s carry exponents — below that, single-run
-noise dominates the ratio. On a >3x-throttled host set
-GRAFT_PERTURB_EXP_ONLY=1: wall flags demote to warnings and the exponent
-gate (plus registry/mode drift) decides — the seeded regression still
-trips it at any host speed.
+Exponent gate (r16, verdict r15 #7): `--exp base30exp.json base10.json
+run10.json` adds a HOST-SPEED-INDEPENDENT check for the heavy ops: the
+p10->p30 scaling exponent log3(wall30/wall10) compares a run against the
+recorded curve SHAPE — a >3x-slower host shifts both walls equally and
+the exponent cancels, while a planted quadratic (the r14 seeded demo
+class) moves the exponent by >= +1.0. BOTH sides must be same-session
+pairs: the run exponent pairs run10 with the main run30 file (one doctor
+session), and the BASELINE exponent pairs base10 with base30exp — a p30
+sweep recorded in the SAME session as the p10 baseline, NOT the ratcheted
+wall baseline (the gate's first live run proved why: the ratchet rows
+date from other sessions, and cross-session drift of the documented
+~1.5-1.9x per-family band leaked straight into the baseline exponent,
+flagging 9 untouched ops). Flag at exp_run > exp_base + 0.55 AND
+run30 > base30exp + 1 s. Only ops with base10 >= 1 s and
+base30exp >= 2 s carry exponents — below that, single-run noise
+dominates the ratio. On a >3x-throttled host set GRAFT_PERTURB_EXP_ONLY=1:
+wall flags demote to warnings and the exponent gate (plus registry/mode
+drift) decides — the seeded regression still trips it at any host speed.
 
 This is the only instrument that catches unbounded-join regressions
 gate-SF correctness cannot see (it caught emb_intrinsic_dim's
@@ -66,8 +71,8 @@ def main():
     exp_paths = None
     if "--exp" in args:
         i = args.index("--exp")
-        exp_paths = (args[i + 1], args[i + 2])
-        args = args[:i] + args[i + 3:]
+        exp_paths = (args[i + 1], args[i + 2], args[i + 3])
+        args = args[:i] + args[i + 4:]
     base_path = args[0] if len(args) > 0 else "scripts/perturb_p30_baseline.json"
     run_path = args[1] if len(args) > 1 else "/tmp/graft_perturb_p30.json"
     exp_only = os.environ.get("GRAFT_PERTURB_EXP_ONLY") == "1"
@@ -105,17 +110,18 @@ def main():
         worst.append((run[op] / base[op] if base[op] > 0 else 0.0, op))
     n_exp = 0
     if exp_paths:
-        _, base10 = load(exp_paths[0])
-        _, run10 = load(exp_paths[1])
+        _, base30exp = load(exp_paths[0])
+        _, base10 = load(exp_paths[1])
+        _, run10 = load(exp_paths[2])
         for op in shared:
-            if op not in base10 or op not in run10:
+            if op not in base10 or op not in run10 or op not in base30exp:
                 continue
-            if base10[op] < 1.0 or base[op] < 2.0:
+            if base10[op] < 1.0 or base30exp[op] < 2.0:
                 continue  # noise-bound denominators carry no exponent signal
             n_exp += 1
-            eb = math.log(base[op] / base10[op]) / math.log(3)
+            eb = math.log(base30exp[op] / base10[op]) / math.log(3)
             er = math.log(run[op] / run10[op]) / math.log(3)
-            if er > eb + 0.55 and run[op] > base[op] + 1.0:
+            if er > eb + 0.55 and run[op] > base30exp[op] + 1.0:
                 fails.append(f"EXPONENT {op}: p10->p30 exponent {er:.2f} vs "
                              f"recorded {eb:.2f} (+{er-eb:.2f} > 0.55) — the "
                              f"scaling SHAPE changed, not the host speed")

@@ -116,7 +116,18 @@ object EventPattern {
             }
             j += 1
           }
-          if (k == nStages) { found = anchors.toIndexedSeq; from = lastIdx + 1 }
+          if (k == nStages) {
+            found = anchors.toIndexedSeq
+            // SKIP PAST LAST ROW at the TIMESTAMP grain: rows sharing the
+            // last anchor's instant are consumed with it. Index order
+            // among equal timestamps is sort tie-breaking, i.e. arbitrary
+            // — instant-grain skipping is the deterministic choice, and
+            // it is what lets the TTL twin's ts-cursor replay
+            // (StreamOps.streamingPatternTtl) be exactly this function.
+            from = lastIdx + 1
+            while (from < evs.length && evs(from)._1 <= anchors(nStages - 1))
+              from += 1
+          }
         }
         i += 1
       }

@@ -969,6 +969,82 @@ object StreamOps {
       }
   }
 
+  case class PatternTtlState(events: List[(Long, Int)],
+      seen: List[(Long, Long)], maxTs: Long, lastEnd: Long)
+  case class FinalMatch(user_id: Long, stage_ts: Seq[Long])
+
+  /** Horizon-bounded streaming pattern — [[streamingPattern]] with real
+    * eviction (the [[streamingSessionizeTtl]] discipline applied to
+    * MATCH_RECOGNIZE state): `horizonUs` is the allowed lateness, and the
+    * finalization law is geometric. With W = `withinUs` and
+    * floor = maxTs − horizon − W:
+    *
+    *  - a pattern start at t1 ≤ floor is RESOLVED: its whole window
+    *    [t1, t1+W] lies below maxTs − horizon, where no admissible event
+    *    can land — if it completed, the match is final (emit once); if
+    *    not, no future event can complete it (everything admissible is
+    *    outside its window);
+    *  - an event at ts ≤ floor can never serve a LATER match: stage
+    *    anchors are strictly increasing, so a match starting at
+    *    t1 > floor only consumes rows above floor. Resolved-zone events
+    *    leave state.
+    *
+    * So state per key = events in the (horizon + W) tail plus the skip
+    * cursor (greedy consumption is a prefix property: SKIP PAST LAST ROW
+    * resumes after the last emitted match's last row) — bounded by the
+    * key's arrival RATE over a fixed span, never by stream length. The
+    * matcher is the same pure [[graft.operators.EventPattern
+    * .greedyMatches]]; finals leave in start order, so concatenated
+    * emissions equal the batch greedy match list (spec: fence-closed
+    * equality, late-drop hand case). */
+  def streamingPatternTtl(events: DataFrame,
+      stages: Seq[graft.operators.EventPattern.PatternStage],
+      withinUs: Long, horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatch] = {
+    import spark.implicits._
+    val n = stages.size
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        graft.operators.EventPattern.stageMask(stages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternTtlState, FinalMatch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int)],
+            state: GroupState[PatternTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          // events above the skip cursor, sorted: the greedy scan's input
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = graft.operators.EventPattern.greedyMatches(
+            evs.toIndexedSeq, n, withinUs)
+          // final = start below the resolved line; later matches (and the
+          // rows greedy consumed for them) stay IN state via the replay
+          // form: keep only events past the last final match's end, and
+          // past the resolved line — the next update re-derives the same
+          // in-flight matches from the kept tail (greedy is deterministic)
+          val fin = ms.takeWhile(_.head <= floor)
+          val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last.last
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 > floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map(m => FinalMatch(uid, m.toSeq))
+      }
+  }
+
   /** Streaming winnowing fingerprints — the MOSS selection of
     * [[graft.operators.TextQueries.txtWinnowing]] on arrival. The batch
     * side's doc-keyed sliding window min becomes a ROW-LOCAL array_min

@@ -132,6 +132,98 @@ class EventPatternSpec extends AnyFunSuite {
     assert(greedy.nonEmpty, "gate corpus should produce matches")
   }
 
+  // ------------------------------------- horizon-bounded streaming twin
+  test("TTL pattern: fence-closed finals == batch greedy matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val regStages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    val w = 48L * 3600 * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val rows = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .sortBy(_._2.getTime)
+    // the fence must itself QUALIFY for a stage (mask-0 rows never reach
+    // state, so they cannot advance the key's event-time floor): one
+    // far-future 'view' per user opens an unresolvable start and
+    // finalizes everything real below it
+    val maxMs = rows.last._2.getTime
+    val fences = rows.map(_._1).distinct.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp(maxMs + (horizon + w) / 1000L + 3600000L),
+        -2000L - i, "view", 0.0)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternTtl(df, regStages, w, horizon).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pat_ttl_out").start()
+    try {
+      rows.grouped((rows.length + 9) / 10).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(fences.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canonAll(xs: Seq[(Long, Seq[Long])]): Seq[String] =
+      xs.map { case (u, m) => u + ":" + m.mkString(",") }.sorted
+    val streamed = spark.table("pat_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val batch = EventPattern.matchPatternGreedy(
+        Tables.load(spark, dir, "events"), regStages, w)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(canonAll(streamed) == canonAll(batch),
+      "fence-closed TTL finals must equal the batch greedy match list")
+    assert(streamed.nonEmpty)
+    // emit-once: no duplicate finals
+    assert(canonAll(streamed).distinct.size == streamed.size)
+  }
+
+  test("TTL pattern: late rows drop, finals emit exactly once, failed starts resolve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternTtl(df, stages, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_ttl_hand").start()
+    try {
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:30:00"), 2L, "B", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 12:45:00"), 3L, "C", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_ttl_hand").count() == 0,
+        "match must stay in flight until the floor passes its window")
+      // floor = 17:00 - 2h - 1h = 14:00 > 12:00 -> the match finalizes;
+      // the A@17:00 start stays open
+      mem.addData((1L, t("2024-01-01 17:00:00"), 4L, "A", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_ttl_hand").count() == 1, "exactly one final")
+      // late B (ts < 17:00 - 2h) and a re-delivered event 1: both dropped
+      mem.addData((1L, t("2024-01-01 12:50:00"), 9L, "B", 0.0),
+        (1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0))
+      q.processAllAvailable()
+      // fence resolves the 17:00 start as FAILED (no B/C in its window)
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, "A", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_ttl_hand").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(out.length == 1, s"exactly one final, ever; got ${out.mkString("; ")}")
+    val m = out.head._2
+    assert(m == Seq(t("2024-01-01 12:00:00"), t("2024-01-01 12:30:00"),
+      t("2024-01-01 12:45:00")).map(_.getTime * 1000L),
+      s"final anchors wrong: $m")
+  }
+
   // ------------------------------------------------------ streaming twin
   test("streaming pattern snapshots converge to batch greedy (out-of-order batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
