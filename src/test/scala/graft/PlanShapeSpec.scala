@@ -65,6 +65,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("evt_pattern pushes stage predicates into scans and joins on the banded equi-key") {
+    // formatted mode: the simple tree string TRUNCATES long PushedFilters
+    // lists, which would make the value-predicate assertion flaky
+    val plan = SparkEntry.queries("evt_pattern")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // each stage's predicate must reach its own parquet scan — the value
+    // predicate included (GreaterThanOrEqual on click value), not just the
+    // type equalities
+    assert(plan.contains("EqualTo(event_type,view)") &&
+      plan.contains("EqualTo(event_type,click)") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"stage type predicates not pushed in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(value,50.0)"),
+      s"stage value predicate not pushed in:\n$plan")
+    // the stage joins must be HASH joins on the banded equi-key, never a
+    // nested-loop over a user's events (the pre-banding interval-join
+    // cliff class)
+    assert(plan.contains("HashJoin"),
+      s"expected hash joins on (user, band) in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"evt_pattern must never plan a nested loop:\n$plan")
+  }
+
   test("w_asof_join plans ZERO joins — its scalable shape is union+window") {
     // the as-of join is implemented as a union of both sides + a
     // last-value window over event time, never a per-row probe join; any

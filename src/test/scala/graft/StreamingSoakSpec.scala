@@ -239,6 +239,33 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(spark.table("soak_ivjoin_skew").count() > 0)
   }
 
+  test("skew soak: horizon-bounded pattern matcher under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    import graft.operators.EventPattern.PatternStage
+    val stages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    val ps = soak(
+      StreamOps.streamingPatternTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema),
+        stages, withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "update", "soak_pat_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    // hot-user state = qualifying rows in the horizon+W tail (~6h of one
+    // user's stream), not the stream's history — bytes must not trend
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"pattern_ttl_skew: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user pattern state trending: head $bHead tail $bTail")
+    assertFlat("pattern_ttl_skew", ps)
+    emitSoak("pattern_ttl_skew", ps)
+    assert(spark.table("soak_pat_skew").count() > 0, "no finals emitted")
+  }
+
   test("soak: windowed agg state is watermark-bounded and wall-flat (60 batches)") {
     assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
     val ps = soak(
