@@ -69,6 +69,13 @@ else
   EXPARGS=""
   if [ -f scripts/perturb_p10_baseline.json ]; then
     heavies=$(python3 -c "import json; d=json.load(open('scripts/perturb_p30_baseline.json')); print(' '.join(sorted(k for k,v in d.items() if not k.startswith('_') and float(v)>=2.0)))")
+    # an empty heavies list would hand ScaleSmoke NO op filter — a silent
+    # full-registry p10 sweep whose light-op rows carry no exponent signal
+    # (r16 advice); skip the leg loudly instead, like the missing-baseline
+    # branch above
+    if [ -z "$heavies" ]; then
+      echo "doctor: no p30 baseline row >= 2 s — exponent leg skipped (re-record baselines)"
+    else
     elog=$(mktemp)
     SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch \
       "runMain graft.ScaleSmoke 10 $heavies perturb reuse once json=/tmp/graft_perturb_p10.json" \
@@ -77,6 +84,7 @@ else
     grep -E '\[scale\] (corpus ready|reusing|walls written)' "$elog"
     [ "$estatus" -ne 0 ] && { echo "doctor: P10 SWEEP FAILED"; tail -5 "$elog"; exit 1; }
     EXPARGS="--exp scripts/perturb_p30exp_baseline.json scripts/perturb_p10_baseline.json /tmp/graft_perturb_p10.json"
+    fi
   else
     echo "doctor: no p10 baseline recorded — exponent leg skipped"
   fi

@@ -76,6 +76,15 @@ def main():
     base_path = args[0] if len(args) > 0 else "scripts/perturb_p30_baseline.json"
     run_path = args[1] if len(args) > 1 else "/tmp/graft_perturb_p30.json"
     exp_only = os.environ.get("GRAFT_PERTURB_EXP_ONLY") == "1"
+    if exp_only and exp_paths is None:
+        # the demotion is only sound when the exponent gate actually runs:
+        # with no --exp leg (doctor skips it whenever the p10 baseline is
+        # missing) exp_only would wave through an arbitrary wall regression
+        # while checking nothing but registry/mode drift (r16 advice)
+        print("FLAG GRAFT_PERTURB_EXP_ONLY=1 but no --exp leg supplied — "
+              "wall-flag demotion refused (record a p10 baseline or unset "
+              "the env var)")
+        sys.exit(1)
     bmeta, base = load(base_path)
     rmeta, run = load(run_path)
     fails, warns = [], []

@@ -55,10 +55,16 @@ object EventPattern {
     * One codegen'd projection qualifies every row for every stage at
     * once — both the greedy scan and the streaming twin consume (ts,
     * mask) pairs, never re-evaluating predicates per stage. */
-  def stageMask(stages: Seq[PatternStage]): Column =
+  def stageMask(stages: Seq[PatternStage]): Column = {
+    // 1 << 32 wraps to 1 on the JVM: a 32nd stage would silently alias
+    // onto stage 0 in every Int-mask consumer (greedyMatches, both
+    // streaming twins) — fail fast at the one place stages become bits
+    require(stages.size <= 31,
+      s"at most 31 pattern stages fit the Int stage mask, got ${stages.size}")
     stages.zipWithIndex
       .map { case (st, i) => when(st.pred, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ bitwiseOR _)
+  }
 
   /** `AFTER MATCH SKIP TO NEXT ROW`: one match per distinct qualifying
     * (user_id, t1). Output: user_id, t1_us … tN_us (epoch micros),
@@ -66,6 +72,9 @@ object EventPattern {
   def matchPattern(events: DataFrame, stages: Seq[PatternStage],
       withinUs: Long): DataFrame = {
     require(stages.size >= 2, "a pattern needs at least two stages")
+    require(stages.size <= 31,
+      s"at most 31 pattern stages (Int stage-mask bound shared with the " +
+        s"greedy/streaming forms), got ${stages.size}")
     val ev = events.filter(col("ts").isNotNull)
     var cur = ev.filter(stages.head.pred)
       .select(col("user_id"), unix_micros(col("ts")).as("t1"))

@@ -977,17 +977,22 @@ object StreamOps {
     * eviction (the [[streamingSessionizeTtl]] discipline applied to
     * MATCH_RECOGNIZE state): `horizonUs` is the allowed lateness, and the
     * finalization law is geometric. With W = `withinUs` and
-    * floor = maxTs − horizon − W:
+    * floor = maxTs − horizon − W, the resolved zone is STRICT (r16
+    * verdict #2: admission `ts ≥ maxTs − horizon` and the match window
+    * `c_ts ≤ t1 + W` are both INCLUSIVE, so a start at exactly
+    * t1 == floor has window end t1 + W == maxTs − horizon — an instant a
+    * still-admissible event can hit with equality; resolving at-or-below
+    * would evict an anchor batch greedy can still complete):
     *
-    *  - a pattern start at t1 ≤ floor is RESOLVED: its whole window
-    *    [t1, t1+W] lies below maxTs − horizon, where no admissible event
-    *    can land — if it completed, the match is final (emit once); if
-    *    not, no future event can complete it (everything admissible is
-    *    outside its window);
-    *  - an event at ts ≤ floor can never serve a LATER match: stage
-    *    anchors are strictly increasing, so a match starting at
-    *    t1 > floor only consumes rows above floor. Resolved-zone events
-    *    leave state.
+    *  - a pattern start at t1 < floor is RESOLVED: its whole window
+    *    [t1, t1+W] ends strictly below maxTs − horizon, where no
+    *    admissible event can land — if it completed, the match is final
+    *    (emit once); if not, no future event can complete it (everything
+    *    admissible is outside its window);
+    *  - an event at ts < floor can never serve a LATER match: stage
+    *    anchors are strictly increasing and every unresolved start has
+    *    t1 ≥ floor, so an unresolved match only consumes rows at-or-above
+    *    floor. Strictly-below-floor events leave state.
     *
     * So state per key = events in the (horizon + W) tail plus the skip
     * cursor (greedy consumption is a prefix property: SKIP PAST LAST ROW
@@ -1035,9 +1040,9 @@ object StreamOps {
           // form: keep only events past the last final match's end, and
           // past the resolved line — the next update re-derives the same
           // in-flight matches from the kept tail (greedy is deterministic)
-          val fin = ms.takeWhile(_.head <= floor)
+          val fin = ms.takeWhile(_.head < floor)
           val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last.last
-          val kept = evs.filter(e => e._1 > lastEnd && e._1 > floor)
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
           val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
             .filter(_._2 >= floorOf(maxTs, horizonUs))
           state.update(PatternTtlState(kept, seenKept, maxTs, lastEnd))

@@ -224,6 +224,59 @@ class EventPatternSpec extends AnyFunSuite {
       s"final anchors wrong: $m")
   }
 
+  test("TTL pattern: exact boundary tie — a start AT floor stays unresolved (strict <)") {
+    // r16 verdict #2: admission (ts ≥ maxTs − horizon) and the match
+    // window (c_ts ≤ t1 + W) are both inclusive, so a start at exactly
+    // t1 == floor == maxTs − horizon − W has window end t1 + W ==
+    // maxTs − horizon — an instant a still-admissible event can hit with
+    // equality. At-or-below-floor resolution would evict the anchor and
+    // lose a match batch greedy finds; the strict-< law keeps it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternTtl(df, stages, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_ttl_tie").start()
+    val allRows = Seq(
+      (1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+      (1L, t("2024-01-01 12:30:00"), 2L, "B", 0.0),
+      (1L, t("2024-01-01 15:00:00"), 3L, "A", 0.0),
+      (1L, t("2024-01-01 13:00:00"), 4L, "C", 0.0))
+    try {
+      mem.addData(allRows(0), allRows(1))
+      q.processAllAvailable()
+      // A@15:00 sets floor = 15:00 − 2h − 1h = 12:00 == the A@12:00 start
+      mem.addData(allRows(2))
+      q.processAllAvailable()
+      assert(spark.table("pat_ttl_tie").count() == 0,
+        "a start at exactly floor is unresolved — nothing may finalize")
+      // C at exactly maxTs − horizon == t1 + W: admissible with equality,
+      // inside the tied start's inclusive window — must complete the match
+      mem.addData(allRows(3))
+      q.processAllAvailable()
+      // fence pushes floor past everything real
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, "A", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_ttl_tie").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(out.toSeq == Seq((1L, Seq(t("2024-01-01 12:00:00"),
+      t("2024-01-01 12:30:00"), t("2024-01-01 13:00:00"))
+      .map(_.getTime * 1000L))),
+      s"tied-boundary match lost or wrong: ${out.mkString("; ")}")
+    // and the batch greedy form agrees on the same event multiset
+    val batchDf = allRows.map { case (u, tt, id, ty, v) => (u, ty, v, tt) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val batch = EventPattern.matchPatternGreedy(batchDf, stages, w)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(batch.toSeq == out.toSeq,
+      "streaming tie semantics must equal batch greedy")
+  }
+
   // ------------------------------------------------------ streaming twin
   test("streaming pattern snapshots converge to batch greedy (out-of-order batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -162,6 +162,50 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 16:00:00"), 1L, 8.0), s"session 2 wrong: ${rows(1)}")
   }
 
+  test("horizon-bounded sessionize: exact boundary tie — a session ending AT floor stays open") {
+    // the sessionize analogue of the pattern-TTL tie (r16 verdict #2):
+    // a session ending at exactly floor = maxTs − horizon − gap can still
+    // be extended by an admissible event at exactly maxTs − horizon
+    // (admission and gap-merge are both inclusive) — the strict < at the
+    // finalization line is what keeps it open. Pinned so neither TTL
+    // operator can regress to at-or-below resolution.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamOps.streamingSessionizeTtl(df).toDF() // gap 30m, horizon 2h
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_ttl_tie").start()
+    try {
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // E2@14:30 sets floor = 14:30 − 2h − 30m = 12:00 == session A's end
+      mem.addData((1L, t("2024-01-01 14:30:00"), 2L, 8.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ttl_tie").count() == 0,
+        "a session ending at exactly floor is unresolved — nothing may finalize")
+      // E3 at exactly maxTs − horizon == 12:30: admissible with equality,
+      // gap-adjacent to the tied session (30m ≤ gap) — must merge into it
+      mem.addData((1L, t("2024-01-01 12:30:00"), 3L, 2.0))
+      q.processAllAvailable()
+      // fence finalizes everything real
+      mem.addData((1L, t("2024-01-02 12:00:00"), 4L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_ttl_tie")
+      .select("user_id", "session_id", "start_us", "end_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).sortBy(_(1).asInstanceOf[Long])
+    def us(s: String) = t(s).getTime * 1000L
+    assert(rows.length == 2, s"expected 2 finals, got ${rows.mkString("; ")}")
+    assert(rows(0) == Seq(1L, 1L, us("2024-01-01 12:00:00"),
+      us("2024-01-01 12:30:00"), 2L, 3.0),
+      s"tied session must absorb the boundary event: ${rows(0)}")
+    assert(rows(1) == Seq(1L, 2L, us("2024-01-01 14:30:00"),
+      us("2024-01-01 14:30:00"), 1L, 8.0), s"session 2 wrong: ${rows(1)}")
+  }
+
   test("watermark drops late rows (append-mode tumble)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
