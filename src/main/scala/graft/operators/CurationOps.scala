@@ -1022,6 +1022,54 @@ object CurationOps {
     * normalization windows over THAT model-sized frame, not the event
     * log. Nothing downstream of the first agg is corpus-sized. */
   def evtTransitions(s: SparkSession, dir: String): DataFrame = {
+    // TIME-BANDED two-phase form (r16 verdict #1): the one-window form
+    // (kept as [[evtTransitionsDirect]], the spec cross-check twin) sorts
+    // each user's full history on one reducer — a hot user holding 30% of
+    // the stream concentrates the sort on one task. Banding event time
+    // into the lag window's key splits that into per-(user, band) sort
+    // units; the only pairs the in-band lag misses are the ONE pair per
+    // consecutive non-empty band (last event of band b, first of band
+    // b+1), recovered from a per-user pass over the model-sized band
+    // frame. Adjacency is total: in-band lag pairs + boundary pairs =
+    // exactly the (n−1) consecutive pairs of the unbanded order, so the
+    // transition counts (and the oracle hash) are unchanged.
+    val bandUs = 6L * 3600 * 1000000L
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("band", floor(col("us") / bandUs))
+    val wb = Window.partitionBy(col("user_id"), col("band"))
+      .orderBy(col("us"), col("event_id"))
+    val inBand = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wb))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    // boundary pairs: (us, event_id) is the lag's sort key, so the band's
+    // first/last EVENT is the struct-min/max over that key with the type
+    // riding as payload — map-combined, never a second full sort
+    val perBand = e.groupBy(col("user_id"), col("band"))
+      .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("l"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("band"))
+    val boundary = perBand
+      .withColumn("prev_type", lag(col("l.event_type"), 1).over(wu))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("f.event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    inBand.unionByName(boundary)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(sum(col("n_trans")).as("n_trans"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        (round(col("n_trans").cast("double") /
+          sum(col("n_trans")).over(byPrev).cast("double"), 6) + 0.0).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** The single-window form evtTransitions replaced for scale — the
+    * banded form's spec cross-check twin. */
+  def evtTransitionsDirect(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val byPrev = Window.partitionBy(col("prev_type"))
@@ -1207,13 +1255,65 @@ object CurationOps {
     * Scale: ONE user-keyed shuffle shared by the lag window and the
     * moment aggregation. */
   def evtCadence(s: SparkSession, dir: String): DataFrame = {
+    // TIME-BANDED two-phase form (r16 verdict #1, same discipline as
+    // [[evtTransitions]]): per-(user, band) lag gaps + one boundary gap
+    // per consecutive non-empty band, combined by a per-user pass over the
+    // model-sized band frame. The gap multiset equals the unbanded form's
+    // exactly, and the DECIMAL(30,15) element casts + exact decimal sums
+    // are order-free, so s1/s2 (and the oracle hash) are bit-identical.
+    val bandUs = 6L * 3600 * 1000000L
+    val dec = "decimal(30,15)"
+    val dec38 = "decimal(38,15)" // sum(decimal(30,15)) widens to 38,15
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("band", floor(col("us") / bandUs))
+    val wb = Window.partitionBy(col("user_id"), col("band"))
+      .orderBy(col("us"), col("event_id"))
+    // moments in SECONDS: a µs gap squared overflows DECIMAL(30,15)'s
+    // 15 integer digits (day-scale gaps → 1e20); cv is scale-invariant
+    val perBand = e
+      .withColumn("gap",
+        (col("us") - lag(col("us"), 1).over(wb)).cast("double") / 1000000.0)
+      .groupBy(col("user_id"), col("band"))
+      .agg(count(col("gap")).as("n"),
+        sum(col("gap").cast(dec)).as("s1"),
+        sum((col("gap") * col("gap")).cast(dec)).as("s2"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("band"))
+    val boundary = perBand
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wu))
+      .filter(col("prev_last").isNotNull)
+      .withColumn("gap",
+        (col("first_us") - col("prev_last")).cast("double") / 1000000.0)
+      .select(col("user_id"), lit(1L).as("n"),
+        col("gap").cast(dec).cast(dec38).as("s1"),
+        (col("gap") * col("gap")).cast(dec).cast(dec38).as("s2"))
+    perBand.select(col("user_id"), col("n"), col("s1"), col("s2"))
+      .unionByName(boundary)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_gaps"),
+        sum(col("s1")).cast("double").as("s1"),
+        sum(col("s2")).cast("double").as("s2"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"),
+        (col("s1") / col("n_gaps")).as("m"),
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_gaps")) /
+          (col("n_gaps") - 1).cast("double"), lit(0.0))).as("sd"))
+      .select(col("user_id"), col("n_gaps"),
+        (round(col("m"), 6) + 0.0).as("mean_gap_s"),
+        (round(when(col("m") > 0.0, col("sd") / col("m")).otherwise(0.0), 6)
+          + 0.0).as("cv"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The single-window form evtCadence replaced for scale — the banded
+    * form's spec cross-check twin. */
+  def evtCadenceDirect(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val dec = "decimal(30,15)"
     Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         unix_micros(col("ts")).as("us"))
-      // moments in SECONDS: a µs gap squared overflows DECIMAL(30,15)'s
-      // 15 integer digits (day-scale gaps → 1e20); cv is scale-invariant
       .withColumn("gap",
         (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1000000.0)
       .filter(col("gap").isNotNull)

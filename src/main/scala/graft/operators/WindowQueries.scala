@@ -64,9 +64,98 @@ object WindowQueries {
       |) GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   // ------------------------------------------------------- session window
-  // SESSION(ts, gap 5 min) per user: Spark's native session_window operator;
-  // oracle reconstructs sessions with the classic gaps-and-islands SQL.
-  def qSession(s: SparkSession, dir: String): DataFrame =
+  /** SESSION(ts, gap 5 min) per user — the TIME-BANDED two-phase form
+    * (r16 verdict #1): Spark's native `session_window` (kept as
+    * [[qSessionNative]], the streaming path's operator) sorts each user's
+    * FULL history on one reducer, so a hot key holding 30% of the corpus
+    * concentrates 30% of the sort on one task (p100-skew exponent 1.34).
+    * Banding event time into the sort key restores parallelism:
+    *
+    *  - phase 1: gaps-and-islands per (user, ⌊ts/band⌋) — session
+    *    FRAGMENTS; the hot user's events shuffle into per-(user, band)
+    *    sort units (~120 for the 30-day corpus), never one task;
+    *  - phase 2: only fragments that can REACH a band boundary (first
+    *    fragment starting within `gap` of its band's start, last fragment
+    *    ending within `gap` of its band's end) enter a per-user stitch —
+    *    ≤ 2 per touched band, a model-sized frame — where one more
+    *    gaps-and-islands pass merges cross-band chains (a session spanning
+    *    k bands is k chained fragments). Interior fragments are final on
+    *    arrival: in-band fragments are ≥ gap apart by construction, and a
+    *    fragment ending > gap below its band end can never reach the next
+    *    band's earliest possible event.
+    *
+    * Tie semantics follow the ORACLE (a gap of exactly 5 min starts a new
+    * session — DuckDB's `>= 300 → new`, strict merge `< 300`): Spark's
+    * native `session_window` merges AT the tie (measured: two events
+    * exactly 300 s apart share a native session), a measure-zero
+    * disagreement invisible on real µs data but pinned by
+    * BandedOrderedSpec — banded == [[qSessionDirect]] (oracle semantics)
+    * everywhere including ties, banded == [[qSessionNative]] on tie-free
+    * corpora. Band width (6 h) only trades stitch-frame size against
+    * per-unit sort size — any value ≥ gap is correct. */
+  def qSession(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 300L * 1000000L
+    val bandUs = 6L * 3600 * 1000000L
+    val wb = Window.partitionBy(col("user_id"), col("band")).orderBy(col("us"))
+    val frags = events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("band", floor(col("us") / bandUs))
+      .withColumn("new_frag",
+        when(col("us") - lag(col("us"), 1).over(wb) < gapUs, 0L).otherwise(1L))
+      .withColumn("fid", sum(col("new_frag")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("band"), col("fid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n"))
+      // boundary reachability: fid == 1 is the band's first fragment (ids
+      // are 1-based prefix sums); the last fragment is the one holding the
+      // band's max end (fragments never overlap, so max(end) identifies it)
+      .withColumn("band_last_end",
+        max(col("end_us")).over(Window.partitionBy(col("user_id"), col("band"))))
+      .withColumn("stitch",
+        (col("fid") === 1L && col("start_us") < col("band") * bandUs + gapUs) ||
+          (col("end_us") === col("band_last_end") &&
+            col("end_us") > (col("band") + 1L) * bandUs - gapUs))
+    val finals = frags.filter(!col("stitch"))
+      .select(col("start_us").as("sess_start"), col("user_id"),
+        col("n").as("n_events"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val stitched = frags.filter(col("stitch"))
+      .withColumn("new_s",
+        when(col("start_us") - lag(col("end_us"), 1).over(wu) < gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("start_us")).as("sess_start"), sum(col("n")).as("n_events"))
+      .select(col("sess_start"), col("user_id"), col("n_events"))
+    finals.unionByName(stitched).orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** Unbanded gaps-and-islands with the ORACLE's tie rule (new session iff
+    * gap ≥ 5 min) — the single-window form the banded qSession must equal
+    * on EVERY input, exact ties included. Spec twin only: its per-user
+    * window is the single-reducer shape banding exists to avoid. */
+  def qSessionDirect(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 300L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    events(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) < gapUs, 0L).otherwise(1L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("sess_start"), count(lit(1)).as("n_events"))
+      .select(col("sess_start"), col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** The native `session_window` form qSession replaced for scale — still
+    * the operator the STREAMING session path runs (StreamOps.sessionAgg),
+    * and the tie-free cross-check twin (it merges AT an exact-gap tie,
+    * where the oracle starts a new session — see qSession's scaladoc). */
+  def qSessionNative(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

@@ -43,8 +43,35 @@ object ScaleProbe {
     case Some("pq")  => pq(args.drop(1))
     case Some("mm")  => mm(args.drop(1))
     case Some("annop") => annop(args.drop(1))
+    case Some("trio") => trio(args.drop(1))
     case other => sys.error(
-      s"usage: ScaleProbe <ann|ivf|pq|mm> [args] — got $other")
+      s"usage: ScaleProbe <ann|ivf|pq|mm|annop|trio> [args] — got $other")
+  }
+
+  /** `trio <dir>` — phase-isolated walls for the banded ordered trio
+    * (r17): the unbanded single-window forms, the banded forms, and the
+    * banded session's event-level fragment subtree alone (to separate
+    * the frags cost from the union's double execution). */
+  private def trio(args: Seq[String]): Unit = {
+    val dirs = if (args.nonEmpty) args else Seq("/tmp/graft_scale_p30s")
+    val spark = GraftSession.local()
+    import graft.operators.{CurationOps, WindowQueries}
+    dirs.foreach { dir =>
+      println(s"[trio] corpus $dir events=" +
+        Tables.load(spark, dir, "events").count())
+      def run(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        spark.catalog.clearCache()
+        timed("trio", s"$label @${dir.split('/').last}")(f.count())
+      }
+      run("session direct (islands)")(WindowQueries.qSessionDirect(spark, dir))
+      run("session native")(WindowQueries.qSessionNative(spark, dir))
+      run("session banded FULL")(WindowQueries.qSession(spark, dir))
+      run("cadence direct")(CurationOps.evtCadenceDirect(spark, dir))
+      run("cadence banded")(CurationOps.evtCadence(spark, dir))
+      run("transitions direct")(CurationOps.evtTransitionsDirect(spark, dir))
+      run("transitions banded")(CurationOps.evtTransitions(spark, dir))
+    }
+    spark.stop()
   }
 
   private def timed[T](tag: String, label: String)(f: => T): T = {
