@@ -224,6 +224,88 @@ class EventPatternSpec extends AnyFunSuite {
       s"final anchors wrong: $m")
   }
 
+  // ------------------------------------------- quantified pattern (B+)
+  private def evv(rows: (Long, String, Long, Double)*): DataFrame =
+    rows.map { case (u, t, sec, v) => (u, t, v, ts(sec)) }
+      .toDF("user_id", "event_type", "value", "ts")
+
+  private val aP = col("event_type") === "A"
+  private val bP = col("event_type") === "B"
+  private val cP = col("event_type") === "C"
+
+  private def plusRows(df: DataFrame, w: Long) =
+    EventPattern.matchPatternPlus(df, aP, bP, cP, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+
+  test("plus: the run collects every B between the anchor and the completing C") {
+    val df = evv((1L, "A", 0, 0.0), (1L, "B", 10, 5.0), (1L, "B", 20, 7.0),
+      (1L, "B", 25, 9.0), (1L, "C", 30, 0.0), (1L, "B", 40, 1.0),
+      (1L, "C", 50, 0.0))
+    assert(plusRows(df, us(60)) ==
+      Seq((1L, us(0), us(10), 3L, 21.0, us(25), us(30))))
+    // the pure greedy matcher agrees, and resumes past t3 (no 2nd match)
+    val evs = IndexedSeq((us(0), 1, 0.0), (us(10), 2, 5.0), (us(20), 2, 7.0),
+      (us(25), 2, 9.0), (us(30), 4, 0.0), (us(40), 2, 1.0), (us(50), 4, 0.0))
+    assert(EventPattern.greedyMatchesPlus(evs, us(60)) ==
+      List((us(0), us(10), 3L, 21.0, us(25), us(30))))
+  }
+
+  test("plus: a B at exactly t3's instant belongs to C's frame, not the run") {
+    val df = evv((1L, "A", 0, 0.0), (1L, "B", 10, 2.0), (1L, "B", 20, 3.0),
+      (1L, "C", 20, 0.0))
+    assert(plusRows(df, us(60)) ==
+      Seq((1L, us(0), us(10), 1L, 2.0, us(10), us(20))))
+  }
+
+  test("plus: a C before any B is inert; no completing C means no match") {
+    val withEarlyC = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0),
+      (1L, "B", 10, 4.0), (1L, "C", 15, 0.0))
+    assert(plusRows(withEarlyC, us(60)) ==
+      Seq((1L, us(0), us(10), 1L, 4.0, us(10), us(15))))
+    val noC = evv((1L, "A", 0, 0.0), (1L, "B", 10, 4.0), (1L, "C", 5, 0.0))
+    assert(plusRows(noC, us(60)).isEmpty)
+  }
+
+  test("plus: WITHIN is inclusive at t1 + within for the completing row") {
+    val atBound = evv((1L, "A", 0, 0.0), (1L, "B", 30, 1.0), (1L, "C", 60, 0.0))
+    assert(plusRows(atBound, us(60)).nonEmpty)
+    val pastBound = evv((1L, "A", 0, 0.0), (1L, "B", 30, 1.0), (1L, "C", 61, 0.0))
+    assert(plusRows(pastBound, us(60)).isEmpty)
+  }
+
+  test("plus: first greedy match per user == earliest declarative match (gate corpus)") {
+    val dir = "/root/testdata/sf0.01"
+    val events = Tables.load(spark, dir, "events")
+    val w = 24L * 3600 * 1000000L
+    val decl = EventPattern.evtPatternPlus(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).minBy(_._1)).toMap
+    val regStages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    val byUser = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        EventPattern.stageMask(regStages).as("mask"), col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1)
+    val greedy = byUser.flatMap { case (u, rows) =>
+      EventPattern.greedyMatchesPlus(
+        rows.map(r => (r._2, r._3, r._4)).toIndexedSeq.sorted, w)
+        .headOption.map(u -> _)
+    }.toMap
+    assert(greedy.keySet == decl.keySet,
+      "the two modes must agree on WHICH users match")
+    greedy.foreach { case (u, m) =>
+      assert(m == decl(u), s"user $u: greedy first $m != declarative ${decl(u)}")
+    }
+    assert(greedy.nonEmpty, "gate corpus should produce matches")
+  }
+
   test("TTL pattern: exact boundary tie — a start AT floor stays unresolved (strict <)") {
     // r16 verdict #2: admission (ts ≥ maxTs − horizon) and the match
     // window (c_ts ≤ t1 + W) are both inclusive, so a start at exactly

@@ -89,6 +89,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"evt_pattern must never plan a nested loop:\n$plan")
   }
 
+  test("evt_pattern_plus keeps the banded-join discipline across all three rounds") {
+    // the quantified form adds a third join round (the B-run MEASURES
+    // aggregation) — it must ride the same (user, time-band) equi-key as
+    // the anchor rounds, with the value predicate pushed, and never relax
+    // to a nested loop
+    val plan = SparkEntry.queries("evt_pattern_plus")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(event_type,view)") &&
+      plan.contains("EqualTo(event_type,click)") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"stage type predicates not pushed in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(value,50.0)"),
+      s"quantified-stage value predicate not pushed in:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"expected hash joins on (user, band) in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"evt_pattern_plus must never plan a nested loop:\n$plan")
+  }
+
   test("w_asof_join plans ZERO joins — its scalable shape is union+window") {
     // the as-of join is implemented as a union of both sides + a
     // last-value window over event time, never a per-row probe join; any
