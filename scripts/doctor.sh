@@ -116,4 +116,14 @@ if [ "${GRAFT_SOAK:-0}" = "1" ]; then
   python3 scripts/soak_check.py scripts/soak_baseline.json /tmp/graft_soak.json \
     || { echo "doctor: STREAMING SOAK DRIFT"; exit 1; }
 fi
+
+# opt-in: decade-scale skew soak (slower still; p100-skew quartet)
+if [ "${GRAFT_SOAK_DECADE:-0}" = "1" ]; then
+  echo "== doctor 8 (opt-in): decade skew soak drift gate"
+  GRAFT_SOAK_DECADE=1 GRAFT_SOAK_JSON=/tmp/graft_soak_p100.json sbt -batch \
+    'testOnly graft.StreamingSoakSpec' >/dev/null 2>&1 \
+    || { echo "doctor: DECADE SOAK FAILED"; exit 1; }
+  python3 scripts/soak_check.py scripts/soak_p100_baseline.json /tmp/graft_soak_p100.json \
+    || { echo "doctor: DECADE SOAK DRIFT"; exit 1; }
+fi
 echo "doctor: ALL GATES GREEN (tests, verify, oracle, bench, perturb, skew)"

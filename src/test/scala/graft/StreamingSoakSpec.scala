@@ -112,7 +112,7 @@ class StreamingSoakSpec extends AnyFunSuite {
       val prior = if (Files.exists(p))
         new String(Files.readAllBytes(p), "UTF-8").trim
           .stripPrefix("{").stripSuffix("}").trim else ""
-      val merged = (prior.split(",(?=\\s*\"[a-z_]+\": \\{)").toSeq
+      val merged = (prior.split(",(?=\\s*\"[a-z0-9_]+\": \\{)").toSeq
         .filter(e => e.nonEmpty && !e.trim.startsWith("\"" + tag + "\"")) :+ rec)
         .mkString(",\n ")
       Files.write(p, s"{$merged}\n".getBytes("UTF-8"))
@@ -338,6 +338,178 @@ class StreamingSoakSpec extends AnyFunSuite {
     ckptRecoveryRun(
       StreamOps.dedupWithinWatermark(_, watermark = "1 hour"),
       "ckpt_dedup")
+  }
+
+  /** Kill-and-resume for the UPDATE-mode custom-state paths (r16 verdict
+    * #5): sessionize-TTL and pattern-TTL carry hand-rolled case-class
+    * state (opens/seen/maxTs/lastEnd) — the risky recovery surface
+    * (encoder round-trip through the state store, emit-once across the
+    * kill). The parquet FileSink only takes append queries, so these
+    * recover through the standard idempotent-foreachBatch discipline:
+    * each micro-batch OVERWRITES its own batch-id directory, so the
+    * aborted batch's replay rewrites the same directory instead of
+    * duplicating — with 1-file-per-trigger sources, batch boundaries and
+    * the fmgws emissions are deterministic, and the resumed run's total
+    * output must be byte-identical to an uninterrupted run's. */
+  private def ckptRecoveryRunUpdate(mk: DataFrame => DataFrame,
+      tag: String): Unit = {
+    def run(interrupt: Boolean): Seq[String] = {
+      val ckpt = Files.createTempDirectory(s"soak-ckpt-$tag").toString
+      val out = Files.createTempDirectory(s"soak-out-$tag").toString
+      def start() = mk(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/b$id")
+        }.start()
+      val q1 = start()
+      if (interrupt) {
+        val deadline = System.nanoTime() + 300e9.toLong
+        while (q1.recentProgress.count(_.numInputRows > 0) < 20 &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+        q1.stop()
+        val q2 = start()
+        q2.processAllAvailable(); q2.stop()
+      } else { q1.processAllAvailable(); q1.stop() }
+      spark.read.parquet(s"$out/b*").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    val resumed = run(interrupt = true)
+    val uninterrupted = run(interrupt = false)
+    info(s"$tag: ${resumed.size} rows resumed vs ${uninterrupted.size} uninterrupted")
+    assert(resumed == uninterrupted,
+      s"$tag: kill-and-resume diverged from the uninterrupted run")
+    assert(resumed.nonEmpty, s"$tag: empty sink — the rung measured nothing")
+  }
+
+  test("soak: sessionize-TTL kill-and-resume at p30-skew == uninterrupted") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    ckptRecoveryRunUpdate(
+      df => StreamOps.streamingSessionizeTtl(df)(spark).toDF(),
+      "ckpt_sess_ttl")
+  }
+
+  test("soak: pattern-TTL kill-and-resume at p30-skew == uninterrupted") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    import graft.operators.EventPattern.PatternStage
+    val stages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    ckptRecoveryRunUpdate(
+      df => StreamOps.streamingPatternTtl(df, stages,
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "ckpt_pat_ttl")
+  }
+
+  // ------------------------------------------- decade-scale skew soak
+  /** p100-skew soak corpus (r16 verdict #4): factor 100 → 10M events, the
+    * hot user holding ~3M — the ScaleSmoke p100s geometry as 60
+    * event-time-ordered half-day files. Gated separately
+    * (GRAFT_SOAK_DECADE=1, baseline scripts/soak_p100_baseline.json) so
+    * the standard GRAFT_SOAK gate's cost is unchanged. */
+  private lazy val skewSoakDir100: String = {
+    val d = "/tmp/graft_soak_events_skew_p100"
+    if (!Files.exists(Paths.get(s"$d/_SOAK_READY"))) {
+      val base = Tables.load(spark, srcDir, "events")
+      val cloned = (0 until 100).map { k =>
+        base.select(
+          (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(10)) < 3, lit(424242L))
+            .otherwise(col("user_id")))
+        .withColumn("__chunk", ntile(60).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+        .localCheckpoint()
+      (1 to 60).foreach { c =>
+        cloned.filter(col("__chunk") === c).drop("__chunk")
+          .coalesce(1).write.mode("append").parquet(d)
+      }
+      Files.createFile(Paths.get(s"$d/_SOAK_READY"))
+    }
+    d
+  }
+  private val decadeOn = sys.env.get("GRAFT_SOAK_DECADE").contains("1")
+
+  test("decade soak: sessionize-TTL state/wall under a 3M-event hot user") {
+    assume(decadeOn, "set GRAFT_SOAK_DECADE=1 to run the decade soak")
+    val ps = soak(
+      StreamOps.streamingSessionizeTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema))(spark)
+        .toDF(),
+      "update", "soak_sess_skew100")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"sessionize_ttl_skew_p100: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user state bytes trending: head $bHead tail $bTail")
+    assertFlat("sessionize_ttl_skew_p100", ps)
+    emitSoak("sessionize_ttl_skew_p100", ps)
+    assert(spark.table("soak_sess_skew100").count() > 1000)
+  }
+
+  test("decade soak: funnel under a 3M-event hot user") {
+    assume(decadeOn, "set GRAFT_SOAK_DECADE=1 to run the decade soak")
+    val ps = soak(
+      StreamOps.streamingFunnel(
+        StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema))(spark)
+        .toDF(),
+      "update", "soak_funnel_skew100")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    assertFlat("funnel_skew_p100", ps)
+    emitSoak("funnel_skew_p100", ps)
+  }
+
+  test("decade soak: stream-stream interval join under a 3M-event hot user") {
+    assume(decadeOn, "set GRAFT_SOAK_DECADE=1 to run the decade soak")
+    val ev = StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema)
+    val p = ev.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    val ps = soak(joined, "append", "soak_ivjoin_skew100")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    assertFlat("ivjoin_skew_p100", ps)
+    emitSoak("ivjoin_skew_p100", ps)
+    assert(spark.table("soak_ivjoin_skew100").count() > 0)
+  }
+
+  test("decade soak: pattern-TTL under a 3M-event hot user") {
+    assume(decadeOn, "set GRAFT_SOAK_DECADE=1 to run the decade soak")
+    import graft.operators.EventPattern.PatternStage
+    val stages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    val ps = soak(
+      StreamOps.streamingPatternTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema),
+        stages, withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "update", "soak_pat_skew100")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"pattern_ttl_skew_p100: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user pattern state trending: head $bHead tail $bTail")
+    assertFlat("pattern_ttl_skew_p100", ps)
+    emitSoak("pattern_ttl_skew_p100", ps)
+    assert(spark.table("soak_pat_skew100").count() > 0, "no finals emitted")
   }
 
   test("soak: dropDuplicatesWithinWatermark evicts keys and stays wall-flat") {
