@@ -103,8 +103,31 @@ else
   sstatus=$?
   grep -E '\[scale\] (corpus ready|reusing|walls written)' "$slog"
   [ "$sstatus" -ne 0 ] && { echo "doctor: SKEW SWEEP FAILED"; tail -5 "$slog"; exit 1; }
+  # skew exponent leg (r17, verdict r16 #6): p10-skew re-measure of the
+  # skew heavies so a skew-only superlinearity on a slow host can't hide
+  # behind GRAFT_PERTURB_EXP_ONLY — same pairing discipline as step 5
+  # (run exponent = this session's p10s vs p30s; baseline exponent = the
+  # same-session recorded pair p10_skew/p30s_exp).
+  SEXPARGS=""
+  if [ -f scripts/perturb_p10_skew_baseline.json ]; then
+    sheavies=$(python3 -c "import json; d=json.load(open('scripts/perturb_p30_skew_baseline.json')); print(' '.join(sorted(k for k,v in d.items() if not k.startswith('_') and float(v)>=2.0)))")
+    if [ -z "$sheavies" ]; then
+      echo "doctor: no p30-skew baseline row >= 2 s — skew exponent leg skipped"
+    else
+    selog=$(mktemp)
+    SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch \
+      "runMain graft.ScaleSmoke 10 $sheavies perturb skew reuse once json=/tmp/graft_perturb_p10s.json" \
+      >"$selog" 2>&1
+    sestatus=$?
+    grep -E '\[scale\] (corpus ready|reusing|walls written)' "$selog"
+    [ "$sestatus" -ne 0 ] && { echo "doctor: P10-SKEW SWEEP FAILED"; tail -5 "$selog"; exit 1; }
+    SEXPARGS="--exp scripts/perturb_p30s_exp_baseline.json scripts/perturb_p10_skew_baseline.json /tmp/graft_perturb_p10s.json"
+    fi
+  else
+    echo "doctor: no p10-skew baseline recorded — skew exponent leg skipped"
+  fi
   python3 scripts/perturb_check.py scripts/perturb_p30_skew_baseline.json \
-    /tmp/graft_perturb_p30s.json || { echo "doctor: SKEW DRIFT"; exit 1; }
+    /tmp/graft_perturb_p30s.json $SEXPARGS || { echo "doctor: SKEW DRIFT"; exit 1; }
 fi
 
 # opt-in: streaming-state drift gate (slow; mirrors GRAFT_SOAK's gating)

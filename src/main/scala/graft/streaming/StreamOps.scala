@@ -58,6 +58,39 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join (purchase ← clicks within `windowUs`
+    * before it, same user) with the time band IN THE JOIN KEY — the r15
+    * batch w_interval_join banding applied to the STREAMING join (found
+    * by the r17 decade soak: Spark's symmetric hash join keys state by
+    * the equality columns only and applies the range predicate
+    * POST-PROBE, so a hot user's every probe row scanned that user's
+    * whole watermark-horizon buffer — ~100 s/batch at p100-skew, ~10 s
+    * at p30-skew, quadratic in the hot key's rate). Banding event time
+    * into the equality key (band width = the window, probe explodes into
+    * its own and the predecessor band — a click in (p_ts − W, p_ts]
+    * lives in exactly one of those two) bounds every probe to ~2W of the
+    * key's rows regardless of watermark horizon, while watermark-driven
+    * state eviction still derives from the untouched event-time range
+    * condition. A click pairs with a given purchase through exactly one
+    * band, so no duplicate pairs arise. */
+  def streamingIntervalJoin(events: DataFrame,
+      windowUs: Long = 600L * 1000000L,
+      watermark: String = "2 hours"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+        floor(unix_micros(col("ts")) / windowUs).as("p_bkt"))
+      .withColumn("bkt", explode(array(col("p_bkt"), col("p_bkt") - 1)))
+    val c = events.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        floor(unix_micros(col("ts")) / windowUs).as("c_bkt"))
+    p.join(c, col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $windowUs MICROSECONDS"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   // ------------------------------------------------------ streaming top-N
   /** Per-group running top-N — the operator Structured Streaming SQL can't
     * express (rank-over-update-stream). State per key: value→count map;

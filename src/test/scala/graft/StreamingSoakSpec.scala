@@ -219,21 +219,18 @@ class StreamingSoakSpec extends AnyFunSuite {
 
   test("skew soak: stream-stream interval join under a 30% hot user") {
     assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
-    val ev = StreamOps.readParquetStream(spark, skewSoakDir, soakSchema)
-    val p = ev.filter(col("event_type") === "purchase")
-      .withWatermark("ts", "2 hours")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val joined = p.join(c, col("user_id") === col("c_user") &&
-      col("c_ts") <= col("p_ts") &&
-      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    // the BANDED streaming interval join (r17: time band in the join key
+    // — before it, every hot-user probe scanned the user's whole
+    // watermark buffer post-probe, ~9-10 s/batch at p30-skew; the p30
+    // baseline row was re-recorded with the banded form)
+    val joined = StreamOps.streamingIntervalJoin(
+      StreamOps.readParquetStream(spark, skewSoakDir, soakSchema))
     val ps = soak(joined, "append", "soak_ivjoin_skew")
     assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
     // join state is watermark-bounded on BOTH sides (the raw range
     // predicate is what Spark derives eviction from); the hot user makes
-    // one key hold 30% of the horizon — bounded, so flat
+    // one key hold 30% of the horizon — bounded, so flat; the banded key
+    // bounds each probe to ~2 bands of that key's rows
     assertFlat("ivjoin_skew", ps)
     emitSoak("ivjoin_skew", ps)
     assert(spark.table("soak_ivjoin_skew").count() > 0)
@@ -470,17 +467,19 @@ class StreamingSoakSpec extends AnyFunSuite {
 
   test("decade soak: stream-stream interval join under a 3M-event hot user") {
     assume(decadeOn, "set GRAFT_SOAK_DECADE=1 to run the decade soak")
-    val ev = StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema)
-    val p = ev.filter(col("event_type") === "purchase")
-      .withWatermark("ts", "2 hours")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .withWatermark("ts", "2 hours")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val joined = p.join(c, col("user_id") === col("c_user") &&
-      col("c_ts") <= col("p_ts") &&
-      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
-    val ps = soak(joined, "append", "soak_ivjoin_skew100")
+    // Window is 1 MINUTE here, not the p30 rung's 10: the clone
+    // derivation packs ×factor events into the same 30 days, so the hot
+    // user's TRUE in-window pair count grows ~factor² — at p100 the
+    // 10-min join's OUTPUT alone is ~11× the p30 rung's per batch (the
+    // r16 w_interval_join adjudication class — work the corpus really
+    // has). The decade rung measures the operator at a window that keeps
+    // output human-scale; the first p100 run of the UNBANDED join is
+    // what exposed the probe-scan quadratic the banded helper fixes
+    // (BASELINE.md r17).
+    val ps = soak(StreamOps.streamingIntervalJoin(
+        StreamOps.readParquetStream(spark, skewSoakDir100, soakSchema),
+        windowUs = 60L * 1000000L),
+      "append", "soak_ivjoin_skew100")
     assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
     assertFlat("ivjoin_skew_p100", ps)
     emitSoak("ivjoin_skew_p100", ps)

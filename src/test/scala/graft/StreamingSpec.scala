@@ -246,18 +246,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == expected)
   }
 
-  test("stream-stream interval join == batch interval join") {
+  test("stream-stream interval join (banded key) == batch interval join") {
     import graft.operators.WindowQueries
+    // the banded helper (time band in the join KEY — the r17 structural
+    // fix for the hot-key probe scan) must still equal the batch form
+    // pair-for-pair; the band explode may not duplicate or drop any pair
     val ev = StreamOps.readParquetStream(spark, streamDir, eventsSchema)
-    val p = ev.filter(col("event_type") === "purchase")
-      .withWatermark("ts", wideWm)
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .withWatermark("ts", wideWm)
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val joined = p.join(c, col("user_id") === col("c_user") &&
-      col("c_ts") <= col("p_ts") &&
-      col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    val joined = StreamOps.streamingIntervalJoin(ev, watermark = wideWm)
     val streamed = runToCompletion(joined, "append", "ij_out")
       .groupBy(col("p_id"), col("user_id"))
       .agg(count(lit(1)).as("clicks_before"))
