@@ -264,14 +264,31 @@ object EventPattern {
           }
           if (t3 != Long.MinValue) {
             found = true
-            val run = evs.filter(e =>
-              (e._2 & 2) != 0 && e._1 > t1 && e._1 < t3)
-            val bSum = run.foldLeft(BigDecimal(0))((acc, e) =>
-              acc + BigDecimal(e._3).setScale(15, BigDecimal.RoundingMode.HALF_UP))
-            out += ((t1, b1, run.size.toLong,
+            // run aggregation over the slice ALREADY SCANNED, (i, j): every
+            // run member has t1 < ts < t3 ≤ evs(j−1)'s ts, and rows are
+            // ts-sorted, so nothing past j can qualify — bounding the scan
+            // here keeps the whole matcher O(n) per key instead of
+            // O(matches × n) (r17 advice; matters once this matcher rides
+            // the streaming TTL path on a hot key). Sorted order also makes
+            // the last qualifying row the max — no rescan for b_last.
+            var bCount = 0L
+            var bSum = BigDecimal(0)
+            var bLast = Long.MinValue
+            var r = i + 1
+            while (r < j) {
+              val e = evs(r)
+              if ((e._2 & 2) != 0 && e._1 > t1 && e._1 < t3) {
+                bCount += 1
+                bSum += BigDecimal(e._3)
+                  .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+                bLast = e._1
+              }
+              r += 1
+            }
+            out += ((t1, b1, bCount,
               BigDecimal(bSum.toDouble)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0,
-              run.map(_._1).max, t3))
+              bLast, t3))
             from = j
             while (from < evs.length && evs(from)._1 <= t3) from += 1
           }
@@ -281,6 +298,207 @@ object EventPattern {
       if (!found) from = evs.length
     }
     out.result()
+  }
+
+  // -------------------------------------- alternation: A (B|C) D (r18)
+  /** `A (B₀|B₁|…) D` — the alternation slice of the MATCH_RECOGNIZE
+    * envelope (r17 verdict #3; the reference's full planner ships
+    * alternation via `/root/reference/flink-runtime/build.gradle:37`).
+    * Semantics extend the engine's earliest-completion discipline with a
+    * branch-priority tie rule:
+    *
+    *  - t1 anchors at a qualifying A row (`AFTER MATCH SKIP TO NEXT ROW`);
+    *  - t2 = the EARLIEST row satisfying ANY alternative in
+    *    (t1, t1 + within]; a row satisfying several alternatives counts
+    *    as the FIRST-LISTED one, and two different-branch rows at the
+    *    same instant resolve to the first-listed branch (SQL row-pattern
+    *    alternation preference order) — both rules land in one
+    *    `min(struct(ts, branch))` (lexicographic struct min = earliest
+    *    ts, then lowest branch index);
+    *  - t3 = the EARLIEST D with t2 < ts ≤ t1 + within.
+    *
+    * The match carries PROVENANCE: `via` names the winning alternative —
+    * the thing a plain OR-predicate stage cannot report.
+    *
+    * Scale: both rounds are the banded equi-key joins of [[matchPattern]]
+    * (candidates live in one (user, ⌊ts/within⌋) band, anchors probe two);
+    * the branch dimension adds one int column, no extra shuffle. */
+  def matchPatternAlt(events: DataFrame, aPred: Column,
+      alts: Seq[(String, Column)], dPred: Column,
+      withinUs: Long): DataFrame = {
+    require(alts.nonEmpty, "alternation needs at least one branch")
+    val ev = events.filter(col("ts").isNotNull)
+    // first-listed branch wins when one row satisfies several alternatives
+    val biCol = alts.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case (((_, pred), i), rest) => when(pred, lit(i)).otherwise(rest)
+    }
+    // filter with the explicit OR (it pushes to the parquet scan as
+    // Or(And(type,value),…)); bi is then provably non-null — a CASE-based
+    // IsNotNull filter would evaluate post-scan and push nothing
+    val mids = ev.filter(alts.map(_._2).reduce(_ || _))
+      .select(col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_ts"),
+        floor(unix_micros(col("ts")) / withinUs).as("c_bkt"), biCol.as("bi"))
+    def probes(df: DataFrame, t: String): DataFrame = df.withColumn("bkt",
+      explode(array(floor(col(t) / withinUs), floor(col(t) / withinUs) + 1)))
+    val a = ev.filter(aPred)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1")).distinct()
+    val ab = probes(a, "t1").join(mids,
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("t1") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(struct(col("c_ts"), col("bi"))).as("m"))
+      .select(col("user_id"), col("t1"), col("m.c_ts").as("t2"),
+        col("m.bi").as("bi"))
+    val dCand = ev.filter(dPred)
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+        floor(unix_micros(col("ts")) / withinUs).as("c_bkt"))
+    val viaCol = alts.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case (((name, _), i), rest) => when(col("bi") === i, lit(name)).otherwise(rest)
+    }
+    probes(ab, "t1").join(dCand,
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("t2") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1"), col("t2"), col("bi"))
+      .agg(min(col("c_ts")).as("t3"))
+      .select(col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        viaCol.as("via"), col("t3").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+  }
+
+  /** Pure greedy matcher for `A (B₀|B₁|…) D` over one key's (ts, mask)
+    * rows sorted ascending — bit 0 = A, bit 1+i = alternative i, top bit
+    * (1 + nAlts) = D. SKIP PAST LAST ROW at the instant grain (the
+    * [[greedyMatches]] rule); the branch tie rule is
+    * [[matchPatternAlt]]'s (earliest instant, then lowest branch index —
+    * scanned across ALL rows at the winning instant). Returns
+    * (t1, t2, branchIdx, t3) per match. */
+  def greedyMatchesAlt(evs: IndexedSeq[(Long, Int)], nAlts: Int,
+      withinUs: Long): List[(Long, Long, Int, Long)] = {
+    val altMask = ((1 << nAlts) - 1) << 1
+    val dBit = 1 << (1 + nAlts)
+    val out = List.newBuilder[(Long, Long, Int, Long)]
+    var from = 0
+    while (from < evs.length) {
+      var found = false
+      var i = from
+      while (!found && i < evs.length) {
+        if ((evs(i)._2 & 1) != 0) {
+          val t1 = evs(i)._1
+          var t2 = Long.MinValue
+          var bi = Int.MaxValue
+          var t3 = Long.MinValue
+          var j = i + 1
+          while (t3 == Long.MinValue && j < evs.length &&
+              evs(j)._1 <= t1 + withinUs) {
+            val (ts, m) = evs(j)
+            if (t2 == Long.MinValue && (m & altMask) != 0 && ts > t1) {
+              t2 = ts
+              bi = Integer.numberOfTrailingZeros((m & altMask) >>> 1)
+            } else if (t2 == ts && (m & altMask) != 0) {
+              // another row at the winning instant: lowest branch wins
+              bi = math.min(bi, Integer.numberOfTrailingZeros((m & altMask) >>> 1))
+            } else if (t2 != Long.MinValue && (m & dBit) != 0 && ts > t2)
+              t3 = ts
+            j += 1
+          }
+          if (t3 != Long.MinValue) {
+            found = true
+            out += ((t1, t2, bi, t3))
+            from = j
+            while (from < evs.length && evs(from)._1 <= t3) from += 1
+          }
+        }
+        i += 1
+      }
+      if (!found) from = evs.length
+    }
+    out.result()
+  }
+
+  // ------------------------------- optional stage: A B? C (greedy, r18)
+  /** `A B? C` — the optional-stage slice of the quantifier envelope.
+    * `B?` is GREEDY (the SQL row-pattern default): the with-B completion
+    * is PREFERRED whenever it exists, and the matcher backtracks to the
+    * zero-B form only when it doesn't —
+    *
+    *  - with-B: b = earliest B in (t1, t1+W], t3 = earliest C in
+    *    (b, t1+W] (exactly [[matchPattern]]'s 3-stage rounds);
+    *  - zero-B fallback: t3 = earliest C in (t1, t1+W].
+    *
+    * A with-B completion implies a zero-B completion (a C after b is a C
+    * after t1), so the zero-B round is the anchor universe and the with-B
+    * round LEFT-joins onto it: took_b = the with-B row exists, b_us its
+    * anchor (NULL otherwise), t3 = COALESCE(with-B t3, zero-B t3). Output
+    * took_b as INT (0/1) for oracle-hash portability. */
+  def matchPatternOpt(events: DataFrame, aPred: Column, bPred: Column,
+      cPred: Column, withinUs: Long): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    def cand(pred: Column): DataFrame = ev.filter(pred)
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+        floor(unix_micros(col("ts")) / withinUs).as("c_bkt"))
+    def probes(df: DataFrame): DataFrame = df.withColumn("bkt",
+      explode(array(floor(col("t1") / withinUs),
+        floor(col("t1") / withinUs) + 1)))
+    val a = ev.filter(aPred)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1")).distinct()
+    val ab = probes(a).join(cand(bPred),
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("t1") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("c_ts")).as("b1"))
+    val abc = probes(ab).join(cand(cPred),
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("b1") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1"), col("b1"))
+      .agg(min(col("c_ts")).as("t3w"))
+    val ac = probes(a).join(cand(cPred),
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("t1") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("c_ts")).as("t3z"))
+    ac.join(abc, Seq("user_id", "t1"), "left")
+      .select(col("user_id"), col("t1").as("t1_us"),
+        when(col("t3w").isNotNull, 1).otherwise(0).cast("int").as("took_b"),
+        col("b1").as("b_us"),
+        coalesce(col("t3w"), col("t3z")).as("t3_us"))
+      .select(col("user_id"), col("t1_us"), col("took_b"),
+        when(col("took_b") === 1, col("b_us")).as("b_us"), col("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+  }
+
+  // ----------------------- zero-or-more: A B* C with MEASURES (r18)
+  /** `A B* C` with run MEASURES — [[matchPatternPlus]] with the
+    * at-least-one constraint lifted, under the same greedy-emptiness law
+    * as [[matchPatternOpt]]: the NON-EMPTY-run completion (the B+ rounds)
+    * is preferred whenever it exists; otherwise the zero-B completion
+    * (t3 = earliest C in (t1, t1+W]) matches with an EMPTY run —
+    * b_count = 0, b_sum = 0.0, b_last_us NULL. A non-empty-run completion
+    * implies a zero-B completion, so the zero-B round is the match
+    * universe and the B+ MEASURES left-join onto it. */
+  def matchPatternStar(events: DataFrame, aPred: Column, bPred: Column,
+      cPred: Column, withinUs: Long): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    def cand(pred: Column): DataFrame = ev.filter(pred)
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+        floor(unix_micros(col("ts")) / withinUs).as("c_bkt"))
+    def probes(df: DataFrame): DataFrame = df.withColumn("bkt",
+      explode(array(floor(col("t1") / withinUs),
+        floor(col("t1") / withinUs) + 1)))
+    val a = ev.filter(aPred)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1")).distinct()
+    val ac = probes(a).join(cand(cPred),
+        col("user_id") === col("c_user") && col("bkt") === col("c_bkt") &&
+          col("c_ts") > col("t1") && col("c_ts") <= col("t1") + withinUs)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("c_ts")).as("t3z"))
+    val plus = matchPatternPlus(events, aPred, bPred, cPred, withinUs)
+      .select(col("user_id"), col("t1_us").as("t1"), col("b1_us"),
+        col("b_count"), col("b_sum"), col("b_last_us"), col("t3_us"))
+    ac.join(plus, Seq("user_id", "t1"), "left")
+      .select(col("user_id"), col("t1").as("t1_us"),
+        coalesce(col("b_count"), lit(0L)).as("b_count"),
+        (coalesce(col("b_sum"), lit(0.0)) + 0.0).as("b_sum"),
+        col("b_last_us"),
+        coalesce(col("t3_us"), col("t3z")).as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
   }
 
   // ----------------------------------------------------- registry binding
@@ -364,11 +582,149 @@ object EventPattern {
       |  epoch_us(CAST(t3 AS TIMESTAMP)) AS t3_us
       |FROM runm ORDER BY user_id, t1_us""".stripMargin
 
+  /** The registry alternation: view → (click(value ≥ 50) | error) →
+    * purchase WITHIN 24 h — the mid-stage alternative carries provenance
+    * (`via`), the thing an OR-predicate stage cannot report. */
+  def evtPatternAlt(s: SparkSession, dir: String): DataFrame =
+    matchPatternAlt(Tables.load(s, dir, "events"),
+      col("event_type") === "view",
+      Seq("click50" -> (col("event_type") === "click" && col("value") >= 50),
+        "error" -> (col("event_type") === "error")),
+      col("event_type") === "purchase", withinUs24h)
+
+  val evtPatternAltSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, ts FROM events WHERE ts IS NOT NULL
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts AS t1 FROM ev WHERE event_type = 'view'
+      |), mids AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN event_type = 'click' AND value >= 50 THEN 0
+      |         WHEN event_type = 'error' THEN 1 END AS bi
+      |  FROM ev
+      |  WHERE (event_type = 'click' AND value >= 50) OR event_type = 'error'
+      |), ab0 AS (
+      |  SELECT a.user_id, a.t1, MIN(m.ts) AS t2 FROM a
+      |  JOIN mids m ON m.user_id = a.user_id
+      |  WHERE m.ts > a.t1 AND m.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |), ab AS (
+      |  SELECT ab0.user_id, ab0.t1, ab0.t2, MIN(m.bi) AS bi
+      |  FROM ab0 JOIN mids m ON m.user_id = ab0.user_id AND m.ts = ab0.t2
+      |  GROUP BY ab0.user_id, ab0.t1, ab0.t2
+      |), abd AS (
+      |  SELECT ab.user_id, ab.t1, ab.t2, ab.bi, MIN(e.ts) AS t3
+      |  FROM ab JOIN ev e ON e.user_id = ab.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > ab.t2 AND e.ts <= ab.t1 + INTERVAL 24 HOUR
+      |  GROUP BY ab.user_id, ab.t1, ab.t2, ab.bi
+      |)
+      |SELECT user_id, epoch_us(CAST(t1 AS TIMESTAMP)) AS t1_us,
+      |  epoch_us(CAST(t2 AS TIMESTAMP)) AS t2_us,
+      |  CASE bi WHEN 0 THEN 'click50' ELSE 'error' END AS via,
+      |  epoch_us(CAST(t3 AS TIMESTAMP)) AS t3_us
+      |FROM abd ORDER BY user_id, t1_us""".stripMargin
+
+  /** The registry optional pattern: view → click(value ≥ 50)? →
+    * purchase WITHIN 24 h (greedy `B?`). */
+  def evtPatternOpt(s: SparkSession, dir: String): DataFrame =
+    matchPatternOpt(Tables.load(s, dir, "events"),
+      col("event_type") === "view",
+      col("event_type") === "click" && col("value") >= 50,
+      col("event_type") === "purchase", withinUs24h)
+
+  val evtPatternOptSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, ts FROM events WHERE ts IS NOT NULL
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts AS t1 FROM ev WHERE event_type = 'view'
+      |), ab AS (
+      |  SELECT a.user_id, a.t1, MIN(e.ts) AS b1 FROM a
+      |  JOIN ev e ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.value >= 50
+      |    AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |), abc AS (
+      |  SELECT ab.user_id, ab.t1, ab.b1, MIN(e.ts) AS t3w FROM ab
+      |  JOIN ev e ON e.user_id = ab.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > ab.b1 AND e.ts <= ab.t1 + INTERVAL 24 HOUR
+      |  GROUP BY ab.user_id, ab.t1, ab.b1
+      |), ac AS (
+      |  SELECT a.user_id, a.t1, MIN(e.ts) AS t3z FROM a
+      |  JOIN ev e ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |)
+      |SELECT ac.user_id, epoch_us(CAST(ac.t1 AS TIMESTAMP)) AS t1_us,
+      |  CAST(CASE WHEN abc.t3w IS NOT NULL THEN 1 ELSE 0 END AS INT) AS took_b,
+      |  epoch_us(CAST(abc.b1 AS TIMESTAMP)) AS b_us,
+      |  epoch_us(CAST(COALESCE(abc.t3w, ac.t3z) AS TIMESTAMP)) AS t3_us
+      |FROM ac LEFT JOIN abc ON abc.user_id = ac.user_id AND abc.t1 = ac.t1
+      |ORDER BY ac.user_id, t1_us""".stripMargin
+
+  /** The registry zero-or-more pattern: view → click(value ≥ 50)* →
+    * purchase WITHIN 24 h, with run MEASURES (empty run allowed). */
+  def evtPatternStar(s: SparkSession, dir: String): DataFrame =
+    matchPatternStar(Tables.load(s, dir, "events"),
+      col("event_type") === "view",
+      col("event_type") === "click" && col("value") >= 50,
+      col("event_type") === "purchase", withinUs24h)
+
+  val evtPatternStarSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, ts FROM events WHERE ts IS NOT NULL
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts AS t1 FROM ev WHERE event_type = 'view'
+      |), ab AS (
+      |  SELECT a.user_id, a.t1, MIN(e.ts) AS b1 FROM a
+      |  JOIN ev e ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.value >= 50
+      |    AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |), abc AS (
+      |  SELECT ab.user_id, ab.t1, ab.b1, MIN(e.ts) AS t3 FROM ab
+      |  JOIN ev e ON e.user_id = ab.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > ab.b1 AND e.ts <= ab.t1 + INTERVAL 24 HOUR
+      |  GROUP BY ab.user_id, ab.t1, ab.b1
+      |), runm AS (
+      |  SELECT abc.user_id, abc.t1, abc.t3,
+      |    CAST(COUNT(*) AS BIGINT) AS b_count,
+      |    ROUND(CAST(SUM(CAST(e.value AS DECIMAL(30,15))) AS DOUBLE), 6)
+      |      + 0.0 AS b_sum,
+      |    MAX(e.ts) AS b_last
+      |  FROM abc JOIN ev e ON e.user_id = abc.user_id
+      |  WHERE e.event_type = 'click' AND e.value >= 50
+      |    AND e.ts > abc.t1 AND e.ts < abc.t3
+      |  GROUP BY abc.user_id, abc.t1, abc.t3
+      |), ac AS (
+      |  SELECT a.user_id, a.t1, MIN(e.ts) AS t3z FROM a
+      |  JOIN ev e ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |)
+      |SELECT ac.user_id, epoch_us(CAST(ac.t1 AS TIMESTAMP)) AS t1_us,
+      |  COALESCE(r.b_count, 0) AS b_count,
+      |  COALESCE(r.b_sum, 0.0) + 0.0 AS b_sum,
+      |  epoch_us(CAST(r.b_last AS TIMESTAMP)) AS b_last_us,
+      |  epoch_us(CAST(COALESCE(r.t3, ac.t3z) AS TIMESTAMP)) AS t3_us
+      |FROM ac LEFT JOIN runm r ON r.user_id = ac.user_id AND r.t1 = ac.t1
+      |ORDER BY ac.user_id, t1_us""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_pattern" -> (evtPattern _),
-    "evt_pattern_plus" -> (evtPatternPlus _))
+    "evt_pattern_plus" -> (evtPatternPlus _),
+    "evt_pattern_alt" -> (evtPatternAlt _),
+    "evt_pattern_opt" -> (evtPatternOpt _),
+    "evt_pattern_star" -> (evtPatternStar _))
 
   val oracles: Map[String, String] = Map(
     "evt_pattern" -> evtPatternSql,
-    "evt_pattern_plus" -> evtPatternPlusSql)
+    "evt_pattern_plus" -> evtPatternPlusSql,
+    "evt_pattern_alt" -> evtPatternAltSql,
+    "evt_pattern_opt" -> evtPatternOptSql,
+    "evt_pattern_star" -> evtPatternStarSql)
 }

@@ -1184,6 +1184,18 @@ object RelationalQueries {
     * Gap arithmetic runs on `unix_micros` (exact longs — no fractional-
     * second float drift between engines); ordering ties break by event_id.
     *
+    * TIE CONVENTION — deliberately INCLUSIVE here: a gap of exactly 30
+    * minutes (`> 1800s` splits, so `== 1800s` MERGES) keeps the session
+    * open, matching this family's DuckDB oracle and both streaming twins
+    * ([[graft.streaming.StreamOps.streamingSessionize]],
+    * [[graft.streaming.StreamOps.streamingSessionizeTtl]], `<= gapUs`
+    * merges). The window-operator family pins the OPPOSITE rule — strict
+    * (`gap == 5 min` starts a NEW session,
+    * [[graft.operators.WindowQueries.qSession]]) per ITS oracle. Both are
+    * measure-zero on real µs data but each is hash-pinned by its own
+    * oracle: "fixing" either side to match the other breaks a
+    * CORRECTNESS row. Do not unify.
+    *
     * Scale: one user-keyed window shuffle (per-key state = one user's
     * events) + the same-keyed session rollup — the second aggregation
     * reuses the window's partitioning, no extra exchange. */

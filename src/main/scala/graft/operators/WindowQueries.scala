@@ -92,7 +92,16 @@ object WindowQueries {
     * BandedOrderedSpec — banded == [[qSessionDirect]] (oracle semantics)
     * everywhere including ties, banded == [[qSessionNative]] on tie-free
     * corpora. Band width (6 h) only trades stitch-frame size against
-    * per-unit sort size — any value ≥ gap is correct. */
+    * per-unit sort size — any value ≥ gap is correct.
+    *
+    * TIE CONVENTION cross-reference: the sessionize FAMILY pins the
+    * OPPOSITE (inclusive) rule — an exact-gap tie MERGES in
+    * [[graft.operators.RelationalQueries.q38Sessionize]] (`> 1800s`
+    * splits) and both its streaming twins
+    * ([[graft.streaming.StreamOps.streamingSessionize]] /
+    * [[graft.streaming.StreamOps.streamingSessionizeTtl]], `<= gapUs`),
+    * each hash-pinned by its own DuckDB oracle. Neither side may be
+    * "fixed" to match the other without breaking a CORRECTNESS row. */
   def qSession(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 300L * 1000000L
     val bandUs = 6L * 3600 * 1000000L
@@ -156,7 +165,7 @@ object WindowQueries {
     * and the tie-free cross-check twin (it merges AT an exact-gap tie,
     * where the oracle starts a new session — see qSession's scaladoc). */
   def qSessionNative(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    events(s, dir).filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("session_window.start")).as("sess_start"),
@@ -168,7 +177,7 @@ object WindowQueries {
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 300 THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       |), numbered AS (
       |  SELECT user_id, ts,

@@ -449,6 +449,12 @@ object StreamOps {
     * (each double is scaled to 15 decimals HALF_UP, summed exactly, cast
     * back) so convergence is value-exact, not just approximate.
     *
+    * TIE CONVENTION: this family merges AT an exact-gap tie (`> gapUs`
+    * splits, q38's inclusive rule) — the window-operator family
+    * ([[graft.operators.WindowQueries.qSession]]) pins the opposite,
+    * strict rule per its own oracle; see q38Sessionize's scaladoc before
+    * "unifying" either.
+    *
     * State per user: the distinct (ts, event_id, value) set — in
     * production, bounded by the watermark horizon: sessions that END more
     * than gap+watermark before the max seen time are FINAL (no admissible
@@ -1080,6 +1086,83 @@ object StreamOps {
             .filter(_._2 >= floorOf(maxTs, horizonUs))
           state.update(PatternTtlState(kept, seenKept, maxTs, lastEnd))
           fin.iterator.map(m => FinalMatch(uid, m.toSeq))
+      }
+  }
+
+  case class PatternPlusTtlState(events: List[(Long, Int, Double)],
+      seen: List[(Long, Long)], maxTs: Long, lastEnd: Long)
+  case class FinalMatchPlus(user_id: Long, t1_us: Long, b1_us: Long,
+      b_count: Long, b_sum: Double, b_last_us: Long, t3_us: Long)
+
+  /** Horizon-bounded streaming QUANTIFIED pattern (`A B+ C` with run
+    * MEASURES) — [[streamingPatternTtl]]'s replay discipline wired to the
+    * quantified matcher [[graft.operators.EventPattern.greedyMatchesPlus]]
+    * (r17 verdict #2: the quantified pattern shipped batch-only; every
+    * other stateful operator has batch/stream parity).
+    *
+    * The finalization law is the SAME geometry as the fixed-stage twin,
+    * and it covers the run aggregate too: with W = `withinUs` and
+    * floor = maxTs − horizon − W (strict, the r16 exact-tie rule),
+    *
+    *  - a start at t1 < floor is RESOLVED — its whole window [t1, t1+W]
+    *    ends strictly below maxTs − horizon, so no admissible event can
+    *    join its B-run (run members have ts < t3 ≤ t1 + W) or complete
+    *    it: the match, INCLUDING b_count/b_sum/b_last, is final;
+    *  - an event at ts < floor can never serve a later match: every
+    *    unresolved start has t1 ≥ floor and run/completion members have
+    *    ts > t1. Strictly-below-floor events leave state.
+    *
+    * State per key = (ts, mask, value) rows in the (horizon + W) tail past
+    * the skip cursor (SKIP PAST LAST ROW consumption is a prefix property;
+    * the kept tail re-derives in-flight matches deterministically) —
+    * bounded by the key's arrival RATE over a fixed span, never by stream
+    * length. (ts, event_id) dedup makes at-least-once re-delivery a no-op,
+    * and the DECIMAL(30,15) run-sum discipline inside the matcher makes
+    * fence-closed finals equal the batch rows digit for digit
+    * (EventPatternSpec). */
+  def streamingPatternPlusTtl(events: DataFrame,
+      aPred: org.apache.spark.sql.Column, bPred: org.apache.spark.sql.Column,
+      cPred: org.apache.spark.sql.Column, withinUs: Long,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatchPlus] = {
+    import spark.implicits._
+    import graft.operators.EventPattern
+    val stages = Seq(EventPattern.PatternStage("a", aPred),
+      EventPattern.PatternStage("b", bPred),
+      EventPattern.PatternStage("c", cPred))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), EventPattern.stageMask(stages).as("mask"),
+        col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternPlusTtlState, FinalMatchPlus](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
+            state: GroupState[PatternPlusTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternPlusTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4, r._5)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3, e._4)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = EventPattern.greedyMatchesPlus(evs.toIndexedSeq, withinUs)
+          val fin = ms.takeWhile(_._1 < floor)
+          val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last._6
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternPlusTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map(m =>
+            FinalMatchPlus(uid, m._1, m._2, m._3, m._4, m._5, m._6))
       }
   }
 

@@ -359,6 +359,305 @@ class EventPatternSpec extends AnyFunSuite {
       "streaming tie semantics must equal batch greedy")
   }
 
+  // ------------------- alternation / optional / star (r17 verdict #3)
+  private val altBranches = Seq(
+    "b" -> (col("event_type") === "B"),
+    "c" -> (col("event_type") === "C"))
+  private val dP = col("event_type") === "D"
+
+  private def altRows(df: DataFrame, w: Long) =
+    EventPattern.matchPatternAlt(df, aP, altBranches, dP, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+
+  test("alt: earliest branch row wins; provenance names the branch") {
+    // B@10 beats C@15; D@20 completes
+    val viaB = evv((1L, "A", 0, 0.0), (1L, "B", 10, 0.0), (1L, "C", 15, 0.0),
+      (1L, "D", 20, 0.0))
+    assert(altRows(viaB, us(60)) == Seq((1L, us(0), us(10), "b", us(20))))
+    // C@5 beats B@10 — the SECOND-listed branch wins on time
+    val viaC = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0), (1L, "B", 10, 0.0),
+      (1L, "D", 20, 0.0))
+    assert(altRows(viaC, us(60)) == Seq((1L, us(0), us(5), "c", us(20))))
+  }
+
+  test("alt: same-instant branch tie resolves to the FIRST-LISTED branch") {
+    val tied = evv((1L, "A", 0, 0.0), (1L, "C", 10, 0.0), (1L, "B", 10, 0.0),
+      (1L, "D", 20, 0.0))
+    assert(altRows(tied, us(60)) == Seq((1L, us(0), us(10), "b", us(20))))
+    // and the pure greedy twin agrees on the tie (mask: A=1, b=2, c=4, D=8)
+    val evs = IndexedSeq((us(0), 1), (us(10), 2), (us(10), 4), (us(20), 8))
+    assert(EventPattern.greedyMatchesAlt(evs, 2, us(60)) ==
+      List((us(0), us(10), 0, us(20))))
+  }
+
+  test("alt: D before the branch row is inert; D at the branch instant is inert") {
+    val early = evv((1L, "A", 0, 0.0), (1L, "D", 5, 0.0), (1L, "B", 10, 0.0),
+      (1L, "D", 10, 0.0))
+    assert(altRows(early, us(60)).isEmpty)
+    val later = evv((1L, "A", 0, 0.0), (1L, "D", 5, 0.0), (1L, "B", 10, 0.0),
+      (1L, "D", 11, 0.0))
+    assert(altRows(later, us(60)) == Seq((1L, us(0), us(10), "b", us(11))))
+  }
+
+  test("alt: first greedy match per user == earliest declarative match (gate corpus)") {
+    val dir = "/root/testdata/sf0.01"
+    val w = 24L * 3600 * 1000000L
+    val decl = EventPattern.evtPatternAlt(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).minBy(_._1)).toMap
+    // greedy twin input: bit0 = view, bit1 = click50, bit2 = error, bit3 =
+    // purchase — the registry alternation's mask layout
+    val regStages = Seq(
+      PatternStage("view", col("event_type") === "view"),
+      PatternStage("click50",
+        col("event_type") === "click" && col("value") >= 50),
+      PatternStage("error", col("event_type") === "error"),
+      PatternStage("purchase", col("event_type") === "purchase"))
+    val byUser = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        EventPattern.stageMask(regStages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    val names = Seq("click50", "error")
+    val greedy = byUser.flatMap { case (u, rows) =>
+      EventPattern.greedyMatchesAlt(
+        rows.map(r => (r._2, r._3)).toIndexedSeq.distinct.sorted, 2, w)
+        .headOption.map { case (t1, t2, bi, t3) => u -> (t1, t2, names(bi), t3) }
+    }.toMap
+    assert(greedy.keySet == decl.keySet,
+      "the two modes must agree on WHICH users match")
+    greedy.foreach { case (u, m) =>
+      assert(m == decl(u), s"user $u: greedy first $m != declarative ${decl(u)}")
+    }
+    assert(greedy.nonEmpty, "gate corpus should produce matches")
+  }
+
+  private def optRows(df: DataFrame, w: Long) =
+    EventPattern.matchPatternOpt(df, aP, bP, cP, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSeq
+
+  test("opt: greedy B? prefers the with-B completion when it exists") {
+    // C@5 would complete zero-B EARLIER, but B@10 + C@15 completes the
+    // with-B form — greedy takes it (took_b=1, t3 = the later C)
+    val both = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0), (1L, "B", 10, 0.0),
+      (1L, "C", 15, 0.0))
+    assert(optRows(both, us(60)) == Seq((1L, us(0), 1, us(10), us(15))))
+  }
+
+  test("opt: backtracks to zero-B when the with-B form cannot complete") {
+    // B@10 exists but no C after it — the zero-B completion (C@5) matches
+    val backtrack = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0), (1L, "B", 10, 0.0))
+    assert(optRows(backtrack, us(60)) == Seq((1L, us(0), 0, -1L, us(5))))
+    // no B at all: plain A→C
+    val noB = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0))
+    assert(optRows(noB, us(60)) == Seq((1L, us(0), 0, -1L, us(5))))
+    // no C at all: no match, B or not
+    val noC = evv((1L, "A", 0, 0.0), (1L, "B", 10, 0.0))
+    assert(optRows(noC, us(60)).isEmpty)
+  }
+
+  private def starRows(df: DataFrame, w: Long) =
+    EventPattern.matchPatternStar(df, aP, bP, cP, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSeq
+
+  test("star: zero-B completion matches with an EMPTY run (count 0, sum 0.0, null last)") {
+    val empty = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0))
+    assert(starRows(empty, us(60)) == Seq((1L, us(0), 0L, 0.0, -1L, us(5))))
+  }
+
+  test("star: a non-empty run is preferred and carries the plus MEASURES") {
+    // same greedy-emptiness law as opt: C@5 completes zero-B earlier, but
+    // the B+ rounds complete too — the non-empty run wins
+    val runPref = evv((1L, "A", 0, 0.0), (1L, "C", 5, 0.0), (1L, "B", 10, 2.5),
+      (1L, "B", 20, 1.5), (1L, "C", 30, 0.0))
+    assert(starRows(runPref, us(60)) ==
+      Seq((1L, us(0), 2L, 4.0, us(20), us(30))))
+  }
+
+  test("opt/star agree with plus where the run is non-empty (gate corpus)") {
+    val dir = "/root/testdata/sf0.01"
+    val plus = EventPattern.evtPatternPlus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // opt took_b=1 rows ARE the plus anchors' (b1, t3) projection
+    val optB = EventPattern.evtPatternOpt(spark, dir)
+      .filter(col("took_b") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(optB.keySet == plus.keySet,
+      "opt's with-B anchors must equal plus's anchor set")
+    optB.foreach { case (k, (b, t3)) =>
+      assert((b, t3) == (plus(k)._1, plus(k)._5), s"opt/plus disagree at $k")
+    }
+    // star b_count>=1 rows carry plus's MEASURES verbatim
+    val starB = EventPattern.evtPatternStar(spark, dir)
+      .filter(col("b_count") >= 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(starB.keySet == plus.keySet,
+      "star's non-empty-run anchors must equal plus's anchor set")
+    starB.foreach { case (k, (n, s2, last, t3)) =>
+      assert((n, s2, last, t3) ==
+        (plus(k)._2, plus(k)._3, plus(k)._4, plus(k)._5),
+        s"star/plus MEASURES disagree at $k")
+    }
+    assert(plus.nonEmpty, "gate corpus should produce matches")
+  }
+
+  // ---------------------------- quantified-pattern TTL twin (r17 item #2)
+  test("plus TTL: fence-closed finals == batch greedyMatchesPlus (gate corpus)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val aPg = col("event_type") === "view"
+    val bPg = col("event_type") === "click" && col("value") >= 50
+    val cPg = col("event_type") === "purchase"
+    val w = 48L * 3600 * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val rows = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .sortBy(_._2.getTime)
+    // fence: a far-future stage-qualifying 'view' per user (the fixed-stage
+    // fence rule) finalizes every real start below it
+    val maxMs = rows.last._2.getTime
+    val fences = rows.map(_._1).distinct.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp(maxMs + (horizon + w) / 1000L + 3600000L),
+        -2000L - i, "view", 0.0)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternPlusTtl(df, aPg, bPg, cPg, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_plus_ttl_out").start()
+    try {
+      rows.grouped((rows.length + 9) / 10).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(fences.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canonAll(xs: Seq[(Long, (Long, Long, Long, Double, Long, Long))]) =
+      xs.map { case (u, m) => s"$u:$m" }.sorted
+    val streamed = spark.table("pat_plus_ttl_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toSeq
+    // batch reference: the SAME pure matcher over per-user collected rows
+    val regStages = Seq(PatternStage("a", aPg), PatternStage("b", bPg),
+      PatternStage("c", cPg))
+    val batch = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        EventPattern.stageMask(regStages).as("mask"), col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        EventPattern.greedyMatchesPlus(
+          rs.map(r => (r._2, r._3, r._4)).toIndexedSeq.distinct.sorted, w)
+          .map(u -> _)
+      }
+    assert(canonAll(streamed) == canonAll(batch),
+      "fence-closed plus-TTL finals must equal batch greedyMatchesPlus")
+    assert(streamed.nonEmpty, "gate corpus should produce matches")
+    assert(canonAll(streamed).distinct.size == streamed.size, "emit-once")
+  }
+
+  test("plus TTL: late rows drop, run MEASURES final exactly once, failed starts resolve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternPlusTtl(df, aP, bP, cP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_plus_ttl_hand").start()
+    try {
+      // A@12:00, B@12:10 (3.5), B@12:30 (2.5), C@12:45 — run = both B's
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:10:00"), 2L, "B", 3.5),
+        (1L, t("2024-01-01 12:30:00"), 3L, "B", 2.5))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 12:45:00"), 4L, "C", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_plus_ttl_hand").count() == 0,
+        "match must stay in flight until the floor passes its window")
+      // A@17:00 -> floor = 14:00 > 12:00: the match finalizes
+      mem.addData((1L, t("2024-01-01 17:00:00"), 5L, "A", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_plus_ttl_hand").count() == 1, "exactly one final")
+      // late B (behind the horizon) and a re-delivered event 2: both dropped
+      // — neither may spawn a new match or change the emitted MEASURES
+      mem.addData((1L, t("2024-01-01 12:50:00"), 9L, "B", 100.0),
+        (1L, t("2024-01-01 12:10:00"), 2L, "B", 3.5))
+      q.processAllAvailable()
+      // fence resolves the 17:00 start as FAILED (no B/C in its window)
+      mem.addData((1L, t("2024-01-02 12:00:00"), 6L, "A", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_plus_ttl_hand").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    def us2(s: String) = t(s).getTime * 1000L
+    assert(out.toSeq == Seq((1L, us2("2024-01-01 12:00:00"),
+      us2("2024-01-01 12:10:00"), 2L, 6.0, us2("2024-01-01 12:30:00"),
+      us2("2024-01-01 12:45:00"))),
+      s"final row wrong: ${out.mkString("; ")}")
+  }
+
+  test("plus TTL: exact boundary tie — a start AT floor stays unresolved (strict <)") {
+    // the r16 strict-< law must hold for the quantified twin too: a start
+    // at exactly floor == maxTs − horizon − W can still gain run members
+    // and a completing C at maxTs − horizon (admissible with equality)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternPlusTtl(df, aP, bP, cP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_plus_ttl_tie").start()
+    try {
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:30:00"), 2L, "B", 4.0))
+      q.processAllAvailable()
+      // A@15:00 sets floor = 12:00 == the A@12:00 start: unresolved
+      mem.addData((1L, t("2024-01-01 15:00:00"), 3L, "A", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_plus_ttl_tie").count() == 0,
+        "a start at exactly floor is unresolved — nothing may finalize")
+      // a B behind the admission horizon (12:59 < maxTs − horizon = 13:00)
+      // is LATE — it must neither join the run nor change the MEASURES
+      // (note the geometry: an ADMISSIBLE event has ts ≥ 13:00 = t1 + W,
+      // and run members need ts < t3 ≤ t1 + W, so a tied start's RUN is
+      // already final — only its completing C can still arrive)
+      mem.addData((1L, t("2024-01-01 12:59:00"), 4L, "B", 1.5))
+      q.processAllAvailable()
+      // C at exactly maxTs − horizon == t1 + W: admissible with equality,
+      // inside the tied start's inclusive window — completes the match
+      mem.addData((1L, t("2024-01-01 13:00:00"), 5L, "C", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-02 12:00:00"), 6L, "A", 0.0)) // fence
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_plus_ttl_tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    def us2(s: String) = t(s).getTime * 1000L
+    assert(out.toSeq == Seq((1L, us2("2024-01-01 12:00:00"),
+      us2("2024-01-01 12:30:00"), 1L, 4.0, us2("2024-01-01 12:30:00"),
+      us2("2024-01-01 13:00:00"))),
+      s"tied-boundary quantified match lost or wrong: ${out.mkString("; ")}")
+  }
+
   // ------------------------------------------------------ streaming twin
   test("streaming pattern snapshots converge to batch greedy (out-of-order batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

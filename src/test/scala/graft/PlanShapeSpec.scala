@@ -109,6 +109,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"evt_pattern_plus must never plan a nested loop:\n$plan")
   }
 
+  test("alternation/optional/star patterns keep the banded-join discipline") {
+    // the r18 quantifier envelope (alt / opt / star) adds completion
+    // rounds and a provenance dimension — every round must stay a hash
+    // join on the (user, time-band) equi-key with stage predicates
+    // pushed to the scans, never a nested loop
+    Seq("evt_pattern_alt", "evt_pattern_opt", "evt_pattern_star").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("EqualTo(event_type,view)") &&
+        plan.contains("EqualTo(event_type,purchase)"),
+        s"$n: anchor/completion type predicates not pushed in:\n$plan")
+      assert(plan.contains("GreaterThanOrEqual(value,50.0)"),
+        s"$n: click-branch value predicate not pushed in:\n$plan")
+      assert(plan.contains("HashJoin"),
+        s"$n: expected hash joins on (user, band) in:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$n must never plan a nested loop:\n$plan")
+    }
+  }
+
   test("w_asof_join plans ZERO joins — its scalable shape is union+window") {
     // the as-of join is implemented as a union of both sides + a
     // last-value window over event time, never a per-row probe join; any

@@ -250,14 +250,30 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.WindowQueries
     // the banded helper (time band in the join KEY — the r17 structural
     // fix for the hot-key probe scan) must still equal the batch form
-    // pair-for-pair; the band explode may not duplicate or drop any pair
+    // pair-for-pair; the band explode may not duplicate or drop any pair.
+    // Compare the RAW (p_id, user, p_ts, c_ts) multiset against a PLAIN
+    // unbanded batch join — a band-edge defect that swaps one qualifying
+    // click for a non-qualifying one is count-preserving, so the old
+    // aggregated comparison could not see it (r17 advice)
     val ev = StreamOps.readParquetStream(spark, streamDir, eventsSchema)
     val joined = StreamOps.streamingIntervalJoin(ev, watermark = wideWm)
     val streamed = runToCompletion(joined, "append", "ij_out")
+    val evB = Tables.load(spark, dir, "events")
+    val p = evB.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = evB.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batchRaw = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_ts"))
+    assert(canon(streamed) == canon(batchRaw))
+    assert(streamed.count() > 0)
+    // and the rollup still equals the oracle-checked batch operator
+    val streamedAgg = streamed
       .groupBy(col("p_id"), col("user_id"))
       .agg(count(lit(1)).as("clicks_before"))
-    val batch = WindowQueries.qIntervalJoin(spark, dir)
-    assert(canon(streamed) == canon(batch))
+    assert(canon(streamedAgg) == canon(WindowQueries.qIntervalJoin(spark, dir)))
   }
 
   test("CDC changelog: latestSnapshot compacts, deletes drop keys, streaming merge matches") {
