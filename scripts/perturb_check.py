@@ -43,6 +43,14 @@ dominates the ratio. On a >3x-throttled host set GRAFT_PERTURB_EXP_ONLY=1:
 wall flags demote to warnings and the exponent gate (plus registry/mode
 drift) decides — the seeded regression still trips it at any host speed.
 
+Pairing audit (r18, verdict r17 #6): with --exp, each run leg's anchor
+calibration is measured against its own same-session baseline leg
+(run30 vs base30exp, run10 vs base10); a >1.4x disagreement between the
+two legs means the host's speed moved BETWEEN the sweeps — the r17
+failure mode that inflated freshly measured exponents by up to
+log3(1.5) ~ 0.37 — and is warned prominently so such a session's
+exponents are re-measured rather than recorded.
+
 This is the only instrument that catches unbounded-join regressions
 gate-SF correctness cannot see (it caught emb_intrinsic_dim's
 sum-of-n_label^2 join in r13 and mm_phash's pigeonhole self-join in r14).
@@ -122,6 +130,33 @@ def main():
         _, base30exp = load(exp_paths[0])
         _, base10 = load(exp_paths[1])
         _, run10 = load(exp_paths[2])
+        # Same-session pairing audit (r17 verdict #6, applied to BOTH the
+        # uniform and skew invocations since both pass --exp): the exponent
+        # gate assumes the run pair (run30, run10) and the baseline pair
+        # (base30exp, base10) were each measured at ONE host speed. r17
+        # showed the host can drift 1.2x -> 1.5x WITHIN a session, which
+        # inflates a freshly measured exponent by up to log3(drift) ~ 0.4
+        # — most of the 0.55 flag budget. Measure each run leg's anchor
+        # calibration against ITS OWN same-session baseline leg and warn
+        # when the two legs disagree >1.4x: exponents from such a pair are
+        # suspect and should be re-measured back-to-back, not recorded.
+        a30 = [op for op in ANCHOR_OPS
+               if op in base30exp and op in run and base30exp[op] >= 0.5]
+        a10 = [op for op in ANCHOR_OPS
+               if op in base10 and op in run10 and base10[op] >= 0.5]
+        if len(a30) >= 5 and len(a10) >= 5:
+            c30 = statistics.median(run[op] / base30exp[op] for op in a30)
+            c10 = statistics.median(run10[op] / base10[op] for op in a10)
+            ratio = max(c30, c10) / max(1e-9, min(c30, c10))
+            if ratio > 1.4:
+                warns.append(
+                    f"PAIRING DRIFT: run-pair anchor calib p30 {c30:.2f}x vs "
+                    f"p10 {c10:.2f}x ({ratio:.2f}x apart) — host speed moved "
+                    f"between the two sweeps; this session's exponents are "
+                    f"suspect (re-measure back-to-back before recording)")
+            else:
+                print(f"   exponent pairing: p30 calib {c30:.2f}x, "
+                      f"p10 calib {c10:.2f}x (aligned)")
         for op in shared:
             if op not in base10 or op not in run10 or op not in base30exp:
                 continue
