@@ -1166,6 +1166,74 @@ object StreamOps {
       }
   }
 
+  case class PatternAltTtlState(events: List[(Long, Int)],
+      seen: List[(Long, Long)], maxTs: Long, lastEnd: Long)
+  case class FinalMatchAlt(user_id: Long, t1_us: Long, t2_us: Long,
+      via: String, t3_us: Long)
+
+  /** Horizon-bounded streaming ALTERNATION pattern (`A (B₀|B₁|…) D` with
+    * branch provenance) — the TTL replay discipline of
+    * [[streamingPatternTtl]] wired to the pure alternation matcher
+    * [[graft.operators.EventPattern.greedyMatchesAlt]], completing
+    * batch/stream parity for the r18 quantifier envelope. Mask layout is
+    * the matcher's: bit 0 = A, bit 1+i = alternative i, bit 1+n = D — one
+    * codegen'd stageMask projection, rows qualifying nowhere never enter
+    * state. The finalization law is the fixed-stage geometry verbatim
+    * (W = `withinUs`, floor = maxTs − horizon − W, strict <): a start
+    * below floor has its whole window beyond any admissible event's
+    * reach, branch choice included, so its match — provenance and all —
+    * is final; unresolved starts sit at-or-above floor and only consume
+    * rows above it. Emissions carry the winning alternative's NAME. */
+  def streamingPatternAltTtl(events: DataFrame,
+      aPred: org.apache.spark.sql.Column,
+      alts: Seq[(String, org.apache.spark.sql.Column)],
+      dPred: org.apache.spark.sql.Column, withinUs: Long,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatchAlt] = {
+    import spark.implicits._
+    import graft.operators.EventPattern
+    val nAlts = alts.size
+    val names = alts.map(_._1).toIndexedSeq
+    val stages = (EventPattern.PatternStage("a", aPred) +:
+      alts.map { case (nm, p) => EventPattern.PatternStage(nm, p) }) :+
+      EventPattern.PatternStage("d", dPred)
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), EventPattern.stageMask(stages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternAltTtlState, FinalMatchAlt](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int)],
+            state: GroupState[PatternAltTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternAltTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = EventPattern.greedyMatchesAlt(
+            evs.toIndexedSeq, nAlts, withinUs)
+          val fin = ms.takeWhile(_._1 < floor)
+          val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last._4
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternAltTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map { case (t1, t2, bi, t3) =>
+            FinalMatchAlt(uid, t1, t2, names(bi), t3)
+          }
+      }
+  }
+
   /** Streaming winnowing fingerprints — the MOSS selection of
     * [[graft.operators.TextQueries.txtWinnowing]] on arrival. The batch
     * side's doc-keyed sliding window min becomes a ROW-LOCAL array_min

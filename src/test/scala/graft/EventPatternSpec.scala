@@ -510,6 +510,108 @@ class EventPatternSpec extends AnyFunSuite {
     assert(plus.nonEmpty, "gate corpus should produce matches")
   }
 
+  // ----------------------------------------- alternation TTL twin (r18)
+  test("alt TTL: fence-closed finals == batch greedyMatchesAlt (gate corpus)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val aPg = col("event_type") === "view"
+    val branches = Seq(
+      "click50" -> (col("event_type") === "click" && col("value") >= 50),
+      "error" -> (col("event_type") === "error"))
+    val dPg = col("event_type") === "purchase"
+    val w = 48L * 3600 * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val rows = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .sortBy(_._2.getTime)
+    val maxMs = rows.last._2.getTime
+    val fences = rows.map(_._1).distinct.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp(maxMs + (horizon + w) / 1000L + 3600000L),
+        -2000L - i, "view", 0.0)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternAltTtl(df, aPg, branches, dPg, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_alt_ttl_out").start()
+    try {
+      rows.grouped((rows.length + 9) / 10).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(fences.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pat_alt_ttl_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))).toSeq
+    // batch reference: the SAME pure matcher over per-user collected rows
+    val regStages = Seq(PatternStage("a", aPg)) ++
+      branches.map { case (nm, p) => PatternStage(nm, p) } :+
+      PatternStage("d", dPg)
+    val names = branches.map(_._1)
+    val batch = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        EventPattern.stageMask(regStages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        EventPattern.greedyMatchesAlt(
+          rs.map(r => (r._2, r._3)).toIndexedSeq.distinct.sorted, 2, w)
+          .map { case (t1, t2, bi, t3) => (u, (t1, t2, names(bi), t3)) }
+      }
+    def canonA(xs: Seq[(Long, (Long, Long, String, Long))]) =
+      xs.map { case (u, m) => s"$u:$m" }.sorted
+    assert(canonA(streamed) == canonA(batch),
+      "fence-closed alt-TTL finals must equal batch greedyMatchesAlt")
+    assert(streamed.nonEmpty, "gate corpus should produce matches")
+    assert(canonA(streamed).distinct.size == streamed.size, "emit-once")
+  }
+
+  test("alt TTL: provenance survives finalization; late rows drop; emit once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val branches = Seq("b" -> (col("event_type") === "B"),
+      "c" -> (col("event_type") === "C"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternAltTtl(df, aP, branches, dP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_alt_ttl_hand").start()
+    try {
+      // A@12:00; the SECOND-listed branch (C@12:20) beats the first-listed
+      // B@12:30 on time; D@12:45 completes — via must read "c"
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:20:00"), 2L, "C", 0.0),
+        (1L, t("2024-01-01 12:30:00"), 3L, "B", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 12:45:00"), 4L, "D", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_alt_ttl_hand").count() == 0,
+        "match must stay in flight until the floor passes its window")
+      mem.addData((1L, t("2024-01-01 17:00:00"), 5L, "A", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_alt_ttl_hand").count() == 1, "exactly one final")
+      // late branch row and a re-delivered event 2: both dropped
+      mem.addData((1L, t("2024-01-01 12:50:00"), 9L, "B", 0.0),
+        (1L, t("2024-01-01 12:20:00"), 2L, "C", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-02 12:00:00"), 6L, "A", 0.0)) // fence
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_alt_ttl_hand").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    def us2(s: String) = t(s).getTime * 1000L
+    assert(out.toSeq == Seq((1L, us2("2024-01-01 12:00:00"),
+      us2("2024-01-01 12:20:00"), "c", us2("2024-01-01 12:45:00"))),
+      s"final alt row wrong: ${out.mkString("; ")}")
+  }
+
   // ---------------------------- quantified-pattern TTL twin (r17 item #2)
   test("plus TTL: fence-closed finals == batch greedyMatchesPlus (gate corpus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -304,6 +304,32 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(spark.table("soak_pat_plus_skew").count() > 0, "no finals emitted")
   }
 
+  test("skew soak: horizon-bounded ALTERNATION pattern under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // denser state than the fixed-stage rung: the error branch carries no
+    // value predicate, so ~20% of the hot user's stream qualifies for a
+    // stage mask — the rung proves the horizon+W tail still bounds it
+    val ps = soak(
+      StreamOps.streamingPatternAltTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema),
+        col("event_type") === "view",
+        Seq("click50" -> (col("event_type") === "click" && col("value") >= 50),
+          "error" -> (col("event_type") === "error")),
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "update", "soak_pat_alt_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"pattern_alt_ttl_skew: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user alternation state trending: head $bHead tail $bTail")
+    assertFlat("pattern_alt_ttl_skew", ps)
+    emitSoak("pattern_alt_ttl_skew", ps)
+    assert(spark.table("soak_pat_alt_skew").count() > 0, "no finals emitted")
+  }
+
   test("soak: windowed agg state is watermark-bounded and wall-flat (60 batches)") {
     assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
     val ps = soak(
