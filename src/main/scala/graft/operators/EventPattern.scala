@@ -501,6 +501,128 @@ object EventPattern {
       .orderBy(col("user_id"), col("t1_us"))
   }
 
+  /** Pure greedy matcher for `A B? C` over one key's (ts, mask) rows
+    * sorted ascending (bits: A=1, B=2, C=4) — the SKIP PAST LAST ROW twin
+    * of [[matchPatternOpt]], sharing its greedy-`B?` law verbatim: the
+    * with-B completion (earliest b1, then earliest C after b1) is
+    * preferred whenever it exists inside the window; otherwise the zero-B
+    * completion (earliest C after t1). Returns (t1, b1Opt, t3);
+    * consumption skips past t3 at the instant grain. */
+  def greedyMatchesOpt(evs: IndexedSeq[(Long, Int)],
+      withinUs: Long): List[(Long, Option[Long], Long)] = {
+    val out = List.newBuilder[(Long, Option[Long], Long)]
+    var from = 0
+    while (from < evs.length) {
+      var found = false
+      var i = from
+      while (!found && i < evs.length) {
+        if ((evs(i)._2 & 1) != 0) {
+          val t1 = evs(i)._1
+          var b1 = Long.MinValue
+          var t3w = Long.MinValue
+          var t3z = Long.MinValue
+          var j = i + 1
+          while (t3w == Long.MinValue && j < evs.length &&
+              evs(j)._1 <= t1 + withinUs) {
+            val (ts, m) = evs(j)
+            if (b1 == Long.MinValue && (m & 2) != 0 && ts > t1) b1 = ts
+            if ((m & 4) != 0) {
+              if (t3z == Long.MinValue && ts > t1) t3z = ts
+              if (b1 != Long.MinValue && ts > b1) t3w = ts
+            }
+            j += 1
+          }
+          if (t3w != Long.MinValue || t3z != Long.MinValue) {
+            found = true
+            val t3 = if (t3w != Long.MinValue) t3w else t3z
+            out += ((t1, if (t3w != Long.MinValue) Some(b1) else None, t3))
+            // SKIP PAST LAST ROW resumes just past t3 — NOT past j: in the
+            // zero-B fallback the scan ran beyond t3z to the window edge
+            // hunting a with-B completion, and `from = j` there would
+            // silently consume every anchor in (t3, t1+W] (found by the
+            // fence-closed gate-corpus equality: the incremental TTL
+            // replay, which re-derives from the kept tail after each
+            // final, does NOT make that mistake — the two forms diverged)
+            from = i + 1
+            while (from < evs.length && evs(from)._1 <= t3) from += 1
+          }
+        }
+        i += 1
+      }
+      if (!found) from = evs.length
+    }
+    out.result()
+  }
+
+  /** Pure greedy matcher for `A B* C` with run MEASURES over one key's
+    * (ts, mask, value) rows sorted ascending — [[matchPatternStar]]'s
+    * SKIP PAST LAST ROW twin under the same greedy-emptiness law: the
+    * non-empty-run completion ([[greedyMatchesPlus]]'s rounds) is
+    * preferred; otherwise the zero-B completion matches with an empty
+    * run (the fallback's run is PROVABLY empty: a B inside (t1, t3z)
+    * would put b1 < t3z and make t3z itself a with-B completion).
+    * Returns (t1, bCount, bSum, bLastOpt, t3). */
+  def greedyMatchesStar(evs: IndexedSeq[(Long, Int, Double)],
+      withinUs: Long): List[(Long, Long, Double, Option[Long], Long)] = {
+    val out = List.newBuilder[(Long, Long, Double, Option[Long], Long)]
+    var from = 0
+    while (from < evs.length) {
+      var found = false
+      var i = from
+      while (!found && i < evs.length) {
+        if ((evs(i)._2 & 1) != 0) {
+          val t1 = evs(i)._1
+          var b1 = Long.MinValue
+          var t3w = Long.MinValue
+          var t3z = Long.MinValue
+          var j = i + 1
+          while (t3w == Long.MinValue && j < evs.length &&
+              evs(j)._1 <= t1 + withinUs) {
+            val (ts, m, _) = evs(j)
+            if (b1 == Long.MinValue && (m & 2) != 0 && ts > t1) b1 = ts
+            if ((m & 4) != 0) {
+              if (t3z == Long.MinValue && ts > t1) t3z = ts
+              if (b1 != Long.MinValue && ts > b1) t3w = ts
+            }
+            j += 1
+          }
+          if (t3w != Long.MinValue || t3z != Long.MinValue) {
+            found = true
+            val t3 = if (t3w != Long.MinValue) t3w else t3z
+            // run aggregation over the scanned slice (the
+            // greedyMatchesPlus bound): members have t1 < ts < t3 ≤ the
+            // last scanned row's ts, so nothing past j qualifies
+            var bCount = 0L
+            var bSum = BigDecimal(0)
+            var bLast = Long.MinValue
+            var r = i + 1
+            while (r < j) {
+              val e = evs(r)
+              if ((e._2 & 2) != 0 && e._1 > t1 && e._1 < t3) {
+                bCount += 1
+                bSum += BigDecimal(e._3)
+                  .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+                bLast = e._1
+              }
+              r += 1
+            }
+            out += ((t1, bCount,
+              BigDecimal(bSum.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0,
+              if (bCount > 0) Some(bLast) else None, t3))
+            // resume just past t3, not past the scanned-ahead j (see
+            // greedyMatchesOpt — the zero-B fallback scans beyond t3z)
+            from = i + 1
+            while (from < evs.length && evs(from)._1 <= t3) from += 1
+          }
+        }
+        i += 1
+      }
+      if (!found) from = evs.length
+    }
+    out.result()
+  }
+
   // ----------------------------------------------------- registry binding
   /** The concrete registry pattern: view → click(value ≥ 50) → purchase
     * WITHIN 24 hours of the view — a funnel-shaped pattern whose middle

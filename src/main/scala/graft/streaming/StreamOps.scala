@@ -1234,6 +1234,118 @@ object StreamOps {
       }
   }
 
+  case class FinalMatchOpt(user_id: Long, t1_us: Long, took_b: Int,
+      b_us: Option[Long], t3_us: Long)
+  case class FinalMatchStar(user_id: Long, t1_us: Long, b_count: Long,
+      b_sum: Double, b_last_us: Option[Long], t3_us: Long)
+
+  /** Horizon-bounded streaming `A B? C` — [[streamingPatternTtl]]'s
+    * replay discipline wired to
+    * [[graft.operators.EventPattern.greedyMatchesOpt]], completing
+    * batch/stream parity for the optional stage. The strict-floor law
+    * covers the BACKTRACKING too: a resolved start's whole window is
+    * beyond any admissible event's reach, so no late arrival can flip
+    * its took_b decision (a new B or C would have to land inside
+    * [t1, t1+W], all strictly below the admission horizon). */
+  def streamingPatternOptTtl(events: DataFrame,
+      aPred: org.apache.spark.sql.Column, bPred: org.apache.spark.sql.Column,
+      cPred: org.apache.spark.sql.Column, withinUs: Long,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatchOpt] = {
+    import spark.implicits._
+    import graft.operators.EventPattern
+    val stages = Seq(EventPattern.PatternStage("a", aPred),
+      EventPattern.PatternStage("b", bPred),
+      EventPattern.PatternStage("c", cPred))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), EventPattern.stageMask(stages).as("mask"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternAltTtlState, FinalMatchOpt](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int)],
+            state: GroupState[PatternAltTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternAltTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = EventPattern.greedyMatchesOpt(evs.toIndexedSeq, withinUs)
+          val fin = ms.takeWhile(_._1 < floor)
+          val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last._3
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternAltTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map { case (t1, b1, t3) =>
+            FinalMatchOpt(uid, t1, if (b1.isDefined) 1 else 0, b1, t3)
+          }
+      }
+  }
+
+  /** Horizon-bounded streaming `A B* C` with run MEASURES —
+    * [[streamingPatternPlusTtl]]'s discipline wired to
+    * [[graft.operators.EventPattern.greedyMatchesStar]]; an empty run
+    * finalizes as b_count 0 / b_sum 0.0 / b_last NULL, and the
+    * greedy-emptiness preference is as finalization-safe as opt's
+    * backtracking (same window-containment argument). */
+  def streamingPatternStarTtl(events: DataFrame,
+      aPred: org.apache.spark.sql.Column, bPred: org.apache.spark.sql.Column,
+      cPred: org.apache.spark.sql.Column, withinUs: Long,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatchStar] = {
+    import spark.implicits._
+    import graft.operators.EventPattern
+    val stages = Seq(EventPattern.PatternStage("a", aPred),
+      EventPattern.PatternStage("b", bPred),
+      EventPattern.PatternStage("c", cPred))
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), EventPattern.stageMask(stages).as("mask"),
+        col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternPlusTtlState, FinalMatchStar](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
+            state: GroupState[PatternPlusTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternPlusTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4, r._5)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3, e._4)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = EventPattern.greedyMatchesStar(evs.toIndexedSeq, withinUs)
+          val fin = ms.takeWhile(_._1 < floor)
+          val lastEnd = if (fin.isEmpty) st.lastEnd else fin.last._5
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternPlusTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map { case (t1, n, s2, last, t3) =>
+            FinalMatchStar(uid, t1, n, s2, last, t3)
+          }
+      }
+  }
+
   /** Streaming winnowing fingerprints — the MOSS selection of
     * [[graft.operators.TextQueries.txtWinnowing]] on arrival. The batch
     * side's doc-keyed sliding window min becomes a ROW-LOCAL array_min

@@ -760,6 +760,160 @@ class EventPatternSpec extends AnyFunSuite {
       s"tied-boundary quantified match lost or wrong: ${out.mkString("; ")}")
   }
 
+  // -------------------------------------- opt / star TTL twins (r18)
+  test("opt+star TTL: fence-closed finals == batch pure matchers (gate corpus)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val aPg = col("event_type") === "view"
+    val bPg = col("event_type") === "click" && col("value") >= 50
+    val cPg = col("event_type") === "purchase"
+    val w = 48L * 3600 * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val rows = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .sortBy(_._2.getTime)
+    val maxMs = rows.last._2.getTime
+    val fences = rows.map(_._1).distinct.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp(maxMs + (horizon + w) / 1000L + 3600000L),
+        -2000L - i, "view", 0.0)
+    }
+    def drive[T](name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T]): Unit = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+      val q = mk(df).toDF().writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        rows.grouped((rows.length + 9) / 10).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        mem.addData(fences.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    drive("pat_opt_ttl_out",
+      d => StreamOps.streamingPatternOptTtl(d, aPg, bPg, cPg, w, horizon))
+    drive("pat_star_ttl_out",
+      d => StreamOps.streamingPatternStarTtl(d, aPg, bPg, cPg, w, horizon))
+    val regStages = Seq(PatternStage("a", aPg), PatternStage("b", bPg),
+      PatternStage("c", cPg))
+    val byUser = Tables.load(spark, dir, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        EventPattern.stageMask(regStages).as("mask"), col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Int, Double)].collect().groupBy(_._1)
+    def canonS(xs: Seq[String]): Seq[String] = xs.sorted
+    // opt
+    val streamedOpt = spark.table("pat_opt_ttl_out").collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)},${r.getInt(2)}," +
+        s"${if (r.isNullAt(3)) -1L else r.getLong(3)},${r.getLong(4)}").toSeq
+    val batchOpt = byUser.toSeq.flatMap { case (u, rs) =>
+      EventPattern.greedyMatchesOpt(
+        rs.map(r => (r._2, r._3)).toIndexedSeq.distinct.sorted, w)
+        .map { case (t1, b1, t3) =>
+          s"$u:$t1,${if (b1.isDefined) 1 else 0},${b1.getOrElse(-1L)},$t3" }
+    }
+    assert(canonS(streamedOpt) == canonS(batchOpt),
+      "fence-closed opt-TTL finals must equal batch greedyMatchesOpt")
+    assert(streamedOpt.nonEmpty)
+    // star
+    val streamedStar = spark.table("pat_star_ttl_out").collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)},${r.getLong(2)}," +
+        s"${r.getDouble(3)},${if (r.isNullAt(4)) -1L else r.getLong(4)}," +
+        s"${r.getLong(5)}").toSeq
+    val batchStar = byUser.toSeq.flatMap { case (u, rs) =>
+      EventPattern.greedyMatchesStar(
+        rs.map(r => (r._2, r._3, r._4)).toIndexedSeq.distinct.sorted, w)
+        .map { case (t1, n, s2, last, t3) =>
+          s"$u:$t1,$n,$s2,${last.getOrElse(-1L)},$t3" }
+    }
+    assert(canonS(streamedStar) == canonS(batchStar),
+      "fence-closed star-TTL finals must equal batch greedyMatchesStar")
+    assert(streamedStar.nonEmpty)
+    // the greedy-emptiness law on real data: every zero-B opt final has a
+    // star final with an empty run at the same (user, t1), and vice versa
+    val optZero = streamedOpt.filter(_.split(",")(1) == "0").map(s =>
+      s.split(",")(0)).toSet
+    val starZero = streamedStar.filter(_.split(",")(1) == "0").map(s =>
+      s.split(",")(0)).toSet
+    assert(optZero == starZero,
+      "opt's zero-B finals and star's empty-run finals must coincide")
+  }
+
+  test("opt TTL: a resolved backtracking decision is final — a late B cannot flip it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L      // 1h window
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternOptTtl(df, aP, bP, cP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_opt_ttl_hand").start()
+    try {
+      // A@12:00, C@12:40 — zero-B completion in flight (no B yet)
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:40:00"), 2L, "C", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("pat_opt_ttl_hand").count() == 0, "still in flight")
+      // an admissible B@12:20 arrives BEFORE resolution: greedy must flip
+      // to the with-B completion (B@12:20 then C@12:40)
+      mem.addData((1L, t("2024-01-01 12:20:00"), 3L, "B", 0.0))
+      q.processAllAvailable()
+      // resolve: floor passes 12:00's window
+      mem.addData((1L, t("2024-01-01 17:00:00"), 4L, "A", 0.0))
+      q.processAllAvailable()
+      // a LATE B inside the resolved window (12:30 < 17:00 − 2h): dropped;
+      // the emitted decision must not change or re-emit
+      mem.addData((1L, t("2024-01-01 12:30:00"), 9L, "B", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, "A", 0.0)) // fence
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_opt_ttl_hand").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    def us2(s: String) = t(s).getTime * 1000L
+    assert(out.toSeq == Seq((1L, us2("2024-01-01 12:00:00"), 1,
+      us2("2024-01-01 12:20:00"), us2("2024-01-01 12:40:00"))),
+      s"opt decision wrong or flipped: ${out.mkString("; ")}")
+  }
+
+  test("star TTL: an empty run finalizes as 0/0.0/NULL and stays final") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w = 3600L * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternStarTtl(df, aP, bP, cP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_star_ttl_hand").start()
+    try {
+      // A@12:00, C@12:10 — zero-B match; a B@12:30 AFTER the completing C
+      // belongs to no run (run = B's in (t1, t3) = (12:00, 12:10))
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:10:00"), 2L, "C", 0.0),
+        (1L, t("2024-01-01 12:30:00"), 3L, "B", 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 17:00:00"), 4L, "A", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, "A", 0.0)) // fence
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_star_ttl_hand").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    def us2(s: String) = t(s).getTime * 1000L
+    assert(out.toSeq == Seq((1L, us2("2024-01-01 12:00:00"), 0L, 0.0, -1L,
+      us2("2024-01-01 12:10:00"))),
+      s"star empty-run final wrong: ${out.mkString("; ")}")
+  }
+
   // ------------------------------------------------------ streaming twin
   test("streaming pattern snapshots converge to batch greedy (out-of-order batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
