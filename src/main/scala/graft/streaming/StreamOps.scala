@@ -1119,7 +1119,24 @@ object StreamOps {
     * length. (ts, event_id) dedup makes at-least-once re-delivery a no-op,
     * and the DECIMAL(30,15) run-sum discipline inside the matcher makes
     * fence-closed finals equal the batch rows digit for digit
-    * (EventPatternSpec). */
+    * (EventPatternSpec).
+    *
+    * PINNED CONVENTION (r18 advice, made explicit): state rows collapse
+    * on (ts, mask, value) — two genuinely distinct events (different
+    * event_id) sharing the same microsecond instant, qualification mask,
+    * AND value count as ONE run member in the whole greedy/TTL family
+    * (this twin, [[streamingPatternStarTtl]], [[streamingPatternSpecTtl]]
+    * and their pure matchers, which all run on (ts, mask, value)
+    * tuples). The declarative SKIP TO NEXT ROW form
+    * ([[graft.operators.EventPattern.matchPatternPlus]]) counts every
+    * source row — both behaviors are separately oracle/spec-pinned
+    * (EventPatternSpec "pinned convention" test), and the collapse is
+    * what makes the duplicate-tolerance definitional rather than
+    * event-id-bookkept: an exact duplicate is INDISTINGUISHABLE from an
+    * at-least-once redelivery at the state grain, so the family treats
+    * the two identically rather than counting whichever happened to
+    * carry a fresh event_id. Do not "fix" by keying state on event_id
+    * without re-pinning the fence-closed equality suite. */
   def streamingPatternPlusTtl(events: DataFrame,
       aPred: org.apache.spark.sql.Column, bPred: org.apache.spark.sql.Column,
       cPred: org.apache.spark.sql.Column, withinUs: Long,
@@ -1343,6 +1360,77 @@ object StreamOps {
           fin.iterator.map { case (t1, n, s2, last, t3) =>
             FinalMatchStar(uid, t1, n, s2, last, t3)
           }
+      }
+  }
+
+  /** One generic emission row: per-stage parallel sequences in stage
+    * order — `stage_ts`/`run_last` use Long.MinValue as the absent
+    * sentinel (skipped `?`/`*`, empty `*` run), `stage_bi` the branch
+    * index (Int.MaxValue when skipped), `run_count`/`run_sum` 0/0.0 for
+    * non-run stages. */
+  case class FinalMatchSpec(user_id: Long, stage_ts: Seq[Long],
+      stage_bi: Seq[Int], run_count: Seq[Long], run_sum: Seq[Double],
+      run_last: Seq[Long])
+
+  /** Horizon-bounded streaming twin for ANY compiled stage sequence —
+    * the TTL replay discipline of [[streamingPatternTtl]] driving the ONE
+    * generic matcher [[graft.operators.PatternCompiler.genericMatches]]
+    * (r18 verdict #1: the five bespoke twins share one discipline; the
+    * compiler's AST now generates it). The finalization law is unchanged
+    * — with W = `withinUs` and floor = maxTs − horizon − W (strict <), a
+    * start below floor has its whole window [t1, t1+W] beyond any
+    * admissible event's reach, so every arm decision inside it
+    * (backtracking, branch choice, run membership) is final; unresolved
+    * starts sit at-or-above floor and consume only rows above it. State
+    * per key = (ts, mask, value) rows in the (horizon + W) tail past the
+    * skip cursor; (ts, event_id) dedup makes at-least-once a no-op. The
+    * bespoke twins stay wired for the five hash-pinned rows; this is the
+    * composition path (e.g. `A (B|C)+ D` — evt_pattern_combo's twin),
+    * equality-gated against the generic matcher in PatternCompilerSpec. */
+  def streamingPatternSpecTtl(events: DataFrame,
+      stages: Seq[graft.operators.PatternCompiler.PStage], withinUs: Long,
+      horizonUs: Long = 2L * 3600 * 1000000L)(
+      implicit spark: SparkSession): Dataset[FinalMatchSpec] = {
+    import spark.implicits._
+    import graft.operators.PatternCompiler
+    // the AST holds Columns (not serializable) — the closure gets only
+    // the serializable shape; the predicates ride the mask projection
+    val shape = PatternCompiler.shapesOf(stages)
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), PatternCompiler.specMask(stages).as("mask"),
+        col("value"))
+      .filter(col("mask") =!= 0)
+      .as[(Long, Long, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternPlusTtlState, FinalMatchSpec](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
+            state: GroupState[PatternPlusTtlState]) =>
+          val st = state.getOption.getOrElse(
+            PatternPlusTtlState(Nil, Nil, Long.MinValue, Long.MinValue))
+          def floorOf(ts: Long, back: Long): Long =
+            if (ts == Long.MinValue) Long.MinValue else ts - back
+          val seen = st.seen.toMap
+          val fresh = rows
+            .filter(r => r._2 >= floorOf(st.maxTs, horizonUs) &&
+              !seen.contains(r._3))
+            .map(r => (r._2, r._3, r._4, r._5)).toList.distinct
+          val maxTs = (st.maxTs :: fresh.map(_._1)).max
+          val floor = floorOf(maxTs, horizonUs + withinUs)
+          val evs = (st.events ++ fresh.map(e => (e._1, e._3, e._4)))
+            .filter(_._1 > st.lastEnd).distinct.sorted
+          val ms = PatternCompiler.genericMatchesShape(
+            evs.toIndexedSeq, shape, withinUs)
+          val fin = ms.takeWhile(_.head.anchor < floor)
+          val lastEnd =
+            if (fin.isEmpty) st.lastEnd else fin.last.last.anchor
+          val kept = evs.filter(e => e._1 > lastEnd && e._1 >= floor)
+          val seenKept = (st.seen ++ fresh.map(e => (e._2, e._1)))
+            .filter(_._2 >= floorOf(maxTs, horizonUs))
+          state.update(PatternPlusTtlState(kept, seenKept, maxTs, lastEnd))
+          fin.iterator.map(m => FinalMatchSpec(uid, m.map(_.anchor),
+            m.map(_.bi), m.map(_.count), m.map(_.sum), m.map(_.last)))
       }
   }
 

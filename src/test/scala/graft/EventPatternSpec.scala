@@ -914,6 +914,59 @@ class EventPatternSpec extends AnyFunSuite {
       s"star empty-run final wrong: ${out.mkString("; ")}")
   }
 
+  test("pinned convention: same-(ts,value) duplicate events collapse in the greedy/TTL family only") {
+    // r18 advice (medium): two DISTINCT events (different event_id) at
+    // the same microsecond with the same qualification and value are ONE
+    // run member to every (ts, mask, value)-keyed matcher — an exact
+    // duplicate is indistinguishable from an at-least-once redelivery at
+    // the state grain, so the family treats both identically. The
+    // declarative SKIP TO NEXT ROW form counts every source row. BOTH
+    // behaviors are pinned here; neither may drift to match the other.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us2(s: String) = t(s).getTime * 1000L
+    val w = 3600L * 1000000L
+    val horizon = 2L * 3600 * 1000000L
+    val batchDf = Seq(
+      (1L, "A", 0.0, t("2024-01-01 12:00:00")),
+      (1L, "B", 7.0, t("2024-01-01 12:10:00")), // event_id-distinct twins
+      (1L, "B", 7.0, t("2024-01-01 12:10:00")), //   at one instant
+      (1L, "C", 0.0, t("2024-01-01 12:20:00")))
+      .toDF("user_id", "event_type", "value", "ts")
+    // declarative: every source row is a run member -> count 2, sum 14
+    val decl = EventPattern.matchPatternPlus(batchDf, aP, bP, cP, w).collect()
+    assert(decl.length == 1 &&
+      (decl.head.getLong(3), decl.head.getDouble(4)) == (2L, 14.0),
+      s"declarative must count both duplicate rows: ${decl.mkString}")
+    // pure matcher on the family's (ts, mask, value)-distinct input -> 1
+    val evs = IndexedSeq((us2("2024-01-01 12:00:00"), 1, 0.0),
+      (us2("2024-01-01 12:10:00"), 2, 7.0),
+      (us2("2024-01-01 12:20:00"), 4, 0.0))
+    assert(EventPattern.greedyMatchesPlus(evs, w).map(m => (m._3, m._4)) ==
+      List((1L, 7.0)))
+    // TTL twin end-to-end: the two events carry DIFFERENT event_ids, so
+    // the seen-set keeps both — the collapse happens at the state tuple
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.streamingPatternPlusTtl(df, aP, bP, cP, w, horizon)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pat_dup_conv").start()
+    try {
+      mem.addData((1L, t("2024-01-01 12:00:00"), 1L, "A", 0.0),
+        (1L, t("2024-01-01 12:10:00"), 2L, "B", 7.0),
+        (1L, t("2024-01-01 12:10:00"), 3L, "B", 7.0),
+        (1L, t("2024-01-01 12:20:00"), 4L, "C", 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-02 12:00:00"), 5L, "A", 0.0)) // fence
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("pat_dup_conv").collect()
+      .map(r => (r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 7.0)),
+      s"TTL family must collapse the duplicate: ${out.mkString("; ")}")
+  }
+
   // ------------------------------------------------------ streaming twin
   test("streaming pattern snapshots converge to batch greedy (out-of-order batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -114,7 +114,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // rounds and a provenance dimension — every round must stay a hash
     // join on the (user, time-band) equi-key with stage predicates
     // pushed to the scans, never a nested loop
-    Seq("evt_pattern_alt", "evt_pattern_opt", "evt_pattern_star").foreach { n =>
+    // evt_pattern_combo (r19): the compiler-composed A (B|C)+ D must
+    // inherit the same plan discipline the generator emits for the
+    // bespoke forms — its alternation OR-filter pushed, all rounds
+    // banded hash joins
+    Seq("evt_pattern_alt", "evt_pattern_opt", "evt_pattern_star",
+        "evt_pattern_combo").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -330,6 +330,58 @@ class StreamingSoakSpec extends AnyFunSuite {
     assert(spark.table("soak_pat_alt_skew").count() > 0, "no finals emitted")
   }
 
+  test("skew soak: horizon-bounded OPTIONAL pattern (B?) under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // r18 shipped the opt twin with equality specs but no recorded soak
+    // row (r18 verdict #7); its extra surface vs the fixed rung is the
+    // whole-completion backtracking per anchor — still O(tail) per key
+    // per batch, so state and wall must hold the family's flatness
+    val ps = soak(
+      StreamOps.streamingPatternOptTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema),
+        col("event_type") === "view",
+        col("event_type") === "click" && col("value") >= 50,
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "update", "soak_pat_opt_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"pattern_opt_ttl_skew: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user optional-pattern state trending: head $bHead tail $bTail")
+    assertFlat("pattern_opt_ttl_skew", ps)
+    emitSoak("pattern_opt_ttl_skew", ps)
+    assert(spark.table("soak_pat_opt_skew").count() > 0, "no finals emitted")
+  }
+
+  test("skew soak: horizon-bounded ZERO-OR-MORE pattern (B*) under a 30% hot user") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // the star twin's anchor universe is every (view, later purchase)
+    // pair — the densest of the pattern family (empty runs match) — so
+    // this rung is the one that would first expose an emission-volume
+    // or state-tail regression
+    val ps = soak(
+      StreamOps.streamingPatternStarTtl(
+        StreamOps.readParquetStream(spark, skewSoakDir, soakSchema),
+        col("event_type") === "view",
+        col("event_type") === "click" && col("value") >= 50,
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "update", "soak_pat_star_skew")
+    assert(ps.length >= 50, s"expected >=50 data batches, got ${ps.length}")
+    val bytes = ps.map(stateBytes)
+    val bHead = median(bytes.slice(5, 20))
+    val bTail = median(bytes.takeRight(15))
+    info(s"pattern_star_ttl_skew: state bytes head=$bHead tail=$bTail")
+    assert(bTail <= 2 * bHead,
+      s"hot-user star-pattern state trending: head $bHead tail $bTail")
+    assertFlat("pattern_star_ttl_skew", ps)
+    emitSoak("pattern_star_ttl_skew", ps)
+    assert(spark.table("soak_pat_star_skew").count() > 0, "no finals emitted")
+  }
+
   test("soak: windowed agg state is watermark-bounded and wall-flat (60 batches)") {
     assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
     val ps = soak(
@@ -481,6 +533,49 @@ class StreamingSoakSpec extends AnyFunSuite {
         col("event_type") === "purchase",
         withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
       "ckpt_pat_plus_ttl")
+  }
+
+  test("soak: alternation-pattern-TTL kill-and-resume at p30-skew == uninterrupted") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // r18 verdict #4: the alt twin's emission carries a STRING (the
+    // winning branch name) through the encoder — provenance must survive
+    // the kill/restore byte-identically
+    ckptRecoveryRunUpdate(
+      df => StreamOps.streamingPatternAltTtl(df,
+        col("event_type") === "view",
+        Seq("click50" -> (col("event_type") === "click" &&
+          col("value") >= 50),
+          "error" -> (col("event_type") === "error")),
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "ckpt_pat_alt_ttl")
+  }
+
+  test("soak: optional-pattern-TTL kill-and-resume at p30-skew == uninterrupted") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // the opt twin's emission carries Option[Long] (b_us, NULL when the
+    // zero-B arm won) — the None/Some distinction must survive recovery,
+    // and a replayed batch must re-derive the same backtracking decision
+    ckptRecoveryRunUpdate(
+      df => StreamOps.streamingPatternOptTtl(df,
+        col("event_type") === "view",
+        col("event_type") === "click" && col("value") >= 50,
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "ckpt_pat_opt_ttl")
+  }
+
+  test("soak: star-pattern-TTL kill-and-resume at p30-skew == uninterrupted") {
+    assume(soakOn, "set GRAFT_SOAK=1 to run the streaming soak")
+    // star combines the plus state class (Double values) with the
+    // Option[Long] empty-run emission — both cross the kill here
+    ckptRecoveryRunUpdate(
+      df => StreamOps.streamingPatternStarTtl(df,
+        col("event_type") === "view",
+        col("event_type") === "click" && col("value") >= 50,
+        col("event_type") === "purchase",
+        withinUs = 4L * 3600 * 1000000L)(spark).toDF(),
+      "ckpt_pat_star_ttl")
   }
 
   // ------------------------------------------- decade-scale skew soak
