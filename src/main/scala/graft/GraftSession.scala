@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * would be a multiple of total cores — AQE coalesces the excess either way).
   */
 object GraftSession {
-  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,6 +24,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expressions as SQL functions (simhash64/srp_code/vec_dot)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // deployment-specific overrides without a recompile (r19): semicolon-
+    // separated k=v list, e.g. cluster memory/shuffle sizing per guide §9.
+    // Later wins over the defaults above; empty/unset is a no-op, so the
+    // driver's bench environment is untouched unless it opts in.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";").toSeq).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)): SparkSession = {

@@ -67,6 +67,21 @@ object GraftTuning {
     * Mirrored verbatim in the DuckDB oracle's blk CTE. */
   val KnnBlockCap: Int = 256
 
+  /** Residual-label-graph edge count under which
+    * [[graft.operators.DedupOps.connectedComponents]] finishes with a
+    * driver union-find instead of more distributed rounds (r19). After
+    * each min-label propagation the loop probes the CONTRACTED graph —
+    * one row per pair of adjacent label basins, model-sized state like
+    * the phash code table below, NOT nodes or edges. Set by the r19
+    * dd_semdedup profile: the cos≥0.4 pair graph at sf0.1 spent 10 full
+    * rounds of edge-table joins (≈13 fixed-overhead jobs each) merging
+    * one basin layer per round, while its residual graph was a few
+    * hundred rows from round 0 — 10 rounds → 1 + driver finish. Above
+    * the cap the pointer-jumping rounds continue unchanged and strictly
+    * shrink the residual, so the finish engages as soon as it fits;
+    * 2¹⁷ rows ≈ 2 MB driver memory, the MmDriverCodeCap envelope. */
+  val CcDriverEdgeCap: Int = 1 << 17
+
   /** Distinct-phash-code count above which media near-dup CC leaves the
     * driver union-find for the distributed pointer-jumping loop
     * (mm_dedup_groups). The driver path solves the ≤2^width code universe

@@ -35,6 +35,29 @@ object Tables {
     else raw
   }
 
+  /** [[load]] + hash-repartition on the table's row key, to
+    * defaultParallelism partitions — the guide §2.5 "input skew" fix
+    * ("one huge unsplittable file … repartition immediately after the
+    * read"): the testdata tables are single-row-group parquet, so every
+    * scan stage is ONE task no matter the file size, and any map-heavy
+    * work pipelined into it (shingling, minhash permutations, vector
+    * math, n-gram explodes) runs serially on a 32-core session. The
+    * repartition is a narrow, row-sized shuffle that the heavy map
+    * amortizes at ANY scale; keying it on the row key (not round-robin)
+    * keeps the assignment deterministic under task retry, and the
+    * partition count tracks defaultParallelism so lower-core sessions
+    * shuffle proportionally less. Use ONLY where per-row map work dwarfs
+    * the row itself — a cheap scan+filter is better left serial than
+    * paying an extra exchange. On splittable production layouts
+    * (multi-row-group files, partitioned directories) the scan already
+    * parallelizes and this extra pass is the documented price of keeping
+    * one code path; filters and pruning still push through the
+    * repartition to the scan. */
+  def loadFan(spark: SparkSession, sfDir: String, name: String,
+      key: String): DataFrame =
+    load(spark, sfDir, name)
+      .repartition(spark.sparkContext.defaultParallelism, col(key))
+
   /** Register every table as a temp view so SQL-path queries (and the dialect
     * shim) resolve the same names the DuckDB oracle sees. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object CurationOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFan(s, dir, "documents", "doc_id")
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFan(s, dir, "documents", "doc_id")
 
   /** Distinct (doc_id, shingle-hash) pairs. Tokens are materialized through
     * a projection boundary first — inlining `split()` into the shingle
@@ -36,12 +36,16 @@ object DedupOps {
       carry: Seq[String] = Nil): DataFrame = {
     // `carry` columns are functionally dependent on doc_id (e.g. source),
     // so carrying them through the projection costs nothing and saves the
-    // consumers a corpus-keyed join back to documents just to re-fetch them
+    // consumers a corpus-keyed join back to documents just to re-fetch them.
+    // Dedup happens PER DOC with array_distinct BEFORE the explode — doc_id
+    // is unique per source row, so per-array dedup ≡ the old global
+    // `.distinct()` on (doc_id, hs), minus its corpus-sized exchange
+    // (r19 plan diff for every shingle consumer: distinct Exchange +
+    // window Exchange → window Exchange only).
     val keep = col("doc_id") +: carry.map(col)
     d.select(keep :+ tokens(col("text")).as("toks"): _*)
-      .select(keep :+ explode(shingles(col("toks"), n)).as("s"): _*)
-      .select(keep :+ xxhash64(col("s")).as("hs"): _*)
-      .distinct()
+      .select(keep :+ explode(array_distinct(
+        transform(shingles(col("toks"), n), x => xxhash64(x)))).as("hs"): _*)
   }
 
   /** shingleSet restricted to document frequency ≤ dfCap, computed with a
@@ -516,7 +520,7 @@ object DedupOps {
     * (vec_id, verdict, match_id, cos). */
   def ddIncrementalSem(s: SparkSession, dir: String,
       thr: Double = 0.4): DataFrame = {
-    val vn = Tables.load(s, dir, "embeddings")
+    val vn = Tables.loadFan(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm(col("ve")))
@@ -954,7 +958,7 @@ object DedupOps {
     * [[ngramJaccardPairs]]). */
   private[operators] def embeddingCosinePairs(s: SparkSession, dir: String,
       threshold: Double = 0.4, blocks: Int = 16): DataFrame =
-    embeddingCosinePairsFrom(Tables.load(s, dir, "embeddings"),
+    embeddingCosinePairsFrom(Tables.loadFan(s, dir, "embeddings", "vec_id"),
       threshold, blocks)
 
   /** [[embeddingCosinePairs]]' block-pair core over a caller-supplied
@@ -1164,28 +1168,48 @@ object DedupOps {
     * TextQueries]] boilerplate-census discipline). */
   def ddPairEvidence(s: SparkSession, dir: String, top: Int = 3,
       dfCap: Int = GraftTuning.ShingleDfCap): DataFrame = {
+    // ONE df-capped shingle universe feeds BOTH the pair detection and the
+    // evidence ranking (r19: the op used to build the universe twice — its
+    // own string-keyed copy plus [[ngramJaccardPairs]]' hashed copy — and
+    // pay the shingle self-join twice; the oracle SQL always had the
+    // single-universe shape, its `inter` and `shared` CTEs both read `sh`).
+    // Plan diff: 2× (tokenize + dedup + df-window + self-join) → 1×, with
+    // the shared self-join output persisted for its two consumers. String
+    // shingles vs the hashed universe is collision-equivalence — the same
+    // argument ngramJaccardPairs' own hs column rests on.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = ngramJaccardPairs(s, dir, dfCap).select(col("id_a"), col("id_b"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"))
-      .orderBy(col("df"), col("shingle"))
-    val report = sh.as("a").join(sh.as("b"),
+      .persist(lvl)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sh").as("shingle"), col("a.df").as("df"))
+      .persist(lvl)
+    val pairs = shared.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .filter(round(col("n_inter") /
+        (col("ca.n") + col("cb.n") - col("n_inter")), 6) >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("df"), col("shingle"))
+    val report = shared
       .join(pairs, Seq("id_a", "id_b"), "left_semi")
       .withColumn("rank", row_number().over(wp))
       .filter(col("rank") <= top)
       .select(col("id_a"), col("id_b"), col("rank"), col("shingle"), col("df"))
       .orderBy(col("id_a"), col("id_b"), col("rank"))
       .localCheckpoint()
+    shared.unpersist()
     sh.unpersist()
     report
   }
@@ -1429,14 +1453,21 @@ object DedupOps {
     * only differ in HOW pairs were found, never in what a group means. */
   private def semDedupGroupsFrom(s: SparkSession, dir: String,
       cosPairs: DataFrame): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = cosPairs.persist(lvl)
+    // localCheckpoint, NOT lazy persist (r19, the ddSemDedupAnn r14 lesson
+    // applied here too): `edges` reads `pairs` on BOTH union branches in
+    // one job, and a lazy cache let the first CC action run the whole
+    // block-pair cosine scan about twice before the cache filled. The
+    // checkpointed frame is near-dup-pair-sized; `edges` itself is then a
+    // cheap union projection over it, so it needs NO materialization of
+    // its own — CC's per-round reads re-derive it from the checkpoint
+    // (one job and one cache eviction fewer than the old persist(edges)).
+    val pairs = cosPairs.localCheckpoint()
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist(lvl)
+      .toDF("src", "dst")
     val labels = connectedComponents(edges)
     // labels is localCheckpoint'd — anti-joining IT (its keys are exactly
     // the edge endpoints) keeps the singleton branch off the pair-detection
-    // lineage, so the unpersists below can't trigger a recompute
+    // lineage entirely
     val singletons = Tables.load(s, dir, "embeddings").select(col("vec_id"))
       .join(labels.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
       .withColumn("label", col("vec_id"))
@@ -1445,8 +1476,6 @@ object DedupOps {
       .select(col("vec_id"), col("label").as("group_rep"),
         (col("vec_id") === col("label")).as("is_canonical"))
       .orderBy(col("vec_id"))
-    edges.unpersist()
-    pairs.unpersist()
     out
   }
 
@@ -1502,7 +1531,7 @@ object DedupOps {
     // they must not collapse with byte-identical twins nor enter the ANN
     // layer. NB Spark orders NaN above every double, so `nrm > 0` alone
     // would pass NaN — the finite upper bound closes that.
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadFan(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"))
       .withColumn("__ok", finiteNormGuard(col("embedding")))
     val repOf = emb.filter(col("__ok"))
@@ -1549,10 +1578,13 @@ object DedupOps {
     // (BASELINE.md r14). The frame is verified-pair-sized (1.26M rows
     // at p30), checkpoint-cheap.
     val pairs = annCandidatePairsFrom(repBase, threshold = 0.4,
-        bits = bits, tables = 8)
+        bits = bits, tables = 8, nRows = nDistinct)
       .select(col("id_a"), col("id_b")).localCheckpoint()
+    // edges is a cheap union projection over the CHECKPOINTED pairs — its
+    // own checkpoint bought nothing but one more materialization job
+    // (removed r19); CC re-derives it per read from the checkpoint.
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     val labels = connectedComponents(edges)
     // rep → component label (rep IS its clone-group's min vec_id and CC
     // labels by min rep, so the label is the GLOBAL min vec_id of the
@@ -1583,7 +1615,7 @@ object DedupOps {
     // which would run the tables×srpCode explode twice. The pqRecallCheck
     // shared-subtree discipline; both frames are compact (corpus ×
     // (d doubles + 1) and corpus × tables × 3 ints).
-    val base = Tables.load(s, dir, "embeddings")
+    val base = Tables.loadFan(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
       .select(col("vec_id"), col("ve"),
         sqrt(VF.dot(col("ve"), col("ve"))).as("nrm"))
@@ -1648,7 +1680,8 @@ object DedupOps {
     * caller (it sits on three sides of the plan). */
   private[graft] def annCandidatePairsFrom(base: DataFrame, threshold: Double,
       bits: Int, tables: Int,
-      joinVerifyMax: Long = GraftTuning.VerifyJoinMaxCandidates): DataFrame = {
+      joinVerifyMax: Long = GraftTuning.VerifyJoinMaxCandidates,
+      nRows: Long = -1L): DataFrame = {
     val candsLazy = annRawCandidates(base, bits, tables).distinct()
     // Adaptive verify-strategy switch, decided BEFORE the candidate frame
     // materializes. FIRST tier (r14): if the whole vector table fits a
@@ -1680,7 +1713,10 @@ object DedupOps {
     // pinned equal pair-for-pair and value-for-value by the spec.
     val dim = base.select(size(col("ve"))).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
-    if (base.count() * dim <= GraftTuning.BroadcastVerifyMaxDoubles)
+    // callers that already counted the (materialized) base pass nRows in —
+    // one fewer count action per invocation (r19)
+    val nBase = if (nRows >= 0) nRows else base.count()
+    if (nBase * dim <= GraftTuning.BroadcastVerifyMaxDoubles)
       verifyCandidatesJoin(base, candsLazy, threshold, hintBroadcast = true)
     else {
       val cands = candsLazy.localCheckpoint()
@@ -2008,8 +2044,28 @@ object DedupOps {
     * Lineage is truncated per round (localCheckpoint); the driver loop only
     * counts changes — data never lands on the driver. A loop that hits
     * maxRounds without converging THROWS: partial labels would silently
-    * violate the min-of-component contract. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * violate the min-of-component contract.
+    *
+    * r19 RESIDUAL-CONTRACTION FINISH (the [[mmDedupGroupsWidth]] driver /
+    * distributed-twin pattern applied to the loop's tail): after each
+    * propagation the RESIDUAL label graph — one distinct (label(src),
+    * label(dst)) adjacency per edge still crossing two basins — is probed
+    * with a single limit(cap+1) collect. Empty ⇒ converged (labels
+    * constant across every edge — and the component min m always carries
+    * label m, so constant ⇒ min). Under [[GraftTuning.CcDriverEdgeCap]]
+    * ⇒ a driver union-find over the CONTRACTED graph finishes the
+    * component structure in microseconds and one broadcast map-join
+    * rewrites the labels — this is MODEL-sized state (basin adjacencies,
+    * not nodes or edges), the centroid-collect precedent. Above the cap
+    * ⇒ the distributed pointer-jump rounds continue unchanged, and since
+    * propagation strictly shrinks the residual graph, the driver finish
+    * engages as soon as it fits. Why: min-label propagation merges ONE
+    * basin layer per round, so a weak-threshold pair graph (chains, e.g.
+    * dd_semdedup's cos ≥ 0.4 at sf0.1) took 10 full rounds of
+    * edge-table-sized joins for a residual structure that was a few
+    * hundred rows from round 0 — measured 10 rounds → 1 + driver finish. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+      driverEdgeCap: Int = GraftTuning.CcDriverEdgeCap): DataFrame = {
     // materialize AND reset plan statistics. localCheckpoint truncates
     // lineage but PRESERVES the optimized plan's size estimate
     // (originStats) — and Catalyst's join size estimate is the PRODUCT of
@@ -2021,12 +2077,9 @@ object DedupOps {
     // checkpointed RDD discards originStats, so every round plans against
     // fresh scan-sized stats. The rebuild is one no-op map over the
     // materialized rows — label-table-sized, linear, executor-side.
-    // eager=false defers materialization to the frame's FIRST action —
-    // used for `updated`, whose convergence count then materializes the
-    // checkpoint and counts in ONE job instead of two (×rounds, the jobs
-    // are pure fixed overhead at any scale). `propagated` stays eager:
-    // its three consumers sit in independent stages of one job and would
-    // race-compute the subtree otherwise. Stats reset via the bridge —
+    // Everything materializes eagerly: each mat'd frame feeds multiple
+    // consumers (or both sides of one plan), which would race-compute the
+    // subtree under a lazy checkpoint. Stats reset via the bridge —
     // zero data movement, unlike a createDataFrame(rdd) round-trip.
     def mat(df: DataFrame, eager: Boolean = true): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.resetInheritedStats(
@@ -2040,48 +2093,101 @@ object DedupOps {
     var labels = mat(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("doc_id"), col("label")))
-    var changed = 1L
+    val session = edges.sparkSession
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxRounds) {
+    while (!converged && iter < maxRounds) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // materialize the propagation once — the path-halving self-join below
-      // reads it on BOTH sides, and without the checkpoint each round would
-      // evaluate the edges-join + aggregate twice
+      // materialize the propagation once — the residual probe and every
+      // branch below read it, and without the checkpoint each would
+      // evaluate the edges-join + aggregate again
       val propagated = mat(
         labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
           .select(col("doc_id"), col("label"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label")))
-      // pointer-jumping: follow label→label hops (inner joins are safe:
-      // every label value is a node id present in the frame). Each hop is
-      // a join against the SAME checkpointed frame — no extra
-      // materialization. ADAPTIVE depth: clique-shaped near-dup graphs
-      // (the overwhelming case) converge in 1-2 rounds, where a second
-      // hop is pure join cost (measured +0.9 s on dd_dedup_groups at
-      // sf0.1); a loop still alive at round 3 is chain-shaped, where the
-      // double jump compresses remaining path length ~4× per round with
-      // propagation and cuts total rounds (measured −1.3 s on
-      // mm_dedup_groups' single-bit-step phash chains).
-      val hop = propagated
-        .select(col("doc_id").as("j_id"), col("mid_label").as("j_lab"))
-      val oneHop = propagated.join(hop, col("mid_label") === col("j_id"))
-      val chased =
-        if (iter < 2)
-          oneHop.select(col("doc_id"), col("label"),
-            col("j_lab").as("next_label"))
-        else {
-          val hop2 = propagated
-            .select(col("doc_id").as("j_id2"), col("mid_label").as("j_lab2"))
-          oneHop.join(hop2, col("j_lab") === col("j_id2"))
-            .select(col("doc_id"), col("label"),
-              col("j_lab2").as("next_label"))
+      // residual label graph: one distinct adjacency per edge still
+      // crossing two basins. ONE limit(cap+1) collect answers all three
+      // questions — converged (empty), driver-finishable (≤ cap), or
+      // continue distributed (> cap: the sample is discarded, only its
+      // size was consulted, so the arbitrary limit rows can't leak
+      // nondeterminism into results).
+      val resid = edges
+        .join(propagated.select(col("doc_id").as("__ns"),
+          col("mid_label").as("ls")), edges("src") === col("__ns"))
+        .join(propagated.select(col("doc_id").as("__nd"),
+          col("mid_label").as("ld")), edges("dst") === col("__nd"))
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls"), col("ld"))
+        .distinct()
+      val sample = resid.limit(driverEdgeCap + 1).collect()
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] iter=$iter residual=${sample.length}")
+      if (sample.isEmpty) {
+        // labels constant across every edge; the component min m always
+        // carries label m, so constant ⇒ min-of-component
+        labels = propagated.select(col("doc_id"), col("mid_label").as("label"))
+        converged = true
+      } else if (sample.length <= driverEdgeCap) {
+        // model-sized residual: union-find by min on the driver (the
+        // mmDedupGroupsWidth driver path), then ONE broadcast map-join
+        // rewrites basin labels to component minima
+        val nodes = sample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val idx = nodes.zipWithIndex.toMap
+        val parent = Array.tabulate(nodes.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
         }
-      val updated = mat(chased, eager = false)
-      changed = updated.filter(col("next_label") =!= col("label")).count()
-      labels = updated.select(col("doc_id"), col("next_label").as("label"))
+        sample.foreach { e =>
+          val (ra, rb) = (find(idx(e.getLong(0))), find(idx(e.getLong(1))))
+          if (ra != rb) {
+            // union by MIN LABEL VALUE, the component contract
+            if (nodes(ra) <= nodes(rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val mapRows = nodes.zipWithIndex
+          .map { case (l, i) => (l, nodes(find(i))) }
+          .filter { case (l, root) => l != root }.toSeq
+        val mapDf = session.createDataFrame(mapRows).toDF("__from", "__to")
+        labels = propagated
+          .join(broadcast(mapDf), col("mid_label") === col("__from"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__to"), col("mid_label")).as("label"))
+        converged = true
+      } else {
+        // pointer-jumping continuation for residual graphs past the cap:
+        // follow label→label hops (inner joins are safe: every label value
+        // is a node id present in the frame). Each hop is a join against
+        // the SAME checkpointed frame — no extra materialization. ADAPTIVE
+        // depth: 1 hop while the graph may be clique-shaped (a second hop
+        // is pure join cost there — measured +0.9 s on dd_dedup_groups at
+        // sf0.1); a loop still alive at round 3 is chain-shaped, where the
+        // double jump compresses remaining path length ~4× per round with
+        // propagation (measured −1.3 s on mm_dedup_groups' single-bit-step
+        // phash chains).
+        val hop = propagated
+          .select(col("doc_id").as("j_id"), col("mid_label").as("j_lab"))
+        val oneHop = propagated.join(hop, col("mid_label") === col("j_id"))
+        val chased =
+          if (iter < 2)
+            oneHop.select(col("doc_id"), col("label"),
+              col("j_lab").as("next_label"))
+          else {
+            val hop2 = propagated
+              .select(col("doc_id").as("j_id2"), col("mid_label").as("j_lab2"))
+            oneHop.join(hop2, col("j_lab") === col("j_id2"))
+              .select(col("doc_id"), col("label"),
+                col("j_lab2").as("next_label"))
+          }
+        // eager: next round's propagation reads labels on BOTH sides of
+        // its plan; a lazy checkpoint would race-compute the chase twice
+        labels = mat(chased.select(col("doc_id"), col("next_label").as("label")))
+      }
       iter += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds " +
         "(labels would violate the min-of-component contract)")
     labels

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object EmbeddingOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadFan(s, dir, "embeddings", "vec_id")
 
   /** (label, dim, value) centroid components, exact-sum mean. */
   private def centroidRows(e: DataFrame): DataFrame =

@@ -172,6 +172,37 @@ object MultimodalOps {
       |  CAST(GREATEST(FLOOR(height * scale_raw), 1) AS INT) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** (doc_id, phash) stripe-signature codes at `width` bits in ONE
+    * map-combined doc-keyed aggregation: the per-slot stripe sums become
+    * `width` conditional SUM columns, so the old (doc_id, slot) re-grain
+    * — a groupBy exchange, then a doc-keyed WindowExec (second exchange +
+    * sort) for the total, then a third groupBy — collapses to a single
+    * exchange with partial aggregation (r19: 2 Exchange + window sort →
+    * 1 Exchange). Integer-exact and row-identical to the window form: an
+    * absent slot (payload shorter than the stripe period) yields a NULL
+    * conditional sum whose bit test is NULL → bit not set, exactly as the
+    * missing (doc_id, slot) row before; empty payloads produce no row on
+    * either form. Slot 63 wraps `1L << 63` to Long.MinValue by design
+    * (see [[mmPhash64]]'s scaladoc). The scan is fanned
+    * ([[graft.Tables.loadFan]]) — the per-character explode is the
+    * heaviest map in the mm family. */
+  private def stripeCodes(s: SparkSession, dir: String, width: Int): DataFrame = {
+    val chars = Tables.loadFan(s, dir, "documents", "doc_id")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (col("pos") % width).as("slot"),
+        ascii(col("ch")).cast("long").as("v"))
+    val slotSums = (0 until width).map(j =>
+      sum(when(col("slot") === j, col("v"))).as(s"__ss$j"))
+    val bits = (0 until width).map(j =>
+      when(col(s"__ss$j") * width > col("__tot"), lit(1L << j))
+        .otherwise(lit(0L)))
+    chars.groupBy(col("doc_id"))
+      .agg(slotSums.head, slotSums.tail :+ sum(col("v")).as("__tot"): _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("phash"))
+  }
+
   // ---------------------------------------- perceptual-hash near-dup
   /** Perceptual-hash near-duplicate detection for media payloads — the
     * image-dedup stage of a multimodal pipeline (pHash/aHash family):
@@ -206,19 +237,7 @@ object MultimodalOps {
     * signatures, Hamming banding) is the shape to reach for — the 16-bit
     * stub keeps the code-universe discipline honest. */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val codes = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
-      .filter(col("ch") =!= "")
-      .select(col("doc_id"), (col("pos") % 16).as("slot"),
-        ascii(col("ch")).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
-      .withColumn("tot", sum(col("ss")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("ss") * 16 > col("tot"),
-        pow(lit(2.0), col("slot").cast("double")).cast("long"))
-        .otherwise(lit(0L))).as("phash"))
+    val codes = stripeCodes(s, dir, 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = codes.groupBy(col("phash")).agg(count(lit(1)).as("cnt"))
     val flips = cnts
@@ -305,19 +324,7 @@ object MultimodalOps {
       driverCodeCap: Long = GraftTuning.MmDriverCodeCap): DataFrame = {
     require(maxHam <= 6, "28-combo blocking guarantees recall only to distance 6")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val codes = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
-      .filter(col("ch") =!= "")
-      .select(col("doc_id"), (col("pos") % 64).as("slot"),
-        ascii(col("ch")).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
-      .withColumn("tot", sum(col("ss")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("ss") * 64 > col("tot"),
-        expr("shiftleft(1L, slot)")).otherwise(lit(0L))).as("phash"))
-      .persist(lvl)
+    val codes = stripeCodes(s, dir, 64).persist(lvl)
     val cnts = codes.groupBy(col("phash")).agg(count(lit(1)).as("cnt"))
       .persist(lvl)
     val nCodes = cnts.count() // also materializes the persist
@@ -457,20 +464,7 @@ object MultimodalOps {
       width: Int = 16, driverCodeCap: Long = GraftTuning.MmDriverCodeCap): DataFrame = {
     require(width >= 1 && width <= 64, s"phash width must be in [1,64]: $width")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val codes = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
-      .filter(col("ch") =!= "")
-      .select(col("doc_id"), (col("pos") % width).as("slot"),
-        ascii(col("ch")).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("slot")).agg(sum(col("v")).as("ss"))
-      .withColumn("tot", sum(col("ss")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("ss") * width > col("tot"),
-        expr("shiftleft(1L, slot)"))
-        .otherwise(lit(0L))).as("phash"))
-      .persist(lvl)
+    val codes = stripeCodes(s, dir, width).persist(lvl)
     val presentDf = codes.select(col("phash")).distinct().persist(lvl)
     val nCodes = presentDf.count()
     val driverPath = nCodes <= driverCodeCap

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object SamplingOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFan(s, dir, "documents", "doc_id")
 
   /** md5(doc_id) hex digest — this file's shared entropy source. The
     * digest's 32 hex chars are budgeted in DISJOINT 1-based ranges so no

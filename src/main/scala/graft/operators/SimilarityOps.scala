@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadFan(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", VF.norm(col("ve"))) // out of the pair loop
 
@@ -327,7 +327,7 @@ object SimilarityOps {
     * PQ recall certification, which searches a derived corpus. */
   private def annPqFrom(base: DataFrame, nQueries: Int, k: Int, cells: Int,
       nprobe: Int, m: Int, kCent: Int, overfetch: Int,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, nRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val (cents, books0, subDim) = pqModel(base, cells, kCent, m)
     // ONE corpus pass computes cell assignment + residual for BOTH the
@@ -345,8 +345,11 @@ object SimilarityOps {
     // sampling luck, not the index — probe everything (the PQ-specific
     // parts, ADC ranking + re-rank, are still exercised in full). At real
     // cell occupancy the configured nprobe prunes as designed.
+    // callers that already counted the corpus pass nRows — one fewer
+    // count action (each action pays full plan analysis, r19)
     val effNprobe =
-      if (base.count() < 8L * cells) cells else nprobe
+      if ((if (nRows >= 0) nRows else base.count()) < 8L * cells) cells
+      else nprobe
     val arr1 = ArrayType(DoubleType, containsNull = false)
     val arr2 = ArrayType(arr1, containsNull = false)
     val centsLit = arrLit(cents, arr2)
@@ -600,7 +603,8 @@ object SimilarityOps {
     val truth = bruteTopKFrom(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = annPqFrom(corpus, nQueries, k, cells = 32, nprobe = 8,
-      m = 16, kCent = 16, overfetch = overfetch, trainIters = trainIters)
+      m = 16, kCent = 16, overfetch = overfetch, trainIters = trainIters,
+      nRows = n)
       .select(col("query_id"), col("neighbor_id"))
     val out = recallViolations(truth, approx, floor).localCheckpoint()
     corpus.unpersist()

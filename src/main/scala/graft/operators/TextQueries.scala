@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFan(s, dir, "documents", "doc_id")
 
   /** Common DuckDB fragments mirroring TextFunctions. */
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"

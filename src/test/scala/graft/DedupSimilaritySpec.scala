@@ -361,6 +361,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L), "one chain = one component, rep = min id")
   }
 
+  test("CC driver union-find finish ≡ pure distributed rounds (r19 residual contraction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // mixed shapes: a shuffled-id chain (multi-basin merge, the case the
+    // residual contraction accelerates), a clique, a 2-node component, and
+    // ids far apart so label values exercise the min-union ordering
+    val perm = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle((0L until 60L).toVector)
+    val chain = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = for { a <- 100L to 104L; b <- (a + 1) to 104L } yield (a, b)
+    val pairsDf = (chain ++ clique :+ ((200L, 201L))).toDF("id_a", "id_b")
+    val edges = pairsDf.union(pairsDf.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    def run(cap: Int): Map[Long, Long] =
+      DedupOps.connectedComponents(edges, maxRounds = 25, driverEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run(GraftTuning.CcDriverEdgeCap) // residual fits: driver finish
+    val viaRounds = run(0)                           // cap 0: never fits, pure rounds
+    assert(viaDriver == viaRounds, "the two finish paths must agree exactly")
+    assert(viaDriver.size == 60 + 5 + 2)
+    assert((0L until 60L).forall(i => viaDriver(i) == 0L), "chain rep = min id")
+    assert((100L to 104L).forall(i => viaDriver(i) == 100L), "clique rep = min id")
+    assert(viaDriver(200L) == 200L && viaDriver(201L) == 200L)
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "documents").createOrReplaceTempView("ext_docs")
